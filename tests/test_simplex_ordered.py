@@ -1,0 +1,108 @@
+"""SimplexBijector and OrderedBijector properties (reference
+test/bijectors/simplex.jl, test/bijectors/ordered.jl)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpu_bijectors as tb
+from tpu_bijectors.bijectors.simplex import simplex_forward_unrolled
+from tpu_bijectors.testing import check_logdet_against_jacobian
+
+
+@pytest.mark.parametrize("K", [2, 3, 5, 10])
+def test_simplex_roundtrip(K, key):
+    b = tb.SimplexBijector()
+    x = jax.random.dirichlet(key, jnp.ones(K, jnp.float64))
+    y, ld = b.forward_and_log_det(x)
+    assert y.shape == (K - 1,)
+    x_rt, ld_inv = b.inverse_and_log_det(y)
+    np.testing.assert_allclose(np.asarray(x_rt), np.asarray(x), atol=1e-9)
+    np.testing.assert_allclose(float(ld_inv), -float(ld), atol=1e-9)
+
+
+def test_simplex_matches_unrolled(key):
+    b = tb.SimplexBijector()
+    x = jax.random.dirichlet(key, jnp.ones(7, jnp.float64), (11,))
+    np.testing.assert_allclose(
+        np.asarray(b.forward(x)), np.asarray(simplex_forward_unrolled(x)), atol=1e-14
+    )
+
+
+@pytest.mark.parametrize("K", [3, 6])
+def test_simplex_logdet_vs_ad(K, key):
+    """AD-vs-analytic with the reduced square Jacobian (drop last coordinate,
+    reference test/interface.jl:154-162)."""
+    b = tb.SimplexBijector()
+    x = jax.random.dirichlet(key, jnp.full(K, 2.0, jnp.float64))
+    _, ld = b.forward_and_log_det(x)
+
+    def flat_fwd(xf):
+        xx = jnp.concatenate([xf, 1.0 - jnp.sum(xf, keepdims=True)])
+        return b.forward(xx)
+
+    check_logdet_against_jacobian(flat_fwd, x[:-1], ld, atol=1e-6, rtol=1e-6)
+
+
+def test_simplex_inverse_insupport(rng):
+    """100 random unconstrained vectors -> valid simplex points
+    (reference test_utils.jl:325-374)."""
+    b = tb.SimplexBijector()
+    y = jnp.asarray(rng.standard_normal((100, 6)) * 3.0)
+    x = b.inverse(y)
+    xs = np.asarray(x)
+    assert np.all(xs >= 0.0)
+    np.testing.assert_allclose(xs.sum(-1), 1.0, atol=1e-8)
+
+
+def test_simplex_batched(key):
+    b = tb.SimplexBijector()
+    x = jax.random.dirichlet(key, jnp.ones(5, jnp.float64), (4, 3))
+    y, ld = b.forward_and_log_det(x)
+    assert y.shape == (4, 3, 4) and ld.shape == (4, 3)
+    x_rt = b.inverse(y)
+    np.testing.assert_allclose(np.asarray(x_rt), np.asarray(x), atol=1e-8)
+
+
+def test_ordered_roundtrip(rng):
+    b = tb.OrderedBijector()
+    y = jnp.asarray(rng.standard_normal((8, 5)))
+    x, ld = b.forward_and_log_det(y)
+    # outputs are sorted ascending
+    assert np.all(np.diff(np.asarray(x), axis=-1) > 0)
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(y[..., 1:].sum(-1)))
+    y_rt, ld_inv = b.inverse_and_log_det(x)
+    np.testing.assert_allclose(np.asarray(y_rt), np.asarray(y), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ld_inv), -np.asarray(ld), atol=1e-10)
+
+
+def test_ordered_logdet_vs_ad(rng):
+    b = tb.OrderedBijector()
+    y = jnp.asarray(rng.standard_normal(6))
+    _, ld = b.forward_and_log_det(y)
+    check_logdet_against_jacobian(b.forward, y, ld, atol=1e-9)
+
+
+def test_ordered_distribution(key):
+    d = tb.dists.MvNormal(jnp.zeros(4), scale_diag=jnp.ones(4))
+    od = tb.ordered(d)
+    x_sorted = jnp.asarray([-1.0, 0.0, 0.5, 2.0])
+    x_unsorted = jnp.asarray([1.0, 0.0, 0.5, 2.0])
+    assert np.isfinite(float(od.logpdf(x_sorted)))
+    assert float(od.logpdf(x_unsorted)) == -np.inf
+    # bijector(od) maps ordered -> unconstrained, round-trip
+    b = tb.bijector(od)
+    y = b.forward(x_sorted)
+    np.testing.assert_allclose(np.asarray(b.inverse(y)), np.asarray(x_sorted), atol=1e-10)
+
+
+def test_ordered_lognormal_decreasing_branch(key):
+    """ordered() with a monotone-decreasing link uses the SignFlip sandwich
+    (reference ordered.jl:138-140). Truncated upper-only is decreasing."""
+    d = tb.dists.MvLogNormal(jnp.zeros(3), jnp.ones(3))
+    od = tb.ordered(d)
+    b = tb.bijector(od)
+    x = jnp.asarray([0.5, 1.0, 2.0])
+    y = b.forward(x)
+    np.testing.assert_allclose(np.asarray(b.inverse(y)), np.asarray(x), atol=1e-9)

@@ -1,0 +1,90 @@
+"""tpu_bijectors — a TPU-native probabilistic-transform + inference framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+TuringLang/Bijectors.jl (reference mounted at /root/reference): bijectors with
+log-abs-det-Jacobians, a distribution->bijector registry, transformed
+distributions, a pytree<->flat-unconstrained-vector API for PPL samplers,
+trainable normalizing-flow layers, and chain-parallel NUTS/ADVI/SMC engines
+sharded over TPU meshes.
+
+See SURVEY.md for the layer-by-layer correspondence with the reference.
+"""
+
+from .bijectors.base import (
+    Bijector,
+    Block,
+    Chain,
+    Identity,
+    Invert,
+    Transform,
+    elementwise,
+    inverse,
+)
+from .bijectors.corr import CorrBijector, VecCholeskyBijector, VecCorrBijector
+from .bijectors.ordered import OrderedBijector
+from .bijectors.pd import CholeskyVecBijector, PDBijector, PDVecBijector
+from .bijectors.scalar import (
+    Exp,
+    LeakyReLU,
+    Log,
+    Logit,
+    Scale,
+    Shift,
+    SignFlip,
+    Softplus,
+    Truncated,
+)
+from .bijectors.simplex import SimplexBijector
+from .registry import bijector, invlink, link, logpdf_with_trans, register_bijector
+from .transformed import OrderedDistribution, TransformedDistribution, ordered, transformed
+from .tree import pytree_dataclass
+
+from . import dists
+from . import utils
+
+__version__ = "0.1.0"
+
+__all__ = [
+    # core
+    "Transform",
+    "Bijector",
+    "Invert",
+    "Chain",
+    "Block",
+    "Identity",
+    "inverse",
+    "elementwise",
+    "pytree_dataclass",
+    # scalar bijectors
+    "Exp",
+    "Log",
+    "Logit",
+    "Shift",
+    "Scale",
+    "SignFlip",
+    "LeakyReLU",
+    "Softplus",
+    "Truncated",
+    # vector/matrix bijectors
+    "SimplexBijector",
+    "OrderedBijector",
+    "PDBijector",
+    "PDVecBijector",
+    "CholeskyVecBijector",
+    "CorrBijector",
+    "VecCorrBijector",
+    "VecCholeskyBijector",
+    # registry / transformed
+    "bijector",
+    "link",
+    "invlink",
+    "logpdf_with_trans",
+    "register_bijector",
+    "transformed",
+    "TransformedDistribution",
+    "ordered",
+    "OrderedDistribution",
+    # modules
+    "dists",
+    "utils",
+]

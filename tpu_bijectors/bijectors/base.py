@@ -1,0 +1,374 @@
+"""Transform / Bijector core protocol (layer L1).
+
+TPU-native counterpart of /root/reference/src/interface.jl. Design:
+
+* The **primitive** every bijector implements is ``forward_and_log_det`` (the
+  reference's ``with_logabsdet_jacobian``-first design, src/interface.jl:157-192
+  and docs/src/defining.md). ``forward`` / ``forward_log_det_jacobian`` are
+  derived. Bijectors may additionally override ``inverse_and_log_det`` with a
+  numerically better direct formula (e.g. the truncated bijector's stable
+  inverse log-jacobian, src/bijectors/truncated.jl:71-82); the default derives
+  it from the forward pair like the generic ``Inverse`` path at
+  src/interface.jl:276-281.
+
+* **Batch semantics** (TPU-first, departs from the reference): every bijector
+  declares ``event_ndims_in`` / ``event_ndims_out``. Inputs may carry arbitrary
+  *leading* batch dimensions; outputs carry the same batch dims; the log-det
+  has exactly the batch shape. Scalar bijectors (event_ndims 0) therefore
+  return *elementwise* log-dets; wrap in :class:`Block` to sum trailing event
+  dims (this replaces the reference's ``elementwise(f)`` + sum-everything
+  ``logabsdetjac``, src/bijectors/exp_log.jl:1-12). One fused XLA computation
+  handles the whole batch — no vmap dispatch overhead, MXU/VPU-friendly.
+
+* Every bijector is a frozen pytree dataclass, so trainable flow layers work
+  with ``jax.grad`` directly (reference uses ``Functors.@functor``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..tree import pytree_dataclass
+from ..utils import sum_last
+
+
+class Transform:
+    """Abstract transform (reference ``Transform``, src/interface.jl:106-135).
+
+    Subclasses must implement ``forward_and_log_det`` and (unless closed-form
+    inverse is impossible) ``inverse``. Everything else has defaults.
+    """
+
+    # Number of trailing dims of one input/output event.
+    event_ndims_in: int = 0
+    event_ndims_out: int = 0
+
+    # Invertibility trait (reference: Bijector <: Transform with isinvertible,
+    # src/interface.jl:271-273).
+    invertible: bool = True
+    # Whether the *inverse* has a closed form (reference `isclosedform`,
+    # src/interface.jl:231; false only for PlanarLayer's inverse).
+    closed_form_inverse: bool = True
+
+    # Monotonicity traits (src/interface.jl:307-360); meaningful for scalar
+    # (event_ndims 0) bijectors only.
+    monotonically_increasing: bool = False
+    monotonically_decreasing: bool = False
+
+    # -- primitive ---------------------------------------------------------
+
+    def forward_and_log_det(self, x):
+        raise NotImplementedError(type(self).__name__)
+
+    # -- derived forward API ------------------------------------------------
+
+    def forward(self, x):
+        return self.forward_and_log_det(x)[0]
+
+    def forward_log_det_jacobian(self, x):
+        return self.forward_and_log_det(x)[1]
+
+    def __call__(self, x):
+        # Reference: (t::Transform)(x) = transform(t, x), src/interface.jl:135.
+        return self.forward(x)
+
+    # -- derived inverse API -------------------------------------------------
+
+    def inverse(self, y):
+        return self.inverse_and_log_det(y)[0]
+
+    def inverse_and_log_det(self, y):
+        """Default: (x, -forward_log_det(x)) — reference src/interface.jl:276-281."""
+        x = self.inverse(y)
+        return x, -self.forward_log_det_jacobian(x)
+
+    def inverse_log_det_jacobian(self, y):
+        return self.inverse_and_log_det(y)[1]
+
+    # -- shape algebra (reference `output_size`, src/interface.jl:85-105) ----
+
+    def forward_event_shape(self, shape: tuple) -> tuple:
+        return tuple(shape)
+
+    def inverse_event_shape(self, shape: tuple) -> tuple:
+        return tuple(shape)
+
+    # -- composition ---------------------------------------------------------
+
+    def __rshift__(self, other: "Transform") -> "Chain":
+        """x -> other(self(x))."""
+        return Chain((other, self))
+
+    def __lshift__(self, other: "Transform") -> "Chain":
+        """x -> self(other(x))."""
+        return Chain((self, other))
+
+    # Batch helper: split input shape into (batch, event).
+    def _batch_shape(self, x) -> tuple:
+        n = self.event_ndims_in
+        return x.shape[: x.ndim - n] if n else x.shape
+
+
+class Bijector(Transform):
+    """Invertible transform (reference ``Bijector``, src/interface.jl:264-273)."""
+
+    invertible = True
+
+
+@pytree_dataclass
+class Invert(Bijector):
+    """Lazy inverse wrapper (reference ``Inverse``, src/interface.jl:246-281).
+
+    The wrapped bijector is a child pytree so trainable parameters inside it
+    stay visible to ``jax.grad``.
+    """
+
+    bijector: Bijector
+
+    @property
+    def event_ndims_in(self):  # type: ignore[override]
+        return self.bijector.event_ndims_out
+
+    @property
+    def event_ndims_out(self):  # type: ignore[override]
+        return self.bijector.event_ndims_in
+
+    @property
+    def closed_form_inverse(self):  # type: ignore[override]
+        return True
+
+    @property
+    def monotonically_increasing(self):  # type: ignore[override]
+        return self.bijector.monotonically_increasing
+
+    @property
+    def monotonically_decreasing(self):  # type: ignore[override]
+        return self.bijector.monotonically_decreasing
+
+    def forward_and_log_det(self, y):
+        return self.bijector.inverse_and_log_det(y)
+
+    def inverse_and_log_det(self, x):
+        return self.bijector.forward_and_log_det(x)
+
+    def forward(self, y):
+        return self.bijector.inverse(y)
+
+    def inverse(self, x):
+        return self.bijector.forward(x)
+
+    def forward_event_shape(self, shape):
+        return self.bijector.inverse_event_shape(shape)
+
+    def inverse_event_shape(self, shape):
+        return self.bijector.forward_event_shape(shape)
+
+
+def inverse(b: Transform) -> Transform:
+    """Involutive inverse (reference `inverse`, src/interface.jl:265-269)."""
+    if isinstance(b, Invert):
+        return b.bijector
+    inv = getattr(b, "_self_inverse", None)
+    if inv is not None:
+        return inv()
+    return Invert(b)
+
+
+@pytree_dataclass
+class Chain(Bijector):
+    """Composition outer∘...∘inner, applied right-to-left like Julia's ``∘``
+    (reference src/bijectors/composed.jl:4-14).
+
+    ``Chain((f, g))(x) == f(g(x))``.
+    """
+
+    transforms: tuple
+
+    def __post_init__(self):
+        # flatten nested chains at construction (trace-time only)
+        flat = []
+        for t in self.transforms:
+            if isinstance(t, Chain):
+                flat.extend(t.transforms)
+            else:
+                flat.append(t)
+        object.__setattr__(self, "transforms", tuple(flat))
+
+    @property
+    def event_ndims_in(self):  # type: ignore[override]
+        return self.transforms[-1].event_ndims_in
+
+    @property
+    def event_ndims_out(self):  # type: ignore[override]
+        return self.transforms[0].event_ndims_out
+
+    @property
+    def closed_form_inverse(self):  # type: ignore[override]
+        return all(t.closed_form_inverse for t in self.transforms)
+
+    @property
+    def monotonically_increasing(self):  # type: ignore[override]
+        # Composition table, src/interface.jl:340-360: track the sign.
+        sign = 1
+        for t in self.transforms:
+            if t.monotonically_increasing:
+                pass
+            elif t.monotonically_decreasing:
+                sign = -sign
+            else:
+                return False
+        return sign > 0
+
+    @property
+    def monotonically_decreasing(self):  # type: ignore[override]
+        sign = 1
+        for t in self.transforms:
+            if t.monotonically_increasing:
+                pass
+            elif t.monotonically_decreasing:
+                sign = -sign
+            else:
+                return False
+        return sign < 0
+
+    def forward_and_log_det(self, x):
+        logdet = None
+        for t in reversed(self.transforms):
+            x, ld = t.forward_and_log_det(x)
+            ld = _reduce_to_batch(ld, t)
+            logdet = ld if logdet is None else logdet + ld
+        return x, logdet
+
+    def forward(self, x):
+        for t in reversed(self.transforms):
+            x = t.forward(x)
+        return x
+
+    def inverse_and_log_det(self, y):
+        logdet = None
+        for t in self.transforms:
+            y, ld = t.inverse_and_log_det(y)
+            ld = _reduce_to_batch_inv(ld, t)
+            logdet = ld if logdet is None else logdet + ld
+        return y, logdet
+
+    def inverse(self, y):
+        for t in self.transforms:
+            y = t.inverse(y)
+        return y
+
+    def forward_event_shape(self, shape):
+        for t in reversed(self.transforms):
+            shape = t.forward_event_shape(shape)
+        return shape
+
+    def inverse_event_shape(self, shape):
+        for t in self.transforms:
+            shape = t.inverse_event_shape(shape)
+        return shape
+
+
+def _reduce_to_batch(ld, t: Transform):
+    """Sum a (possibly elementwise) log-det down to batch shape.
+
+    A scalar bijector inside a Chain over vector inputs produces an
+    elementwise log-det; neighbours may be vector bijectors producing
+    batch-shaped log-dets. We sum scalar bijectors' log-dets over the event
+    dims of the *chain's current value*, which for composition in a chain with
+    mixed event_ndims means: sum everything beyond what a downstream vector
+    bijector would keep. For simplicity and correctness we only auto-reduce
+    when the bijector is scalar (event_ndims 0) — chains mixing event ranks
+    should use Block explicitly. Here: leave as-is; Chain sums log-dets with
+    broadcasting, which is correct when all members share batch semantics.
+    """
+    return ld
+
+
+_reduce_to_batch_inv = _reduce_to_batch
+
+
+@pytree_dataclass(meta_fields=("ndims",))
+class Block(Bijector):
+    """Promote a scalar/lower-rank bijector to act on events with ``ndims``
+    extra trailing dims, summing its log-det over those dims.
+
+    This is the TPU-native replacement for the reference's
+    ``elementwise(f)`` + summed ``logabsdetjac`` (src/interface.jl:33,
+    src/bijectors/exp_log.jl).
+    """
+
+    bijector: Bijector
+    ndims: int
+
+    @property
+    def event_ndims_in(self):  # type: ignore[override]
+        return self.bijector.event_ndims_in + self.ndims
+
+    @property
+    def event_ndims_out(self):  # type: ignore[override]
+        return self.bijector.event_ndims_out + self.ndims
+
+    @property
+    def monotonically_increasing(self):  # type: ignore[override]
+        return self.bijector.monotonically_increasing
+
+    @property
+    def monotonically_decreasing(self):  # type: ignore[override]
+        return self.bijector.monotonically_decreasing
+
+    @property
+    def closed_form_inverse(self):  # type: ignore[override]
+        return self.bijector.closed_form_inverse
+
+    def forward_and_log_det(self, x):
+        y, ld = self.bijector.forward_and_log_det(x)
+        return y, sum_last(ld, self.ndims)
+
+    def inverse_and_log_det(self, y):
+        x, ld = self.bijector.inverse_and_log_det(y)
+        return x, sum_last(ld, self.ndims)
+
+    def forward(self, x):
+        return self.bijector.forward(x)
+
+    def inverse(self, y):
+        return self.bijector.inverse(y)
+
+    def forward_event_shape(self, shape):
+        keep, inner = shape[: self.ndims], shape[self.ndims :]
+        # For elementwise bijectors inner is () and shape passes through.
+        return tuple(keep) + tuple(self.bijector.forward_event_shape(inner))
+
+    def inverse_event_shape(self, shape):
+        keep, inner = shape[: self.ndims], shape[self.ndims :]
+        return tuple(keep) + tuple(self.bijector.inverse_event_shape(inner))
+
+
+@pytree_dataclass
+class Identity(Bijector):
+    """Identity with zero log-det (reference: `identity` bijector)."""
+
+    monotonically_increasing = True
+
+    def forward_and_log_det(self, x):
+        return x, jnp.zeros_like(x, dtype=jnp.result_type(x, float))
+
+    def inverse_and_log_det(self, y):
+        return y, jnp.zeros_like(y, dtype=jnp.result_type(y, float))
+
+    def forward(self, x):
+        return x
+
+    def inverse(self, y):
+        return y
+
+    def _self_inverse(self):
+        return self
+
+
+def elementwise(b: Bijector, ndims: int) -> Bijector:
+    """Apply a scalar bijector over `ndims` trailing event dims."""
+    if ndims == 0:
+        return b
+    return Block(b, ndims)

@@ -1,0 +1,311 @@
+"""Correlation-matrix and Cholesky-factor bijectors (LKJ links).
+
+TPU-native counterpart of /root/reference/src/bijectors/corr.jl (Stan's
+correlation-matrix transform). The reference computes the link/inverse with
+per-column sequential loops (corr.jl:293-399); here every recurrence is a
+masked cumulative sum along the row axis — fully parallel on the VPU, no scan:
+
+  forward link (corr.jl:293-335): W = chol_upper(X);
+      remainder_sq[i,j] = sum_{k>i} W[k,j]^2   (reverse cumsum of W^2)
+      z = W / sqrt(remainder_sq) ;  y = asinh(z) on the strict upper triangle
+      (vector variant uses atanh(W[0,j]) for the first row, corr.jl:322 —
+       identical value since columns are unit vectors)
+
+  inverse link (corr.jl:344-399): z = tanh(y), lc = logcosh(y);
+      lr_incl[i,j] = -sum_{k<=i} lc[k,j]       (cumsum along rows)
+      lr_excl[i,j] = lr_incl[i,j] + lc[i,j]
+      W[i,j] = z[i,j] * exp(lr_excl[i,j]) for i<j ;  W[j,j] = exp(lr at j-1)
+      logJ = sum_{i<j} lr_incl[i,j] + sum_j lr_incl[j-1,j]
+
+  closed-form inverse log-dets: corr.jl:464-501.
+
+Packing order for the Vec variants is column-major over the strict upper
+triangle (matching `update_triu_from_vec`, src/utils.jl:77-85).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..tree import pytree_dataclass
+from ..utils import (
+    cholesky_upper,
+    logcosh,
+    pd_from_upper,
+    triu1_dim_from_length,
+    triu_mask,
+    triu_to_vec,
+    vec_to_triu,
+)
+from .base import Bijector
+
+
+# ---------------------------------------------------------------------------
+# Shared masked-cumsum kernels (strict-upper-triangular, batched)
+# ---------------------------------------------------------------------------
+
+
+def _link_chol_lkj(W, first_row_atanh: bool):
+    """Upper-tri Cholesky factor W -> strict-upper unconstrained matrix y.
+
+    Parallel form of corr.jl:293-335. `first_row_atanh` selects the vector
+    variant's atanh first row (corr.jl:322).
+    """
+    K = W.shape[-1]
+    dtype = W.dtype
+    up = triu_mask(K, 1)
+    W = jnp.triu(W)
+    W2 = W * W
+    # remainder_sq[i,j] = sum_{k>i} W[k,j]^2 (within the column; zeros below
+    # the diagonal contribute nothing).
+    rev_incl = jnp.flip(jnp.cumsum(jnp.flip(W2, -2), axis=-2), -2)
+    remainder_sq = rev_incl - W2
+    safe_rem = jnp.where(up, remainder_sq, jnp.ones_like(remainder_sq))
+    z = W / jnp.sqrt(safe_rem)
+    y = jnp.arcsinh(z)
+    if first_row_atanh:
+        row0 = jnp.arange(K)[:, None] == 0
+        y = jnp.where(row0, jnp.arctanh(jnp.clip(W, -1.0, 1.0)), y)
+    return jnp.where(up, y, jnp.zeros([], dtype))
+
+
+def _inv_link_chol_lkj(Y):
+    """Strict-upper y-matrix -> (upper-tri Cholesky factor W, logJ).
+
+    Parallel form of corr.jl:344-368 / 370-399.
+    """
+    K = Y.shape[-1]
+    dtype = Y.dtype
+    up = triu_mask(K, 1)
+    Yu = jnp.where(up, Y, jnp.zeros([], dtype))
+    z = jnp.where(up, jnp.tanh(Yu), jnp.zeros([], dtype))
+    lc = jnp.where(up, logcosh(Yu), jnp.zeros([], dtype))
+    lr_incl = -jnp.cumsum(lc, axis=-2)  # lr after processing row i in column j
+    lr_excl = lr_incl + lc  # lr before processing row i
+    W_off = z * jnp.exp(lr_excl)
+    # Diagonal: W[j,j] = exp(lr_incl[j-1, j]) for j>=1; W[0,0] = 1.
+    diag_lr = jnp.concatenate(
+        [
+            jnp.zeros(Y.shape[:-2] + (1,), dtype),
+            jnp.diagonal(lr_incl[..., :-1, 1:], axis1=-2, axis2=-1),
+        ],
+        axis=-1,
+    )
+    W = jnp.where(up, W_off, jnp.zeros([], dtype))
+    W = W + jnp.exp(diag_lr)[..., None, :] * jnp.eye(K, dtype=dtype)
+    # logJ = sum over strict-upper of lr_incl + per-column final lr.
+    logJ = jnp.sum(jnp.where(up, lr_incl, jnp.zeros([], dtype)), axis=(-2, -1))
+    logJ = logJ + jnp.sum(diag_lr, axis=-1)
+    return W, logJ
+
+
+def _logabsdetjac_inv_corr_mat(Y):
+    """Closed-form logJ of the inverse corr link, strict-upper matrix input:
+    -sum_{i<j} (K - i) * logcosh(Y[i,j]) with 0-based row i (corr.jl:464-472)."""
+    K = Y.shape[-1]
+    up = triu_mask(K, 1)
+    coeff = (K - jnp.arange(K, dtype=Y.dtype))[:, None]
+    val = coeff * logcosh(jnp.where(up, Y, jnp.zeros([], Y.dtype)))
+    return -jnp.sum(jnp.where(up, val, jnp.zeros([], Y.dtype)), axis=(-2, -1))
+
+
+def _logabsdetjac_inv_corr_vec(y):
+    """Vector-packed variant (corr.jl:474-483)."""
+    K = triu1_dim_from_length(y.shape[-1])
+    rows = _triu1_rows(K)
+    coeff = jnp.asarray(K - rows, dtype=y.dtype)
+    return -jnp.sum(coeff * logcosh(y), axis=-1)
+
+
+def _logabsdetjac_inv_chol(y):
+    """Closed-form logJ of the inverse Cholesky link (corr.jl:485-501).
+
+    Per column: result += lr_incl[i] - lc[i] over the column's entries.
+    """
+    K = triu1_dim_from_length(y.shape[-1])
+    cols = _triu1_cols(K)
+    lc = logcosh(y)
+    # Segmented prefix sums per column (static segment layout).
+    lr_incl = -_segmented_cumsum(lc, cols, K)
+    return jnp.sum(lr_incl - lc, axis=-1)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _triu1_rows_np(K: int):
+    return np.asarray([i for j in range(K) for i in range(j)], dtype=np.int32)
+
+
+@lru_cache(maxsize=None)
+def _triu1_cols_np(K: int):
+    return np.asarray([j for j in range(K) for i in range(j)], dtype=np.int32)
+
+
+def _triu1_rows(K: int):
+    return jnp.asarray(_triu1_rows_np(K))
+
+
+def _triu1_cols(K: int):
+    return jnp.asarray(_triu1_cols_np(K))
+
+
+def _segmented_cumsum(v, segment_ids, K: int):
+    """Inclusive cumsum within contiguous segments (static layout).
+
+    v: (..., N) packed column-major; segments are the triangle columns.
+    cumsum(v) - cumsum_at_segment_start gives the within-segment prefix.
+    """
+    c = jnp.cumsum(v, axis=-1)
+    # start index of each element's segment (static numpy computation)
+    cols = np.asarray(segment_ids)
+    starts = np.zeros_like(cols)
+    seg_start = {}
+    for idx, s in enumerate(cols):
+        if int(s) not in seg_start:
+            seg_start[int(s)] = idx
+        starts[idx] = seg_start[int(s)]
+    starts = jnp.asarray(starts)
+    # prefix before segment start
+    c_before = jnp.where(
+        starts > 0, jnp.take(c, jnp.maximum(starts - 1, 0), axis=-1), 0.0
+    )
+    return c - c_before
+
+
+# ---------------------------------------------------------------------------
+# Bijectors
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class CorrBijector(Bijector):
+    """Correlation matrix -> strict-upper-tri unconstrained matrix
+    (reference CorrBijector, corr.jl:64-92)."""
+
+    event_ndims_in = 2
+    event_ndims_out = 2
+
+    def forward_and_log_det(self, X):
+        y = self.forward(X)
+        return y, -_logabsdetjac_inv_corr_mat(y)
+
+    def forward(self, X):
+        return _link_chol_lkj(cholesky_upper(X), first_row_atanh=False)
+
+    def inverse(self, Y):
+        return self.inverse_and_log_det(Y)[0]
+
+    def inverse_and_log_det(self, Y):
+        W, logJ = _inv_link_chol_lkj(Y)
+        K = W.shape[-1]
+        # corr.jl:74-81: logJ += sum_{j=1..K-2 (0-based)} (K-1-j) log W[j,j]
+        coeff = jnp.concatenate(
+            [
+                jnp.zeros((1,), W.dtype),
+                jnp.asarray(
+                    np.maximum(np.arange(K - 2, -1, -1), 0), dtype=W.dtype
+                ),
+            ]
+        )
+        d = jnp.diagonal(W, axis1=-2, axis2=-1)
+        logJ = logJ + jnp.sum(coeff * jnp.log(d), axis=-1)
+        return pd_from_upper(W), logJ
+
+    def inverse_log_det_jacobian(self, Y):
+        return _logabsdetjac_inv_corr_mat(Y)
+
+
+@pytree_dataclass
+class VecCorrBijector(Bijector):
+    """Correlation matrix -> packed vector of length K(K-1)/2
+    (reference VecCorrBijector, corr.jl:95-162)."""
+
+    event_ndims_in = 2
+    event_ndims_out = 1
+
+    def forward_event_shape(self, shape):
+        n = shape[-1]
+        return shape[:-2] + (n * (n - 1) // 2,)
+
+    def inverse_event_shape(self, shape):
+        n = triu1_dim_from_length(shape[-1])
+        return shape[:-1] + (n, n)
+
+    def forward_and_log_det(self, X):
+        y = self.forward(X)
+        return y, -_logabsdetjac_inv_corr_vec(y)
+
+    def forward(self, X):
+        Ymat = _link_chol_lkj(cholesky_upper(X), first_row_atanh=True)
+        return triu_to_vec(Ymat, k=1)
+
+    def inverse(self, y):
+        return self.inverse_and_log_det(y)[0]
+
+    def inverse_and_log_det(self, y):
+        K = triu1_dim_from_length(y.shape[-1])
+        Y = vec_to_triu(y, k=1, n=K)
+        W, logJ = _inv_link_chol_lkj(Y)
+        coeff = jnp.concatenate(
+            [
+                jnp.zeros((1,), W.dtype),
+                jnp.asarray(np.maximum(np.arange(K - 2, -1, -1), 0), dtype=W.dtype),
+            ]
+        )
+        d = jnp.diagonal(W, axis1=-2, axis2=-1)
+        logJ = logJ + jnp.sum(coeff * jnp.log(d), axis=-1)
+        return pd_from_upper(W), logJ
+
+    def inverse_log_det_jacobian(self, y):
+        return _logabsdetjac_inv_corr_vec(y)
+
+
+@pytree_dataclass(meta_fields=("mode",))
+class VecCholeskyBijector(Bijector):
+    """Cholesky factor of a correlation matrix -> packed vector
+    (reference VecCholeskyBijector, corr.jl:164-259).
+
+    mode='U': input/output factor is upper-triangular; mode='L': lower.
+    """
+
+    mode: str = "U"
+
+    event_ndims_in = 2
+    event_ndims_out = 1
+
+    def __post_init__(self):
+        if self.mode not in ("U", "L"):
+            raise ValueError("mode must be 'U' or 'L'")
+
+    def forward_event_shape(self, shape):
+        n = shape[-1]
+        return shape[:-2] + (n * (n - 1) // 2,)
+
+    def inverse_event_shape(self, shape):
+        n = triu1_dim_from_length(shape[-1])
+        return shape[:-1] + (n, n)
+
+    def forward_and_log_det(self, X):
+        y = self.forward(X)
+        return y, -_logabsdetjac_inv_chol(y)
+
+    def forward(self, X):
+        U = X if self.mode == "U" else jnp.swapaxes(X, -1, -2)
+        Ymat = _link_chol_lkj(jnp.triu(U), first_row_atanh=True)
+        return triu_to_vec(Ymat, k=1)
+
+    def inverse(self, y):
+        return self.inverse_and_log_det(y)[0]
+
+    def inverse_and_log_det(self, y):
+        K = triu1_dim_from_length(y.shape[-1])
+        Y = vec_to_triu(y, k=1, n=K)
+        W, logJ = _inv_link_chol_lkj(Y)
+        out = W if self.mode == "U" else jnp.swapaxes(W, -1, -2)
+        return out, logJ
+
+    def inverse_log_det_jacobian(self, y):
+        return _logabsdetjac_inv_chol(y)

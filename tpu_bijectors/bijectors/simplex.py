@@ -1,0 +1,148 @@
+"""Stick-breaking simplex bijector (Stan-style).
+
+TPU-native counterpart of /root/reference/src/bijectors/simplex.jl. Maps the
+K-simplex to R^{K-1} (dimension-changing; `output_size` semantics at
+simplex.jl:6-12).
+
+Math (0-based k, eps = machine epsilon of the dtype — simplex.jl:28-64):
+
+  forward:  s_k = sum_{i<k} x_i
+            z_0 = x_0 * (1-2eps) + eps
+            z_k = (x_k + eps) * (1-2eps) / ((1+eps) - s_k),   k >= 1
+            y_k = logit(z_k) + log(K-1-k)
+
+  logdetJ(forward) (simplex.jl:122-138):
+            z'_0 = x_0 ;  z'_k = x_k / max(1 - s_k, eps)
+            -sum_k [ log(max(z'_k,eps)) + log(max(1-z'_k,eps))
+                     + (k>0) * log(max(1-s_k,eps)) ]
+
+  inverse (simplex.jl:84-100) is a true recurrence in the running sum s_k with
+  per-step clamping — implemented as a `lax.scan` over K-1 steps, fully
+  vectorized over all leading batch dims (each step is one fused VPU op over
+  the batch; sequential depth K only).
+
+The forward direction and both log-dets are closed-form parallel (masked
+cumulative sums) — ideal for the VPU.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..tree import pytree_dataclass
+from ..utils import _eps, clamp, logistic, logit
+from .base import Bijector
+
+
+def _log_km1_minus_k(K: int, dtype):
+    # log(K-1-k) for k = 0..K-2  (reference's log(K - k) with 1-based k).
+    return jnp.asarray(np.log(np.arange(K - 1, 0, -1)), dtype=dtype)
+
+
+@pytree_dataclass
+class SimplexBijector(Bijector):
+    """K-simplex -> R^{K-1} via stick-breaking (reference SimplexBijector)."""
+
+    event_ndims_in = 1
+    event_ndims_out = 1
+
+    def forward_event_shape(self, shape):
+        return shape[:-1] + (shape[-1] - 1,)
+
+    def inverse_event_shape(self, shape):
+        return shape[:-1] + (shape[-1] + 1,)
+
+    def forward_and_log_det(self, x):
+        return self.forward(x), self.forward_log_det_jacobian(x)
+
+    def forward(self, x):
+        K = x.shape[-1]
+        if K < 2:
+            raise ValueError("simplex dimension must be >= 2")
+        dtype = jnp.result_type(x, float)
+        x = x.astype(dtype)
+        eps = _eps(dtype)
+        # s_k = sum_{i<k} x_i for k = 0..K-2 (exclusive prefix sum).
+        s = jnp.cumsum(x[..., : K - 2], axis=-1)
+        s = jnp.concatenate([jnp.zeros_like(x[..., :1]), s], axis=-1)
+        xk = x[..., : K - 1]
+        z_first = xk * (1 - 2 * eps) + eps
+        z_rest = (xk + eps) * (1 - 2 * eps) / ((1 + eps) - s)
+        k_is_zero = jnp.arange(K - 1) == 0
+        z = jnp.where(k_is_zero, z_first, z_rest)
+        return logit(z) + _log_km1_minus_k(K, dtype)
+
+    def forward_log_det_jacobian(self, x):
+        K = x.shape[-1]
+        dtype = jnp.result_type(x, float)
+        x = x.astype(dtype)
+        eps = _eps(dtype)
+        s = jnp.cumsum(x[..., : K - 2], axis=-1)
+        s = jnp.concatenate([jnp.zeros_like(x[..., :1]), s], axis=-1)
+        rem = jnp.maximum(1.0 - s, eps)
+        xk = x[..., : K - 1]
+        k_is_zero = jnp.arange(K - 1) == 0
+        z = jnp.where(k_is_zero, xk, xk / rem)
+        lp = jnp.log(jnp.maximum(z, eps)) + jnp.log(jnp.maximum(1.0 - z, eps))
+        lp = lp + jnp.where(k_is_zero, 0.0, jnp.log(rem))
+        return -jnp.sum(lp, axis=-1)
+
+    def inverse(self, y):
+        return _simplex_inverse(y)
+
+    def inverse_and_log_det(self, y):
+        x = _simplex_inverse(y)
+        return x, -self.forward_log_det_jacobian(x)
+
+
+def _simplex_inverse(y):
+    """Exact reference recurrence (simplex.jl:84-100), scanned over K-1 steps.
+
+    y: (..., K-1) unconstrained -> x: (..., K) on the simplex. All batch dims
+    ride along inside the scan carry, so each of the K-1 steps is one
+    vectorized VPU op.
+    """
+    Km1 = y.shape[-1]
+    K = Km1 + 1
+    dtype = jnp.result_type(y, float)
+    y = y.astype(dtype)
+    eps = _eps(dtype)
+    z = logistic(y - _log_km1_minus_k(K, dtype))  # (..., K-1)
+
+    # Move the scanned axis to the front.
+    zt = jnp.moveaxis(z, -1, 0)  # (K-1, ...)
+    k_idx = jnp.arange(Km1)
+
+    def step(s, inp):
+        zk, k = inp
+        x_first = clamp((zk - eps) / (1 - 2 * eps), 0.0, 1.0)
+        x_rest = clamp(((1 + eps) - s) / (1 - 2 * eps) * zk - eps, 0.0, 1.0)
+        xk = jnp.where(k == 0, x_first, x_rest)
+        return s + xk, xk
+
+    s_final, xs = jax.lax.scan(step, jnp.zeros(zt.shape[1:], dtype), (zt, k_idx))
+    x_last = clamp(1.0 - s_final, 0.0, 1.0)
+    x = jnp.concatenate([jnp.moveaxis(xs, 0, -1), x_last[..., None]], axis=-1)
+    return x
+
+
+def simplex_forward_unrolled(x):
+    """Trace-time-unrolled forward (identical math) — used by tests to check
+    the vectorized path; also the form the Pallas kernel mirrors."""
+    K = x.shape[-1]
+    dtype = jnp.result_type(x, float)
+    eps = _eps(dtype)
+    ys = []
+    s = jnp.zeros(x.shape[:-1], dtype)
+    for k in range(K - 1):
+        if k == 0:
+            z = x[..., 0] * (1 - 2 * eps) + eps
+        else:
+            s = s + x[..., k - 1]
+            z = (x[..., k] + eps) * (1 - 2 * eps) / ((1 + eps) - s)
+        ys.append(logit(z) + math.log(K - 1 - k))
+    return jnp.stack(ys, axis=-1)

@@ -1,0 +1,197 @@
+"""Minimal distributions layer (the reference outsources this to
+Distributions.jl — see SURVEY.md §2.7; we must supply it ourselves).
+
+Design (TPU-first):
+
+* every distribution is a frozen pytree dataclass — parameters are leaves, so
+  distributions pass through ``jit``/``grad``/``vmap`` boundaries freely;
+* ``logpdf(x)`` sums over event dims and broadcasts over any leading batch
+  dims of ``x`` *and* of the parameters — one fused XLA computation for an
+  entire (chains, batch) block;
+* ``sample(key, sample_shape)`` returns ``sample_shape + batch_shape +
+  event_shape``;
+* ``support`` is static metadata driving the `bijector(d)` registry (the
+  reference does this with Julia type unions, src/Bijectors.jl:268-320).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..tree import pytree_dataclass
+
+__all__ = [
+    "Distribution",
+    "Support",
+    "interval",
+    "positive",
+    "unit_interval",
+    "real_line",
+    "lower_bounded",
+    "upper_bounded",
+    "SIMPLEX",
+    "POSITIVE_DEFINITE",
+    "CORRELATION",
+    "CHOLESKY_CORRELATION",
+    "REAL_VECTOR",
+]
+
+
+@dataclass(frozen=True)
+class Support:
+    """Static support descriptor.
+
+    ``kind``: 'interval' (with lower/upper, possibly infinite), 'simplex',
+    'pd', 'corr', 'chol_corr', 'real_vector', 'discrete'.
+    Bounds are python floats when static; distributions with parameter-
+    dependent bounds (e.g. Uniform, Pareto) override `support` as a property
+    returning array bounds plus static finiteness flags.
+    """
+
+    kind: str = "interval"
+    lower: object = -math.inf
+    upper: object = math.inf
+    lower_finite: bool = False
+    upper_finite: bool = False
+
+
+def interval(lo, hi) -> Support:
+    def _fin(v):
+        if isinstance(v, (int, float)):
+            return math.isfinite(v)
+        return bool(np.all(np.isfinite(np.asarray(jax.device_get(v)))))
+
+    lf = _fin(lo) if not isinstance(lo, (int, float)) else math.isfinite(lo)
+    uf = _fin(hi) if not isinstance(hi, (int, float)) else math.isfinite(hi)
+    # Traced arrays can't be checked; callers should pass static bounds or
+    # construct Support directly with explicit flags.
+    return Support("interval", lo, hi, lf, uf)
+
+
+def real_line() -> Support:
+    return Support("interval", -math.inf, math.inf, False, False)
+
+
+def positive() -> Support:
+    return Support("interval", 0.0, math.inf, True, False)
+
+
+def unit_interval() -> Support:
+    return Support("interval", 0.0, 1.0, True, True)
+
+
+def lower_bounded(lo) -> Support:
+    return Support("interval", lo, math.inf, True, False)
+
+
+def upper_bounded(hi) -> Support:
+    return Support("interval", -math.inf, hi, False, True)
+
+
+SIMPLEX = Support("simplex")
+POSITIVE_DEFINITE = Support("pd")
+CORRELATION = Support("corr")
+CHOLESKY_CORRELATION = Support("chol_corr")
+REAL_VECTOR = Support("real_vector")
+DISCRETE = Support("discrete")
+
+
+class Distribution:
+    """Abstract distribution.
+
+    Subclasses implement ``logpdf``, ``sample`` and declare ``event_ndims``
+    (an int) plus ``event_shape`` (a property when shape depends on params).
+    """
+
+    event_ndims: int = 0
+
+    # -- shapes --------------------------------------------------------------
+
+    @property
+    def event_shape(self) -> tuple:
+        return ()
+
+    @property
+    def batch_shape(self) -> tuple:
+        """Broadcast shape of the parameters (default: scalar params)."""
+        leaves = jax.tree_util.tree_leaves(self)
+        shapes = [jnp.shape(l) for l in leaves]
+        n = self.event_ndims
+        # strip event dims contributed by per-event parameters
+        shapes = [s[: len(s) - n] if len(s) >= n else s for s in shapes]
+        if not shapes:
+            return ()
+        return np.broadcast_shapes(*shapes)
+
+    # -- core ------------------------------------------------------------------
+
+    def logpdf(self, x):
+        raise NotImplementedError(type(self).__name__)
+
+    def sample(self, key, sample_shape: tuple = ()):
+        raise NotImplementedError(type(self).__name__)
+
+    def sample_and_logpdf(self, key, sample_shape: tuple = ()):
+        x = self.sample(key, sample_shape)
+        return x, self.logpdf(x)
+
+    # -- registry metadata ------------------------------------------------------
+
+    @property
+    def support(self) -> Support:
+        return real_line()
+
+    # -- optional (used by CDF/Quantile bijectors and some tests) --------------
+
+    def cdf(self, x):
+        raise NotImplementedError(type(self).__name__)
+
+    def quantile(self, q):
+        raise NotImplementedError(type(self).__name__)
+
+    def in_support(self, x, atol: float = 1e-8):
+        """Boolean in-support check (used by the test harness, mirrors
+        `insupport` checks in src/vector/test_utils.jl:325-374)."""
+        s = self.support
+        if s.kind == "interval":
+            ok = jnp.ones(jnp.shape(x), bool)
+            if s.lower_finite:
+                ok = ok & (x >= s.lower - atol)
+            if s.upper_finite:
+                ok = ok & (x <= s.upper + atol)
+            n = self.event_ndims
+            if n:
+                ok = jnp.all(ok, axis=tuple(range(-n, 0)))
+            return ok
+        if s.kind == "simplex":
+            return (jnp.abs(jnp.sum(x, -1) - 1.0) < 1e-6) & jnp.all(
+                x >= -atol, axis=-1
+            )
+        if s.kind == "pd":
+            eig = jnp.linalg.eigvalsh(0.5 * (x + jnp.swapaxes(x, -1, -2)))
+            return jnp.all(eig > -atol, axis=-1)
+        if s.kind == "corr":
+            eig = jnp.linalg.eigvalsh(0.5 * (x + jnp.swapaxes(x, -1, -2)))
+            diag_ok = jnp.all(
+                jnp.abs(jnp.diagonal(x, axis1=-2, axis2=-1) - 1.0) < 1e-6, axis=-1
+            )
+            return jnp.all(eig > -atol, axis=-1) & diag_ok
+        if s.kind == "chol_corr":
+            # rows (for L) of the factor are unit-norm; diagonal positive
+            diag = jnp.diagonal(x, axis1=-2, axis2=-1)
+            return jnp.all(diag > -atol, axis=-1)
+        return jnp.ones(jnp.shape(x)[: jnp.ndim(x) - self.event_ndims], bool)
+
+
+def _promote(*args):
+    dtype = jnp.result_type(*args, float)
+    return [jnp.asarray(a, dtype) for a in args], dtype
+
+
+# re-export decorator for distribution modules
+pytree_dataclass = pytree_dataclass

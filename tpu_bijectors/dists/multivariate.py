@@ -1,0 +1,258 @@
+"""Multivariate (vector-event) distributions.
+
+Counterparts of the Distributions.jl families the reference's registry and
+vectorize layers dispatch on (SURVEY.md §2.7): Dirichlet, MvNormal (+diag),
+MvLogNormal, MvLogitNormal, MvTDist.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.scipy import special as jsp
+
+from ..tree import pytree_dataclass
+from .base import REAL_VECTOR, SIMPLEX, Distribution, Support
+
+LOG2PI = math.log(2.0 * math.pi)
+LOGPI = math.log(math.pi)
+
+
+@pytree_dataclass
+class Dirichlet(Distribution):
+    """Dirichlet(alpha); support = interior of the simplex."""
+
+    alpha: jax.Array
+
+    event_ndims = 1
+
+    @property
+    def event_shape(self):
+        return (jnp.shape(self.alpha)[-1],)
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.alpha)[:-1]
+
+    def logpdf(self, x):
+        a = jnp.asarray(self.alpha, jnp.result_type(x, float))
+        lognorm = jnp.sum(jsp.gammaln(a), -1) - jsp.gammaln(jnp.sum(a, -1))
+        return jnp.sum((a - 1.0) * jnp.log(x), -1) - lognorm
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.alpha, float)
+        return jax.random.dirichlet(key, self.alpha, shape, dtype)
+
+    @property
+    def support(self):
+        return SIMPLEX
+
+
+@pytree_dataclass
+class MvLogitNormal(Distribution):
+    """softmax([y; 0]) of a MvNormal y — simplex-supported
+    (reference: src/vector/multivariate/simplex.jl maps it to SimplexBijector)."""
+
+    loc: jax.Array
+    scale_tril: jax.Array
+
+    event_ndims = 1
+
+    @property
+    def event_shape(self):
+        return (jnp.shape(self.loc)[-1] + 1,)
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.loc)[:-1]
+
+    def logpdf(self, x):
+        # y_i = log(x_i / x_K), i = 1..K-1
+        y = jnp.log(x[..., :-1]) - jnp.log(x[..., -1:])
+        base = MvNormalTril(self.loc, self.scale_tril)
+        return base.logpdf(y) - jnp.sum(jnp.log(x), -1)
+
+    def sample(self, key, sample_shape=()):
+        y = MvNormalTril(self.loc, self.scale_tril).sample(key, sample_shape)
+        z = jnp.concatenate([y, jnp.zeros_like(y[..., :1])], -1)
+        return jax.nn.softmax(z, axis=-1)
+
+    @property
+    def support(self):
+        return SIMPLEX
+
+
+@pytree_dataclass
+class MvNormalDiag(Distribution):
+    loc: jax.Array
+    scale_diag: jax.Array
+
+    event_ndims = 1
+
+    @property
+    def event_shape(self):
+        return (jnp.shape(self.loc)[-1],)
+
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(
+            jnp.shape(self.loc)[:-1], jnp.shape(self.scale_diag)[:-1]
+        )
+
+    def logpdf(self, x):
+        z = (x - self.loc) / self.scale_diag
+        d = jnp.shape(self.loc)[-1]
+        return (
+            -0.5 * jnp.sum(z * z, -1)
+            - 0.5 * d * LOG2PI
+            - jnp.sum(jnp.log(jnp.asarray(self.scale_diag, z.dtype)), -1)
+        )
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape + self.event_shape
+        dtype = jnp.result_type(self.loc, self.scale_diag, float)
+        return self.loc + self.scale_diag * jax.random.normal(key, shape, dtype)
+
+    @property
+    def support(self):
+        return REAL_VECTOR
+
+
+@pytree_dataclass
+class MvNormalTril(Distribution):
+    """MvNormal parameterized by lower-triangular scale (cholesky of cov)."""
+
+    loc: jax.Array
+    scale_tril: jax.Array
+
+    event_ndims = 1
+
+    @property
+    def event_shape(self):
+        return (jnp.shape(self.loc)[-1],)
+
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(
+            jnp.shape(self.loc)[:-1], jnp.shape(self.scale_tril)[:-2]
+        )
+
+    def logpdf(self, x):
+        L = jnp.tril(self.scale_tril)
+        d = jnp.shape(self.loc)[-1]
+        z = jax.scipy.linalg.solve_triangular(L, (x - self.loc)[..., None], lower=True)[
+            ..., 0
+        ]
+        halflogdet = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1)
+        return -0.5 * (jnp.sum(z * z, -1) + d * LOG2PI) - halflogdet
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape + self.event_shape
+        dtype = jnp.result_type(self.loc, self.scale_tril, float)
+        eps = jax.random.normal(key, shape, dtype)
+        return self.loc + jnp.einsum("...ij,...j->...i", jnp.tril(self.scale_tril), eps)
+
+    @property
+    def support(self):
+        return REAL_VECTOR
+
+
+def MvNormal(loc, cov=None, *, scale_tril=None, scale_diag=None):
+    """Convenience constructor mirroring Distributions.jl's MvNormal arities."""
+    if scale_tril is not None:
+        return MvNormalTril(loc, scale_tril)
+    if scale_diag is not None:
+        return MvNormalDiag(loc, scale_diag)
+    if cov is None:
+        return MvNormalDiag(loc, jnp.ones_like(loc))
+    cov = jnp.asarray(cov)
+    if cov.ndim >= 2:
+        return MvNormalTril(loc, jnp.linalg.cholesky(cov))
+    return MvNormalDiag(loc, jnp.sqrt(cov))
+
+
+@pytree_dataclass
+class MvLogNormal(Distribution):
+    """exp() of an MvNormal; positive-orthant support -> elementwise Log link
+    (reference src/vector/multivariate/mvlognormal.jl)."""
+
+    loc: jax.Array
+    scale_diag: jax.Array
+
+    event_ndims = 1
+
+    @property
+    def event_shape(self):
+        return (jnp.shape(self.loc)[-1],)
+
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(
+            jnp.shape(self.loc)[:-1], jnp.shape(self.scale_diag)[:-1]
+        )
+
+    def logpdf(self, x):
+        lx = jnp.log(x)
+        base = MvNormalDiag(self.loc, self.scale_diag)
+        return base.logpdf(lx) - jnp.sum(lx, -1)
+
+    def sample(self, key, sample_shape=()):
+        return jnp.exp(MvNormalDiag(self.loc, self.scale_diag).sample(key, sample_shape))
+
+    @property
+    def support(self):
+        return Support("interval", 0.0, math.inf, True, False)
+
+
+@pytree_dataclass
+class MvStudentT(Distribution):
+    """Multivariate t (identity link, like MvTDist in the reference registry)."""
+
+    df: jax.Array | float
+    loc: jax.Array
+    scale_tril: jax.Array
+
+    event_ndims = 1
+
+    @property
+    def event_shape(self):
+        return (jnp.shape(self.loc)[-1],)
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.loc)[:-1]
+
+    def logpdf(self, x):
+        d = jnp.shape(self.loc)[-1]
+        v = jnp.asarray(self.df, jnp.result_type(x, float))
+        L = jnp.tril(self.scale_tril)
+        z = jax.scipy.linalg.solve_triangular(L, (x - self.loc)[..., None], lower=True)[
+            ..., 0
+        ]
+        q = jnp.sum(z * z, -1)
+        halflogdet = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1)
+        return (
+            jsp.gammaln(0.5 * (v + d))
+            - jsp.gammaln(0.5 * v)
+            - 0.5 * d * (jnp.log(v) + LOGPI)
+            - halflogdet
+            - 0.5 * (v + d) * jnp.log1p(q / v)
+        )
+
+    def sample(self, key, sample_shape=()):
+        kn, kg = jax.random.split(key)
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.df, self.loc, float)
+        eps = jax.random.normal(kn, shape + self.event_shape, dtype)
+        g = jax.random.gamma(kg, 0.5 * jnp.asarray(self.df, dtype), shape, dtype)
+        w = jnp.sqrt(0.5 * jnp.asarray(self.df, dtype) / g)[..., None]
+        return self.loc + w * jnp.einsum(
+            "...ij,...j->...i", jnp.tril(self.scale_tril), eps
+        )
+
+    @property
+    def support(self):
+        return REAL_VECTOR

@@ -1,0 +1,808 @@
+"""Univariate distribution families.
+
+Replaces the slice of Distributions.jl that the reference's registry and test
+matrix exercise (see SURVEY.md §2.7 and /root/reference/test/vector/
+univariate.jl's family list). All are scalar-event (event_ndims 0) pytree
+dataclasses; parameters broadcast; everything is jit/vmap/grad-friendly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.scipy import special as jsp
+
+from ..tree import pytree_dataclass
+from .base import (
+    DISCRETE,
+    Distribution,
+    Support,
+    interval,
+    lower_bounded,
+    positive,
+    real_line,
+    unit_interval,
+    upper_bounded,
+)
+
+LOG2PI = math.log(2.0 * math.pi)
+LOG2 = math.log(2.0)
+LOGPI = math.log(math.pi)
+
+
+def _f(d, *xs):
+    dtype = jnp.result_type(*xs, *jax.tree_util.tree_leaves(d), float)
+    return [jnp.asarray(x, dtype) for x in xs] + [dtype]
+
+
+# ---------------------------------------------------------------------------
+# Real line
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class Normal(Distribution):
+    loc: jax.Array | float = 0.0
+    scale: jax.Array | float = 1.0
+
+    def logpdf(self, x):
+        z = (x - self.loc) / self.scale
+        return -0.5 * (z * z + LOG2PI) - jnp.log(jnp.asarray(self.scale, z.dtype))
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.loc, self.scale, float)
+        return self.loc + self.scale * jax.random.normal(key, shape, dtype)
+
+    def cdf(self, x):
+        return jsp.ndtr((x - self.loc) / self.scale)
+
+    def quantile(self, q):
+        return self.loc + self.scale * jsp.ndtri(q)
+
+    @property
+    def support(self):
+        return real_line()
+
+
+@pytree_dataclass
+class Cauchy(Distribution):
+    loc: jax.Array | float = 0.0
+    scale: jax.Array | float = 1.0
+
+    def logpdf(self, x):
+        z = (x - self.loc) / self.scale
+        return -LOGPI - jnp.log(jnp.asarray(self.scale, z.dtype)) - jnp.log1p(z * z)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.loc, self.scale, float)
+        return self.loc + self.scale * jax.random.cauchy(key, shape, dtype)
+
+    def cdf(self, x):
+        z = (x - self.loc) / self.scale
+        return jnp.arctan(z) / math.pi + 0.5
+
+    def quantile(self, q):
+        return self.loc + self.scale * jnp.tan(math.pi * (q - 0.5))
+
+
+@pytree_dataclass
+class Laplace(Distribution):
+    loc: jax.Array | float = 0.0
+    scale: jax.Array | float = 1.0
+
+    def logpdf(self, x):
+        z = jnp.abs(x - self.loc) / self.scale
+        return -z - LOG2 - jnp.log(jnp.asarray(self.scale, z.dtype))
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.loc, self.scale, float)
+        return self.loc + self.scale * jax.random.laplace(key, shape, dtype)
+
+    def cdf(self, x):
+        z = (x - self.loc) / self.scale
+        return jnp.where(z < 0, 0.5 * jnp.exp(z), 1.0 - 0.5 * jnp.exp(-z))
+
+
+@pytree_dataclass
+class Logistic(Distribution):
+    loc: jax.Array | float = 0.0
+    scale: jax.Array | float = 1.0
+
+    def logpdf(self, x):
+        z = (x - self.loc) / self.scale
+        return -z - 2.0 * jax.nn.softplus(-z) - jnp.log(jnp.asarray(self.scale, z.dtype))
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.loc, self.scale, float)
+        return self.loc + self.scale * jax.random.logistic(key, shape, dtype)
+
+    def cdf(self, x):
+        return jax.nn.sigmoid((x - self.loc) / self.scale)
+
+    def quantile(self, q):
+        return self.loc + self.scale * (jnp.log(q) - jnp.log1p(-q))
+
+
+@pytree_dataclass
+class StudentT(Distribution):
+    """TDist(ν) with optional loc/scale; registry maps it to identity
+    (reference src/transformed_distribution.jl:117-121)."""
+
+    df: jax.Array | float = 1.0
+    loc: jax.Array | float = 0.0
+    scale: jax.Array | float = 1.0
+
+    def logpdf(self, x):
+        v = jnp.asarray(self.df, jnp.result_type(x, float))
+        z = (x - self.loc) / self.scale
+        lognorm = (
+            jsp.gammaln(0.5 * (v + 1.0))
+            - jsp.gammaln(0.5 * v)
+            - 0.5 * (jnp.log(v) + LOGPI)
+        )
+        return (
+            lognorm
+            - 0.5 * (v + 1.0) * jnp.log1p(z * z / v)
+            - jnp.log(jnp.asarray(self.scale, z.dtype))
+        )
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.df, self.loc, self.scale, float)
+        return self.loc + self.scale * jax.random.t(key, self.df, shape, dtype)
+
+
+@pytree_dataclass
+class Gumbel(Distribution):
+    loc: jax.Array | float = 0.0
+    scale: jax.Array | float = 1.0
+
+    def logpdf(self, x):
+        z = (x - self.loc) / self.scale
+        return -(z + jnp.exp(-z)) - jnp.log(jnp.asarray(self.scale, z.dtype))
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.loc, self.scale, float)
+        return self.loc + self.scale * jax.random.gumbel(key, shape, dtype)
+
+    def cdf(self, x):
+        return jnp.exp(-jnp.exp(-(x - self.loc) / self.scale))
+
+    def quantile(self, q):
+        return self.loc - self.scale * jnp.log(-jnp.log(q))
+
+
+@pytree_dataclass
+class SkewNormal(Distribution):
+    loc: jax.Array | float = 0.0
+    scale: jax.Array | float = 1.0
+    shape_: jax.Array | float = 0.0
+
+    def logpdf(self, x):
+        z = (x - self.loc) / self.scale
+        return (
+            LOG2
+            - 0.5 * (z * z + LOG2PI)
+            + jsp.log_ndtr(self.shape_ * z)
+            - jnp.log(jnp.asarray(self.scale, z.dtype))
+        )
+
+    def sample(self, key, sample_shape=()):
+        # Azzalini representation: X = δ|Z0| + sqrt(1-δ²) Z1
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.loc, self.scale, self.shape_, float)
+        k0, k1 = jax.random.split(key)
+        a = jnp.asarray(self.shape_, dtype)
+        delta = a / jnp.sqrt(1.0 + a * a)
+        z0 = jnp.abs(jax.random.normal(k0, shape, dtype))
+        z1 = jax.random.normal(k1, shape, dtype)
+        return self.loc + self.scale * (delta * z0 + jnp.sqrt(1.0 - delta * delta) * z1)
+
+
+# ---------------------------------------------------------------------------
+# Positive half-line
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass
+class LogNormal(Distribution):
+    mu: jax.Array | float = 0.0
+    sigma: jax.Array | float = 1.0
+
+    def logpdf(self, x):
+        lx = jnp.log(x)
+        z = (lx - self.mu) / self.sigma
+        return -0.5 * (z * z + LOG2PI) - jnp.log(jnp.asarray(self.sigma, z.dtype)) - lx
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.mu, self.sigma, float)
+        return jnp.exp(self.mu + self.sigma * jax.random.normal(key, shape, dtype))
+
+    def cdf(self, x):
+        return jsp.ndtr((jnp.log(x) - self.mu) / self.sigma)
+
+    def quantile(self, q):
+        return jnp.exp(self.mu + self.sigma * jsp.ndtri(q))
+
+    @property
+    def support(self):
+        return positive()
+
+
+@pytree_dataclass
+class Exponential(Distribution):
+    rate: jax.Array | float = 1.0
+
+    def logpdf(self, x):
+        r = jnp.asarray(self.rate, jnp.result_type(x, float))
+        return jnp.log(r) - r * x
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.rate, float)
+        return jax.random.exponential(key, shape, dtype) / self.rate
+
+    def cdf(self, x):
+        return -jnp.expm1(-self.rate * x)
+
+    def quantile(self, q):
+        return -jnp.log1p(-q) / self.rate
+
+    @property
+    def support(self):
+        return positive()
+
+
+@pytree_dataclass
+class Gamma(Distribution):
+    concentration: jax.Array | float = 1.0
+    rate: jax.Array | float = 1.0
+
+    def logpdf(self, x):
+        a = jnp.asarray(self.concentration, jnp.result_type(x, float))
+        r = jnp.asarray(self.rate, jnp.result_type(x, float))
+        return a * jnp.log(r) + (a - 1.0) * jnp.log(x) - r * x - jsp.gammaln(a)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.concentration, self.rate, float)
+        return jax.random.gamma(key, self.concentration, shape, dtype) / self.rate
+
+    def cdf(self, x):
+        return jsp.gammainc(self.concentration, self.rate * x)
+
+    @property
+    def support(self):
+        return positive()
+
+
+@pytree_dataclass
+class InverseGamma(Distribution):
+    concentration: jax.Array | float = 1.0
+    scale: jax.Array | float = 1.0
+
+    def logpdf(self, x):
+        a = jnp.asarray(self.concentration, jnp.result_type(x, float))
+        b = jnp.asarray(self.scale, jnp.result_type(x, float))
+        return a * jnp.log(b) - (a + 1.0) * jnp.log(x) - b / x - jsp.gammaln(a)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.concentration, self.scale, float)
+        return self.scale / jax.random.gamma(key, self.concentration, shape, dtype)
+
+    @property
+    def support(self):
+        return positive()
+
+
+@pytree_dataclass
+class Chisq(Distribution):
+    df: jax.Array | float = 1.0
+
+    def logpdf(self, x):
+        k2 = 0.5 * jnp.asarray(self.df, jnp.result_type(x, float))
+        return (k2 - 1.0) * jnp.log(x) - 0.5 * x - k2 * LOG2 - jsp.gammaln(k2)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.df, float)
+        return 2.0 * jax.random.gamma(key, 0.5 * jnp.asarray(self.df, dtype), shape, dtype)
+
+    @property
+    def support(self):
+        return positive()
+
+
+@pytree_dataclass
+class Chi(Distribution):
+    df: jax.Array | float = 1.0
+
+    def logpdf(self, x):
+        k2 = 0.5 * jnp.asarray(self.df, jnp.result_type(x, float))
+        return (
+            (2.0 * k2 - 1.0) * jnp.log(x)
+            - 0.5 * x * x
+            - (k2 - 1.0) * LOG2
+            - jsp.gammaln(k2)
+        )
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.df, float)
+        g = jax.random.gamma(key, 0.5 * jnp.asarray(self.df, dtype), shape, dtype)
+        return jnp.sqrt(2.0 * g)
+
+    @property
+    def support(self):
+        return positive()
+
+
+@pytree_dataclass
+class Weibull(Distribution):
+    concentration: jax.Array | float = 1.0  # shape k
+    scale: jax.Array | float = 1.0
+
+    def logpdf(self, x):
+        k = jnp.asarray(self.concentration, jnp.result_type(x, float))
+        lam = jnp.asarray(self.scale, jnp.result_type(x, float))
+        z = x / lam
+        return jnp.log(k / lam) + (k - 1.0) * jnp.log(z) - z**k
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.concentration, self.scale, float)
+        u = jax.random.uniform(key, shape, dtype, minval=jnp.finfo(dtype).tiny)
+        return self.scale * (-jnp.log(u)) ** (1.0 / self.concentration)
+
+    def cdf(self, x):
+        return -jnp.expm1(-((x / self.scale) ** self.concentration))
+
+    def quantile(self, q):
+        return self.scale * (-jnp.log1p(-q)) ** (1.0 / self.concentration)
+
+    @property
+    def support(self):
+        return positive()
+
+
+@pytree_dataclass
+class Rayleigh(Distribution):
+    scale: jax.Array | float = 1.0
+
+    def logpdf(self, x):
+        s2 = jnp.asarray(self.scale, jnp.result_type(x, float)) ** 2
+        return jnp.log(x) - jnp.log(s2) - 0.5 * x * x / s2
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.scale, float)
+        return self.scale * jax.random.rayleigh(key, shape, dtype)
+
+    @property
+    def support(self):
+        return positive()
+
+
+@pytree_dataclass
+class Frechet(Distribution):
+    shape_: jax.Array | float = 1.0
+    scale: jax.Array | float = 1.0
+
+    def logpdf(self, x):
+        a = jnp.asarray(self.shape_, jnp.result_type(x, float))
+        s = jnp.asarray(self.scale, jnp.result_type(x, float))
+        z = x / s
+        return jnp.log(a / s) - (1.0 + a) * jnp.log(z) - z ** (-a)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.shape_, self.scale, float)
+        u = jax.random.uniform(key, shape, dtype, minval=jnp.finfo(dtype).tiny)
+        return self.scale * (-jnp.log(u)) ** (-1.0 / self.shape_)
+
+    @property
+    def support(self):
+        return positive()
+
+
+@pytree_dataclass
+class HalfNormal(Distribution):
+    scale: jax.Array | float = 1.0
+
+    def logpdf(self, x):
+        z = x / self.scale
+        return LOG2 - 0.5 * (z * z + LOG2PI) - jnp.log(jnp.asarray(self.scale, z.dtype))
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.scale, float)
+        return jnp.abs(self.scale * jax.random.normal(key, shape, dtype))
+
+    @property
+    def support(self):
+        return positive()
+
+
+@pytree_dataclass
+class HalfCauchy(Distribution):
+    scale: jax.Array | float = 1.0
+
+    def logpdf(self, x):
+        z = x / self.scale
+        return LOG2 - LOGPI - jnp.log(jnp.asarray(self.scale, z.dtype)) - jnp.log1p(z * z)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.scale, float)
+        return jnp.abs(self.scale * jax.random.cauchy(key, shape, dtype))
+
+    @property
+    def support(self):
+        return positive()
+
+
+# ---------------------------------------------------------------------------
+# Bounded intervals
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass(meta_fields=("low_static", "high_static"))
+class Uniform(Distribution):
+    """Uniform(low, high). Bounds are stored both as (possibly traced) values
+    and as static floats for the registry when python scalars were given."""
+
+    low: jax.Array | float = 0.0
+    high: jax.Array | float = 1.0
+    low_static: float | None = None
+    high_static: float | None = None
+
+    def __post_init__(self):
+        if self.low_static is None and isinstance(self.low, (int, float)):
+            object.__setattr__(self, "low_static", float(self.low))
+        if self.high_static is None and isinstance(self.high, (int, float)):
+            object.__setattr__(self, "high_static", float(self.high))
+
+    def logpdf(self, x):
+        dtype = jnp.result_type(x, float)
+        lo = jnp.asarray(self.low, dtype)
+        hi = jnp.asarray(self.high, dtype)
+        inside = (x >= lo) & (x <= hi)
+        return jnp.where(inside, -jnp.log(hi - lo), -jnp.inf)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.low, self.high, float)
+        u = jax.random.uniform(key, shape, dtype)
+        return self.low + (self.high - self.low) * u
+
+    def cdf(self, x):
+        return jnp.clip((x - self.low) / (self.high - self.low), 0.0, 1.0)
+
+    def quantile(self, q):
+        return self.low + (self.high - self.low) * q
+
+    @property
+    def support(self):
+        lo = self.low_static if self.low_static is not None else self.low
+        hi = self.high_static if self.high_static is not None else self.high
+        return Support("interval", lo, hi, True, True)
+
+
+@pytree_dataclass
+class Beta(Distribution):
+    a: jax.Array | float = 1.0
+    b: jax.Array | float = 1.0
+
+    def logpdf(self, x):
+        a = jnp.asarray(self.a, jnp.result_type(x, float))
+        b = jnp.asarray(self.b, jnp.result_type(x, float))
+        return (
+            (a - 1.0) * jnp.log(x)
+            + (b - 1.0) * jnp.log1p(-x)
+            - (jsp.gammaln(a) + jsp.gammaln(b) - jsp.gammaln(a + b))
+        )
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.a, self.b, float)
+        return jax.random.beta(key, self.a, self.b, shape, dtype)
+
+    def cdf(self, x):
+        return jsp.betainc(self.a, self.b, jnp.clip(x, 0.0, 1.0))
+
+    @property
+    def support(self):
+        return unit_interval()
+
+
+@pytree_dataclass
+class Kumaraswamy(Distribution):
+    a: jax.Array | float = 1.0
+    b: jax.Array | float = 1.0
+
+    def logpdf(self, x):
+        a = jnp.asarray(self.a, jnp.result_type(x, float))
+        b = jnp.asarray(self.b, jnp.result_type(x, float))
+        return (
+            jnp.log(a)
+            + jnp.log(b)
+            + (a - 1.0) * jnp.log(x)
+            + (b - 1.0) * jnp.log1p(-(x**a))
+        )
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.a, self.b, float)
+        u = jax.random.uniform(
+            key, shape, dtype, minval=jnp.finfo(dtype).tiny, maxval=1.0
+        )
+        return (1.0 - u ** (1.0 / self.b)) ** (1.0 / self.a)
+
+    def cdf(self, x):
+        return -jnp.expm1(self.b * jnp.log1p(-(x**self.a)))
+
+    def quantile(self, q):
+        return (-jnp.expm1(jnp.log1p(-q) / self.b)) ** (1.0 / self.a)
+
+    @property
+    def support(self):
+        return unit_interval()
+
+
+@pytree_dataclass
+class LogitNormal(Distribution):
+    mu: jax.Array | float = 0.0
+    sigma: jax.Array | float = 1.0
+
+    def logpdf(self, x):
+        lx = jnp.log(x) - jnp.log1p(-x)
+        z = (lx - self.mu) / self.sigma
+        return (
+            -0.5 * (z * z + LOG2PI)
+            - jnp.log(jnp.asarray(self.sigma, z.dtype))
+            - jnp.log(x)
+            - jnp.log1p(-x)
+        )
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.mu, self.sigma, float)
+        return jax.nn.sigmoid(self.mu + self.sigma * jax.random.normal(key, shape, dtype))
+
+    @property
+    def support(self):
+        return unit_interval()
+
+
+@pytree_dataclass
+class Arcsine(Distribution):
+    a: jax.Array | float = 0.0
+    b: jax.Array | float = 1.0
+
+    def logpdf(self, x):
+        dtype = jnp.result_type(x, float)
+        a, b = jnp.asarray(self.a, dtype), jnp.asarray(self.b, dtype)
+        return -(LOGPI + 0.5 * (jnp.log(x - a) + jnp.log(b - x)))
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.a, self.b, float)
+        u = jax.random.uniform(key, shape, dtype)
+        s = jnp.sin(0.5 * math.pi * u)
+        return self.a + (self.b - self.a) * s * s
+
+    @property
+    def support(self):
+        lo = self.a if isinstance(self.a, (int, float)) else self.a
+        hi = self.b if isinstance(self.b, (int, float)) else self.b
+        return Support("interval", lo, hi, True, True)
+
+
+# ---------------------------------------------------------------------------
+# Other half-bounded supports
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass(meta_fields=("min_static",))
+class Pareto(Distribution):
+    """Pareto(shape α, scale x_m); support [x_m, ∞) — lower-bounded
+    (reference maps it to log∘Shift(−a), src/transformed_distribution.jl:135)."""
+
+    alpha: jax.Array | float = 1.0
+    scale: jax.Array | float = 1.0
+    min_static: float | None = None
+
+    def __post_init__(self):
+        if self.min_static is None and isinstance(self.scale, (int, float)):
+            object.__setattr__(self, "min_static", float(self.scale))
+
+    def logpdf(self, x):
+        a = jnp.asarray(self.alpha, jnp.result_type(x, float))
+        m = jnp.asarray(self.scale, jnp.result_type(x, float))
+        return jnp.log(a) + a * jnp.log(m) - (a + 1.0) * jnp.log(x)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.alpha, self.scale, float)
+        u = jax.random.uniform(key, shape, dtype, minval=jnp.finfo(dtype).tiny)
+        return self.scale * u ** (-1.0 / self.alpha)
+
+    @property
+    def support(self):
+        lo = self.min_static if self.min_static is not None else self.scale
+        return Support("interval", lo, math.inf, True, False)
+
+
+@pytree_dataclass(meta_fields=("min_static",))
+class Levy(Distribution):
+    """Levy(μ, σ); support [μ, ∞)."""
+
+    mu: jax.Array | float = 0.0
+    sigma: jax.Array | float = 1.0
+    min_static: float | None = None
+
+    def __post_init__(self):
+        if self.min_static is None and isinstance(self.mu, (int, float)):
+            object.__setattr__(self, "min_static", float(self.mu))
+
+    def logpdf(self, x):
+        dtype = jnp.result_type(x, float)
+        mu = jnp.asarray(self.mu, dtype)
+        s = jnp.asarray(self.sigma, dtype)
+        d = x - mu
+        return 0.5 * (jnp.log(s) - LOG2PI) - 0.5 * s / d - 1.5 * jnp.log(d)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        dtype = jnp.result_type(self.mu, self.sigma, float)
+        z = jax.random.normal(key, shape, dtype)
+        return self.mu + self.sigma / (z * z)
+
+    @property
+    def support(self):
+        lo = self.min_static if self.min_static is not None else self.mu
+        return Support("interval", lo, math.inf, True, False)
+
+
+# ---------------------------------------------------------------------------
+# Discrete (identity bijector in the registry,
+# reference src/transformed_distribution.jl:75-76)
+# ---------------------------------------------------------------------------
+
+
+class DiscreteDistribution(Distribution):
+    @property
+    def support(self):
+        return DISCRETE
+
+
+@pytree_dataclass
+class Poisson(DiscreteDistribution):
+    rate: jax.Array | float = 1.0
+
+    def logpdf(self, x):
+        r = jnp.asarray(self.rate, jnp.result_type(x, float))
+        return x * jnp.log(r) - r - jsp.gammaln(x + 1.0)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        return jax.random.poisson(key, self.rate, shape)
+
+
+@pytree_dataclass
+class Bernoulli(DiscreteDistribution):
+    p: jax.Array | float = 0.5
+
+    def logpdf(self, x):
+        p = jnp.asarray(self.p, jnp.result_type(x, float))
+        return x * jnp.log(p) + (1.0 - x) * jnp.log1p(-p)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        return jax.random.bernoulli(key, self.p, shape).astype(jnp.int32)
+
+
+@pytree_dataclass
+class Binomial(DiscreteDistribution):
+    n: int = 1
+    p: jax.Array | float = 0.5
+
+    def logpdf(self, x):
+        dtype = jnp.result_type(x, float)
+        p = jnp.asarray(self.p, dtype)
+        n = jnp.asarray(self.n, dtype)
+        x = jnp.asarray(x, dtype)
+        logc = jsp.gammaln(n + 1) - jsp.gammaln(x + 1) - jsp.gammaln(n - x + 1)
+        return logc + x * jnp.log(p) + (n - x) * jnp.log1p(-p)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        u = jax.random.bernoulli(key, self.p, (self.n,) + tuple(shape))
+        return jnp.sum(u.astype(jnp.int32), axis=0)
+
+
+@pytree_dataclass
+class Geometric(DiscreteDistribution):
+    """Number of failures before first success."""
+
+    p: jax.Array | float = 0.5
+
+    def logpdf(self, x):
+        p = jnp.asarray(self.p, jnp.result_type(x, float))
+        return x * jnp.log1p(-p) + jnp.log(p)
+
+    def sample(self, key, sample_shape=()):
+        shape = tuple(sample_shape) + self.batch_shape
+        return jax.random.geometric(key, self.p, shape) - 1
+
+
+@pytree_dataclass
+class Categorical(DiscreteDistribution):
+    logits: jax.Array = None  # type: ignore[assignment]
+
+    def logpdf(self, x):
+        logp = jax.nn.log_softmax(self.logits, axis=-1)
+        return jnp.take_along_axis(
+            logp, jnp.asarray(x)[..., None].astype(jnp.int32), axis=-1
+        )[..., 0]
+
+    def sample(self, key, sample_shape=()):
+        return jax.random.categorical(key, self.logits, shape=tuple(sample_shape))
+
+
+# ---------------------------------------------------------------------------
+# Truncated wrapper (reference: Distributions.truncated;
+# the bijector registry handles it via interval support)
+# ---------------------------------------------------------------------------
+
+
+@pytree_dataclass(meta_fields=("lower", "upper"))
+class Truncated(Distribution):
+    """truncated(base; lower, upper) with *static* truncation bounds.
+
+    logpdf renormalizes by (cdf(ub) - cdf(lb)); sampling is inverse-cdf when
+    the base has `quantile`, else rejection inside a `lax.while_loop` is NOT
+    used (dynamic trip count) — we require quantile or cdf+bisection.
+    """
+
+    base: Distribution
+    lower: float = -math.inf
+    upper: float = math.inf
+
+    def _bounds_cdf(self):
+        lo_c = self.base.cdf(jnp.asarray(self.lower)) if math.isfinite(self.lower) else 0.0
+        hi_c = self.base.cdf(jnp.asarray(self.upper)) if math.isfinite(self.upper) else 1.0
+        return lo_c, hi_c
+
+    def logpdf(self, x):
+        lo_c, hi_c = self._bounds_cdf()
+        lp = self.base.logpdf(x) - jnp.log(hi_c - lo_c)
+        inside = jnp.ones_like(lp, bool)
+        if math.isfinite(self.lower):
+            inside &= x >= self.lower
+        if math.isfinite(self.upper):
+            inside &= x <= self.upper
+        return jnp.where(inside, lp, -jnp.inf)
+
+    def sample(self, key, sample_shape=()):
+        lo_c, hi_c = self._bounds_cdf()
+        shape = tuple(sample_shape) + self.batch_shape
+        u = jax.random.uniform(key, shape, jnp.result_type(float))
+        q = lo_c + (hi_c - lo_c) * u
+        return self.base.quantile(q)
+
+    @property
+    def support(self):
+        base_s = self.base.support
+        lo = max(self.lower, base_s.lower) if isinstance(base_s.lower, (int, float)) else self.lower
+        hi = min(self.upper, base_s.upper) if isinstance(base_s.upper, (int, float)) else self.upper
+        return Support("interval", lo, hi, math.isfinite(lo), math.isfinite(hi))

@@ -1,0 +1,5 @@
+from .harness import (
+    assert_bijector_ok,
+    check_logdet_against_jacobian,
+    random_unconstrained,
+)

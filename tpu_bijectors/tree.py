@@ -1,0 +1,65 @@
+"""Pytree-dataclass machinery.
+
+Every bijector / distribution in this framework is a frozen dataclass registered
+as a JAX pytree, so that:
+
+  * trainable parameters (flow layers, Shift/Scale/Logit, ...) are reachable by
+    ``jax.grad`` / ``optax`` (the reference relies on ``Functors.@functor`` for
+    this, e.g. /root/reference/src/bijectors/planar_layer.jl:31);
+  * bijectors can be passed through ``jit`` boundaries as arguments;
+  * static structure (shapes, modes, python ints) lives in ``meta_fields`` and
+    participates in trace-time dispatch with zero runtime cost.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, TypeVar
+
+import jax
+
+_T = TypeVar("_T")
+
+
+def pytree_dataclass(cls: type | None = None, *, meta_fields: tuple[str, ...] = ()):
+    """Decorator: frozen dataclass registered as a JAX pytree.
+
+    ``meta_fields`` are static (hashed into the jit cache key); everything else
+    is a traced leaf/subtree.
+    """
+
+    def wrap(c: type[_T]) -> type[_T]:
+        c = dataclasses.dataclass(frozen=True, repr=False)(c)
+        names = [f.name for f in dataclasses.fields(c)]
+        bad = set(meta_fields) - set(names)
+        if bad:
+            raise ValueError(f"meta_fields {bad} not fields of {c.__name__}")
+        data = tuple(n for n in names if n not in meta_fields)
+        jax.tree_util.register_dataclass(
+            c, data_fields=data, meta_fields=tuple(meta_fields)
+        )
+
+        def _repr(self) -> str:  # compact repr that doesn't print huge arrays
+            parts = []
+            for f in dataclasses.fields(self):
+                v = getattr(self, f.name)
+                if hasattr(v, "shape") and hasattr(v, "dtype") and v.shape != ():
+                    parts.append(f"{f.name}=<{v.dtype}{list(v.shape)}>")
+                else:
+                    parts.append(f"{f.name}={v!r}")
+            return f"{type(self).__name__}({', '.join(parts)})"
+
+        c.__repr__ = _repr
+        return c
+
+    if cls is None:
+        return wrap
+    return wrap(cls)
+
+
+def field(**kwargs):
+    return dataclasses.field(**kwargs)
+
+
+def replace(obj: _T, **changes) -> _T:
+    return dataclasses.replace(obj, **changes)
