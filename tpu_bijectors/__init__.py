@@ -34,12 +34,18 @@ from .bijectors.scalar import (
     Softplus,
     Truncated,
 )
+from .bijectors.cdf_quantile import CDFBijector, QuantileBijector
+from .bijectors.coupling import Coupling, PartitionMask
+from .bijectors.product import NamedCoupling, NamedTransform, ProductBijector
+from .bijectors.reshape import Permute, Reshape
 from .bijectors.simplex import SimplexBijector
+from .bijectors.stacked import Stacked
 from .registry import bijector, invlink, link, logpdf_with_trans, register_bijector
 from .transformed import OrderedDistribution, TransformedDistribution, ordered, transformed
 from .tree import pytree_dataclass
 
 from . import dists
+from . import flows
 from . import utils
 
 __version__ = "0.1.0"
@@ -65,6 +71,17 @@ __all__ = [
     "LeakyReLU",
     "Softplus",
     "Truncated",
+    # structural bijectors
+    "Stacked",
+    "ProductBijector",
+    "NamedTransform",
+    "NamedCoupling",
+    "Reshape",
+    "Permute",
+    "Coupling",
+    "PartitionMask",
+    "CDFBijector",
+    "QuantileBijector",
     # vector/matrix bijectors
     "SimplexBijector",
     "OrderedBijector",
@@ -86,5 +103,6 @@ __all__ = [
     "OrderedDistribution",
     # modules
     "dists",
+    "flows",
     "utils",
 ]

@@ -1,0 +1,18 @@
+"""Trainable normalizing-flow layers (reference: planar_layer.jl,
+radial_layer.jl, rational_quadratic_spline.jl, normalise.jl, coupling.jl)."""
+
+from ..bijectors.coupling import Coupling, PartitionMask
+from .normalise import InvertibleBatchNorm
+from .planar import PlanarLayer, find_alpha
+from .radial import RadialLayer
+from .rqs import RationalQuadraticSpline
+
+__all__ = [
+    "PlanarLayer",
+    "RadialLayer",
+    "RationalQuadraticSpline",
+    "InvertibleBatchNorm",
+    "Coupling",
+    "PartitionMask",
+    "find_alpha",
+]
