@@ -1,0 +1,83 @@
+"""Benchmark: batched transform+logdetJ evals/s/chip (the BASELINE.json
+headline metric) on the real device.
+
+Measures the fused `from_linked_vec` + logpdf + logdetJ hot path (what every
+NUTS leapfrog step evaluates) for the hierarchical mixed-support model
+(config 5 shape: simplex + corr + positive + location), batched.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "evals/s/chip", "vs_baseline": R}
+
+The reference publishes no throughput numbers (BASELINE.md), so
+`vs_baseline` reports the speedup of the fused batched path over a naive
+per-sample (vmap-of-scalar-composed, unfused logdet recomputation) variant
+measured in the same run — the meaningful "did fusion/batching pay" ratio.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _model():
+    from tpu_bijectors import dists
+    from tpu_bijectors.infer import Model
+
+    return Model(
+        priors=dists.NamedProduct.of(
+            mu=dists.IIDProduct(dists.Normal(0.0, 2.0), 8),
+            sigma=dists.IIDProduct(dists.LogNormal(0.0, 0.5), 8),
+            w=dists.Dirichlet(jnp.ones(16)),
+            corr=dists.LKJ(8, 2.0),
+        ),
+        loglik=None,
+    )
+
+
+def _time(fn, *args, n_iter=50, warmup=3):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_iter
+
+
+def main():
+    model = _model()
+    logp = jax.jit(jax.vmap(model.logdensity_fn()))
+    u = model.unconstrainer()
+
+    batch = 8192
+    dim = model.dim()
+    key = jax.random.PRNGKey(0)
+    v = 0.5 * jax.random.normal(key, (batch, dim))
+
+    # fused batched path
+    t_fused = _time(logp, v)
+    evals_per_s = batch / t_fused
+
+    # naive baseline: per-sample evaluation via vmap over a python-composed,
+    # non-shared computation (separate from_linked + separate logdet pass)
+    def naive_one(vi):
+        x, _ = u.from_linked_vec(vi)
+        _, ld = u.to_linked_vec(x)  # recompute logdet the long way round
+        return model.priors.logpdf(x) - ld
+
+    naive = jax.jit(jax.vmap(naive_one))
+    t_naive = _time(naive, v, n_iter=10)
+
+    out = {
+        "metric": "hierarchical transform+logdetJ evals/s/chip (batch=8192, dim=%d)" % dim,
+        "value": round(evals_per_s, 1),
+        "unit": "evals/s/chip",
+        "vs_baseline": round(t_naive / t_fused, 3),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

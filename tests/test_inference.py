@@ -1,0 +1,217 @@
+"""Inference engines: NUTS/HMC posterior moments (MC-error bounds), ADVI,
+SMC — the posterior-moment tier SURVEY.md §4 prescribes for the build."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpu_bijectors as tb
+from tpu_bijectors import dists
+from tpu_bijectors.infer import (
+    FlowPosterior,
+    MeanFieldGaussian,
+    Model,
+    fit_advi,
+    run_smc,
+    systematic_resample,
+    warmup_and_sample,
+)
+
+
+def test_nuts_beta_binomial(key):
+    """Conjugate Beta-Binomial: posterior Beta(a + h, b + n - h) — exact
+    moments to compare against."""
+    a, b, n_trials, heads = 2.0, 2.0, 50, 17
+    model = Model(
+        priors=dists.NamedProduct.of(p=dists.Beta(a, b)),
+        loglik=lambda x: heads * jnp.log(x["p"]) + (n_trials - heads) * jnp.log1p(-x["p"]),
+    )
+    logp = model.logdensity_fn()
+    q0 = model.init_positions(jax.random.PRNGKey(5), 8)
+    samples, state, stats = jax.jit(
+        lambda k, q: warmup_and_sample(logp, k, q, n_warmup=400, n_samples=600)
+    )(key, q0)
+    p = np.asarray(model.constrain(samples.reshape(-1, 1))["p"]).ravel()
+    a_post, b_post = a + heads, b + n_trials - heads
+    exact_mean = a_post / (a_post + b_post)
+    exact_var = a_post * b_post / ((a_post + b_post) ** 2 * (a_post + b_post + 1))
+    np.testing.assert_allclose(p.mean(), exact_mean, atol=4 * np.sqrt(exact_var / 500))
+    np.testing.assert_allclose(p.var(), exact_var, rtol=0.3)
+    assert np.asarray(stats.diverging).sum() == 0
+
+
+def test_nuts_dirichlet_multinomial(key):
+    """Dirichlet-Multinomial conjugacy through the simplex bijector."""
+    alpha = jnp.asarray([1.0, 2.0, 3.0])
+    counts = jnp.asarray([10.0, 5.0, 20.0])
+    model = Model(
+        priors=dists.NamedProduct.of(w=dists.Dirichlet(alpha)),
+        loglik=lambda x: jnp.sum(counts * jnp.log(x["w"])),
+    )
+    logp = model.logdensity_fn()
+    q0 = model.init_positions(jax.random.PRNGKey(6), 8)
+    samples, _, stats = jax.jit(
+        lambda k, q: warmup_and_sample(logp, k, q, n_warmup=400, n_samples=800)
+    )(key, q0)
+    w = np.asarray(model.constrain(samples.reshape(-1, 2))["w"])
+    a_post = np.asarray(alpha + counts)
+    exact_mean = a_post / a_post.sum()
+    np.testing.assert_allclose(w.mean(0), exact_mean, atol=0.02)
+    assert np.asarray(stats.diverging).sum() == 0
+
+
+def test_nuts_hierarchical_mixed_supports(key):
+    """The BASELINE.json config-5 shape: simplex + corr + positive params in
+    one model; checks it runs, mixes, and stays in support."""
+    K = 3
+    model = Model(
+        priors=dists.NamedProduct.of(
+            mu=dists.Normal(0.0, 5.0),
+            sigma=dists.LogNormal(0.0, 1.0),
+            w=dists.Dirichlet(jnp.ones(K)),
+            corr=dists.LKJ(K, 2.0),
+        ),
+        loglik=None,
+    )
+    logp = model.logdensity_fn()
+    q0 = model.init_positions(jax.random.PRNGKey(7), 4, scale=0.5)
+    samples, state, stats = jax.jit(
+        lambda k, q: warmup_and_sample(logp, k, q, n_warmup=300, n_samples=300)
+    )(key, q0)
+    x = model.constrain(samples.reshape(-1, model.dim()))
+    w = np.asarray(x["w"])
+    np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-8)
+    corr = np.asarray(x["corr"])
+    np.testing.assert_allclose(
+        corr, np.swapaxes(corr, -1, -2), atol=1e-8
+    )  # symmetric
+    eig = np.linalg.eigvalsh(corr)
+    assert eig.min() > -1e-8
+    # prior moment check: E[w] = 1/K for uniform Dirichlet
+    np.testing.assert_allclose(w.mean(0), 1.0 / K, atol=0.05)
+    # sigma: lognormal prior median 1
+    med = np.median(np.asarray(x["sigma"]))
+    assert 0.6 < med < 1.6
+
+
+def test_hmc_kernel_gaussian(key):
+    from tpu_bijectors.infer import warmup_and_sample
+
+    logp = lambda v: -0.5 * jnp.sum(v * v)
+    q0 = jax.random.normal(jax.random.PRNGKey(8), (4, 3))
+    samples, state, stats = jax.jit(
+        lambda k, q: warmup_and_sample(
+            logp, k, q, n_warmup=300, n_samples=500, kernel="hmc", n_leapfrog=16
+        )
+    )(key, q0)
+    s = np.asarray(samples).reshape(-1, 3)
+    np.testing.assert_allclose(s.mean(0), 0.0, atol=0.1)
+    np.testing.assert_allclose(s.var(0), 1.0, atol=0.15)
+
+
+def test_advi_meanfield_gaussian(key):
+    """ADVI on a Gaussian target recovers mean and (diagonal) scale."""
+    mu = jnp.asarray([1.0, -2.0, 0.5])
+    sd = jnp.asarray([0.5, 2.0, 1.0])
+    logp = lambda v: -0.5 * jnp.sum(((v - mu) / sd) ** 2)
+    res = jax.jit(
+        lambda k: fit_advi(logp, k, 3, n_steps=2000, n_mc=16, learning_rate=2e-2,
+                           dtype=jnp.float64)
+    )(key)
+    np.testing.assert_allclose(np.asarray(res.q.loc), np.asarray(mu), atol=0.1)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(res.q.log_scale)), np.asarray(sd), rtol=0.2
+    )
+    assert float(res.losses[-1]) < float(res.losses[0])
+
+
+def test_advi_transformed_model(key):
+    """ADVI through the unconstraining map: Beta posterior."""
+    model = Model(
+        priors=dists.NamedProduct.of(p=dists.Beta(2.0, 2.0)),
+        loglik=lambda x: 17 * jnp.log(x["p"]) + 33 * jnp.log1p(-x["p"]),
+    )
+    res = jax.jit(
+        lambda k: fit_advi(model.logdensity_fn(), k, model.dim(), n_steps=1500,
+                           n_mc=32, learning_rate=2e-2, dtype=jnp.float64)
+    )(key)
+    # compare posterior mean in constrained space with exact Beta(19, 35)
+    ks = jax.random.split(jax.random.PRNGKey(9))
+    v = res.q.sample(ks[0], 4000)
+    p = np.asarray(model.constrain(v)["p"])
+    np.testing.assert_allclose(p.mean(), 19.0 / 54.0, atol=0.03)
+
+
+def test_advi_flow_posterior(key):
+    """Flow-posterior ADVI (config 4): planar stack fits a banana-ish target."""
+    from tpu_bijectors.flows import PlanarLayer
+
+    def logp(v):  # curved target
+        x, y = v[0], v[1]
+        return -0.5 * (x**2 / 4.0 + (y - 0.5 * x**2) ** 2)
+
+    k1, k2 = jax.random.split(key)
+    layers = tb.Chain(
+        tuple(PlanarLayer.init(k, 2, jnp.float64) for k in jax.random.split(k1, 4))
+    )
+    res = jax.jit(
+        lambda k: fit_advi(
+            logp, k, 2, q=FlowPosterior(layers), n_steps=1500, n_mc=32,
+            learning_rate=1e-2, dtype=jnp.float64,
+        )
+    )(k2)
+    assert float(res.losses[-1]) < float(res.losses[0])
+    l_last = np.asarray(res.losses[-100:])
+    assert np.all(np.isfinite(l_last))
+
+
+def test_systematic_resample_unbiased(key):
+    lw = jnp.log(jnp.asarray([0.1, 0.2, 0.3, 0.4]))
+    counts = np.zeros(4)
+    for i in range(200):
+        idx = systematic_resample(jax.random.PRNGKey(i), lw)
+        counts += np.bincount(np.asarray(idx), minlength=4)
+    freq = counts / counts.sum()
+    np.testing.assert_allclose(freq, [0.1, 0.2, 0.3, 0.4], atol=0.02)
+
+
+def test_smc_gaussian_evidence(key):
+    """SMC on conjugate Gaussian: check posterior moments and log-evidence.
+
+    prior N(0,1), lik N(x | theta, sigma=0.5) with x=1.0:
+    posterior N(mu_p, s_p), evidence = N(x | 0, sqrt(1 + 0.25)).
+    """
+    x_obs, s_lik = 1.0, 0.5
+    log_prior = lambda v: -0.5 * jnp.sum(v * v) - 0.5 * jnp.log(2 * jnp.pi)
+    log_lik = lambda v: -0.5 * ((x_obs - v[0]) / s_lik) ** 2 - jnp.log(
+        s_lik * jnp.sqrt(2 * jnp.pi)
+    )
+    n = 4096
+    particles0 = jax.random.normal(key, (n, 1), jnp.float64)
+    res = jax.jit(
+        lambda k, p: run_smc(log_prior, log_lik, k, p, n_mutations=10, rw_scale=0.5)
+    )(jax.random.PRNGKey(11), particles0)
+    post_var = 1.0 / (1.0 + 1.0 / s_lik**2)
+    post_mean = post_var * x_obs / s_lik**2
+    p = np.asarray(res.particles[:, 0])
+    np.testing.assert_allclose(p.mean(), post_mean, atol=0.05)
+    np.testing.assert_allclose(p.var(), post_var, rtol=0.2)
+    exact_logev = -0.5 * x_obs**2 / (1 + s_lik**2) - 0.5 * np.log(
+        2 * np.pi * (1 + s_lik**2)
+    )
+    np.testing.assert_allclose(float(res.log_evidence), exact_logev, atol=0.1)
+    assert float(res.final_beta) == 1.0
+
+
+def test_smc_hmc_mutation(key):
+    log_prior = lambda v: -0.5 * jnp.sum(v * v)
+    log_lik = lambda v: -0.5 * jnp.sum((v - 2.0) ** 2)
+    particles0 = jax.random.normal(key, (1024, 2), jnp.float64)
+    res = jax.jit(
+        lambda k, p: run_smc(
+            log_prior, log_lik, k, p, mutation="hmc", n_mutations=3, hmc_eps=0.5
+        )
+    )(jax.random.PRNGKey(12), particles0)
+    p = np.asarray(res.particles)
+    np.testing.assert_allclose(p.mean(0), 1.0, atol=0.1)  # posterior mean = 1

@@ -1,0 +1,125 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (SURVEY.md §4:
+collective tests without TPUs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpu_bijectors as tb
+from tpu_bijectors import dists
+from tpu_bijectors.infer import Model, init_sampler, warmup_and_sample
+from tpu_bijectors.shard import (
+    chain_parallel_nuts,
+    chain_parallel_smc,
+    load_sampler_state,
+    make_mesh,
+    save_sampler_state,
+    shard_chains,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+    return make_mesh("chain")
+
+
+def test_chain_parallel_nuts_gaussian(mesh, key):
+    dim = 4
+    mu = jnp.asarray([1.0, -1.0, 0.5, 2.0])
+    logp = lambda v: -0.5 * jnp.sum((v - mu) ** 2)
+    q0 = jax.random.normal(jax.random.PRNGKey(2), (16, dim))  # 2 chains/device
+    q0 = shard_chains(mesh, q0)
+    samples, state, stats = chain_parallel_nuts(
+        logp, mesh, key, q0, n_warmup=300, n_samples=400
+    )
+    s = np.asarray(samples).reshape(-1, dim)
+    np.testing.assert_allclose(s.mean(0), np.asarray(mu), atol=0.1)
+    np.testing.assert_allclose(s.var(0), 1.0, atol=0.2)
+    # adaptation state is shared: eps identical across devices by construction
+    assert np.ndim(np.asarray(state.eps)) == 0
+
+
+def test_chain_parallel_matches_single_device_statistically(mesh, key):
+    """Same model sharded vs unsharded gives the same posterior (different
+    rng streams, so compare moments)."""
+    model = Model(
+        priors=dists.NamedProduct.of(w=dists.Dirichlet(jnp.asarray([2.0, 3.0, 4.0]))),
+        loglik=None,
+    )
+    logp = model.logdensity_fn()
+    q0 = model.init_positions(jax.random.PRNGKey(3), 16, scale=0.5)
+    samples_sharded, _, _ = chain_parallel_nuts(
+        logp, mesh, key, shard_chains(mesh, q0), n_warmup=300, n_samples=400
+    )
+    samples_local, _, _ = jax.jit(
+        lambda k, q: warmup_and_sample(logp, k, q, n_warmup=300, n_samples=400)
+    )(jax.random.PRNGKey(4), q0)
+    w_sh = np.asarray(model.constrain(jnp.reshape(samples_sharded, (-1, 2)))["w"])
+    w_lo = np.asarray(model.constrain(jnp.reshape(samples_local, (-1, 2)))["w"])
+    np.testing.assert_allclose(w_sh.mean(0), w_lo.mean(0), atol=0.03)
+    np.testing.assert_allclose(w_sh.mean(0), [2 / 9, 3 / 9, 4 / 9], atol=0.03)
+
+
+def test_chain_parallel_smc(mesh, key):
+    x_obs, s_lik = 1.0, 0.5
+    log_prior = lambda v: -0.5 * jnp.sum(v * v)
+    log_lik = lambda v: -0.5 * ((x_obs - v[0]) / s_lik) ** 2
+    particles0 = jax.random.normal(key, (2048, 1), jnp.float64)
+    parts, log_ev, beta, stages = chain_parallel_smc(
+        log_prior, log_lik, mesh, jax.random.PRNGKey(5),
+        shard_chains(mesh, particles0), rw_scale=0.5, n_mutations=8,
+    )
+    post_var = 1.0 / (1.0 + 1.0 / s_lik**2)
+    post_mean = post_var * x_obs / s_lik**2
+    p = np.asarray(parts[:, 0])
+    np.testing.assert_allclose(p.mean(), post_mean, atol=0.06)
+    assert float(beta) == 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path, key):
+    logp = lambda v: -0.5 * jnp.sum(v * v)
+    q0 = jax.random.normal(key, (4, 3))
+    state = init_sampler(logp, key, q0)
+    path = str(tmp_path / "ckpt.npz")
+    save_sampler_state(path, state)
+    loaded = load_sampler_state(path, state)
+    for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_reproduces(key):
+    """Deterministic restart: running 2x50 samples from a checkpointed state
+    equals running 100 straight (same kernel stream)."""
+    from tpu_bijectors.infer.sampler import SamplerState
+
+    logp = lambda v: -0.5 * jnp.sum(v * v)
+    q0 = jax.random.normal(jax.random.PRNGKey(7), (2, 3))
+
+    run = jax.jit(
+        lambda k, q, n: warmup_and_sample(logp, k, q, n_warmup=50, n_samples=n),
+        static_argnums=2,
+    )
+    samples_full, state_full, _ = run(key, q0, 100)
+
+    samples_a, state_a, _ = run(key, q0, 50)
+
+    # continue from state_a with sampling only
+    from tpu_bijectors.infer.hmc import nuts_kernel
+
+    kern = jax.vmap(nuts_kernel(logp), in_axes=(0, 0, 0, 0, None, None))
+
+    def sample_only(state, n):
+        def step(s, _):
+            k, sub = jax.random.split(s.key)
+            keys = jax.random.split(sub, s.q.shape[0])
+            q, logp_, grad, info = kern(keys, s.q, s.logp, s.grad, s.eps, s.inv_mass)
+            return s._replace(key=k, q=q, logp=logp_, grad=grad), q
+
+        return jax.lax.scan(step, state, None, length=n)
+
+    state_b, samples_b = jax.jit(sample_only, static_argnums=1)(state_a, 50)
+    np.testing.assert_allclose(
+        np.asarray(samples_full[50:]), np.asarray(samples_b), atol=1e-12
+    )

@@ -1,0 +1,212 @@
+"""Vectorize layer: unconstrain(d) round-trips, static lengths, logdets,
+in-support under random unconstrained inputs, optics (reference
+src/vector/test_utils.jl's test_all property set)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpu_bijectors as tb
+from tpu_bijectors import dists
+from tpu_bijectors.testing import check_logdet_against_jacobian
+from tpu_bijectors.vectorize import unconstrain
+
+
+def _cases(key):
+    return [
+        ("normal", dists.Normal(0.5, 2.0)),
+        ("lognormal", dists.LogNormal()),
+        ("beta", dists.Beta(2.0, 3.0)),
+        ("uniform", dists.Uniform(-2.0, 5.0)),
+        ("dirichlet", dists.Dirichlet(jnp.asarray([2.0, 3.0, 4.0]))),
+        ("mvnormal", dists.MvNormalDiag(jnp.zeros(4), jnp.ones(4))),
+        ("mvlognormal", dists.MvLogNormal(jnp.zeros(3), jnp.ones(3))),
+        ("lkj", dists.LKJ(4, 2.0)),
+        ("lkjchol_L", dists.LKJCholesky(3, 1.5, "L")),
+        ("lkjchol_U", dists.LKJCholesky(3, 1.5, "U")),
+        ("wishart", dists.Wishart(6.0, jnp.eye(3, dtype=jnp.float64))),
+        ("iid_beta", dists.IIDProduct(dists.Beta(2.0, 2.0), 10)),
+        ("iid_dirichlet", dists.IIDProduct(dists.Dirichlet(jnp.ones(3)), 4)),
+        (
+            "tuple_product",
+            dists.Product(
+                (
+                    dists.LogNormal(),
+                    dists.Dirichlet(jnp.ones(3)),
+                    dists.MvNormalDiag(jnp.zeros(2), jnp.ones(2)),
+                )
+            ),
+        ),
+        (
+            "named_product",
+            dists.NamedProduct.of(
+                mu=dists.Normal(),
+                sigma=dists.LogNormal(),
+                w=dists.Dirichlet(jnp.ones(4)),
+                corr=dists.LKJ(3, 2.0),
+            ),
+        ),
+        (
+            "nested_named",
+            dists.NamedProduct.of(
+                a=dists.IIDProduct(dists.Gamma(2.0, 3.0), 5),
+                b=dists.Product((dists.Beta(1.0, 2.0), dists.Normal())),
+            ),
+        ),
+        ("transformed", tb.transformed(dists.LogNormal())),
+    ]
+
+
+@pytest.mark.parametrize("name,d", _cases(None), ids=lambda v: v if isinstance(v, str) else "")
+def test_roundtrip_and_lengths(name, d, key):
+    u = unconstrain(d)
+    x = d.sample(key)
+    # vec round-trip (logJ-free ravel)
+    v = u.to_vec(x)
+    assert v.shape == (u.vec_length,)
+    x_rt = u.from_vec(v)
+    _assert_tree_close(x_rt, x, atol=1e-10)
+    # linked round-trip
+    lv, ld = u.to_linked_vec(x)
+    assert lv.shape == (u.linked_vec_length,)
+    assert ld.shape == ()
+    x_rt2, ld_inv = u.from_linked_vec(lv)
+    _assert_tree_close(x_rt2, x, atol=1e-7)
+    np.testing.assert_allclose(float(ld_inv), -float(ld), atol=1e-7)
+
+
+@pytest.mark.parametrize("name,d", _cases(None), ids=lambda v: v if isinstance(v, str) else "")
+def test_inverse_roundtrip_from_random_unconstrained(name, d, rng):
+    """100 random unconstrained vectors -> in-support samples -> linked
+    round-trip (reference test_utils.jl:325-374)."""
+    u = unconstrain(d)
+    y = jnp.asarray(rng.standard_normal((25, u.linked_vec_length)))
+    x, ld = u.from_linked_vec(y)
+    y_rt, ld2 = u.to_linked_vec(x)
+    np.testing.assert_allclose(np.asarray(y_rt), np.asarray(y), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld2), -np.asarray(ld), atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "name,d",
+    [c for c in _cases(None) if c[0] in ("dirichlet", "lkj", "wishart", "named_product")],
+    ids=lambda v: v if isinstance(v, str) else "",
+)
+def test_linked_logdet_vs_ad(name, d, key):
+    """AD oracle in the unconstrained->constrained->unconstrained direction:
+    jac of from_linked_vec's vector output is square via to_linked composition."""
+    u = unconstrain(d)
+    y = jax.random.normal(key, (u.linked_vec_length,), jnp.float64) * 0.5
+
+    # square jacobian trick: y -> x -> to_vec has a non-square jac in general,
+    # but y -> from_linked -> to_linked is the identity; instead we check
+    # d(from_linked)/dy via its composition with the free chart used by the
+    # leaf bijector tests. Here we use: logdet(d from_linked/d y) restricted
+    # to free coords equals ld. For dim-preserving parts to_vec IS the chart.
+    x, ld = u.from_linked_vec(y)
+
+    def flat(yf):
+        xf, _ = u.from_linked_vec(yf)
+        return _free_chart(d, u, xf)
+
+    check_logdet_against_jacobian(flat, y, ld, atol=1e-6, rtol=1e-6)
+
+
+def _free_chart(d, u, x):
+    """Map a sample to free coordinates with the same dimension as the
+    linked vector (reference's to_vec_for_logjac_test shims,
+    test_utils.jl:92-244)."""
+    from tpu_bijectors.utils import triu_to_vec, tril_to_vec
+
+    if isinstance(d, dists.Dirichlet):
+        return u.to_vec(x)[..., :-1]
+    if isinstance(d, dists.LKJ):
+        return triu_to_vec(x, k=1)
+    if isinstance(d, (dists.Wishart, dists.InverseWishart)):
+        return tril_to_vec(x)
+    if isinstance(d, dists.LKJCholesky):
+        return tril_to_vec(x, k=1) if d.mode == "L" else triu_to_vec(x, k=1)
+    if isinstance(d, dists.NamedProduct):
+        parts = [
+            _free_chart(c, uc, x[n])
+            for n, c, uc in zip(d.names, d.components, u.children)
+        ]
+        return jnp.concatenate(parts, axis=-1)
+    return u.to_vec(x)
+
+
+def test_batched_from_linked(key, rng):
+    """The NUTS hot path: (chains, dim) -> pytree batch in one fused call."""
+    d = dists.NamedProduct.of(
+        mu=dists.Normal(), w=dists.Dirichlet(jnp.ones(4)), s=dists.LogNormal()
+    )
+    u = unconstrain(d)
+    y = jnp.asarray(rng.standard_normal((16, u.linked_vec_length)))
+    x, ld = jax.jit(u.from_linked_vec)(y)
+    assert ld.shape == (16,)
+    assert x["w"].shape == (16, 4)
+    np.testing.assert_allclose(np.asarray(jnp.sum(x["w"], -1)), 1.0, atol=1e-8)
+
+
+def test_static_lengths():
+    d = dists.NamedProduct.of(
+        mu=dists.Normal(),
+        w=dists.Dirichlet(jnp.ones(4)),
+        corr=dists.LKJ(3, 1.0),
+        cov=dists.Wishart(5.0, jnp.eye(3, dtype=jnp.float64)),
+        chol=dists.LKJCholesky(4, 1.0, "L"),
+    )
+    u = unconstrain(d)
+    # vec: 1 + 4 + 9 + 9 + 10(packed chol triangle)
+    assert u.vec_length == 1 + 4 + 9 + 9 + 10
+    # linked: 1 + 3 + 3 + 6 + 6
+    assert u.linked_vec_length == 1 + 3 + 3 + 6 + 6
+
+
+def test_optics():
+    d = dists.NamedProduct.of(mu=dists.Normal(), w=dists.Dirichlet(jnp.ones(3)))
+    u = unconstrain(d)
+    ov = u.optic_vec()
+    assert ov[0] == (("mu",), 0)
+    assert ov[1] == (("w",), 0)
+    lv = u.linked_optic_vec()
+    assert lv[0] == (("mu",), 0)
+    assert lv[1] is None and lv[2] is None  # simplex is entangled
+
+
+def test_jacobian_sparsity_of_optics(rng):
+    """linked_optic_vec entries must really depend only on their claimed
+    input (reference test_utils.jl:419-473 Jacobian-support check)."""
+    d = dists.Product((dists.LogNormal(), dists.Beta(2.0, 2.0), dists.Normal()))
+    u = unconstrain(d)
+    y = jnp.asarray(rng.standard_normal(u.linked_vec_length))
+
+    def f(yv):
+        x, _ = u.from_linked_vec(yv)
+        return u.to_vec(x)
+
+    J = np.asarray(jax.jacfwd(f)(y))
+    # non-entangled: J must be diagonal
+    off_diag = J - np.diag(np.diag(J))
+    np.testing.assert_allclose(off_diag, 0.0, atol=1e-12)
+
+
+def _assert_tree_close(a, b, atol):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol)
+
+
+def test_logpdf_with_unconstrainer_matches_registry(key):
+    """from_linked_vec + base logpdf == logpdf_with_trans at linked point."""
+    d = dists.Dirichlet(jnp.asarray([2.0, 3.0, 4.0]))
+    u = unconstrain(d)
+    x = d.sample(key)
+    v, ld = u.to_linked_vec(x)
+    lp_unc = d.logpdf(x) - ld  # density in unconstrained coords
+    np.testing.assert_allclose(
+        float(lp_unc), float(tb.logpdf_with_trans(d, x, True)), atol=1e-9
+    )

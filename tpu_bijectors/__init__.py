@@ -36,6 +36,7 @@ from .bijectors.scalar import (
 )
 from .bijectors.cdf_quantile import CDFBijector, QuantileBijector
 from .bijectors.coupling import Coupling, PartitionMask
+from .bijectors.linear import LinearMap, TriangularLinearMap
 from .bijectors.product import NamedCoupling, NamedTransform, ProductBijector
 from .bijectors.reshape import Permute, Reshape
 from .bijectors.simplex import SimplexBijector
@@ -43,9 +44,11 @@ from .bijectors.stacked import Stacked
 from .registry import bijector, invlink, link, logpdf_with_trans, register_bijector
 from .transformed import OrderedDistribution, TransformedDistribution, ordered, transformed
 from .tree import pytree_dataclass
+from .vectorize import unconstrain
 
 from . import dists
 from . import flows
+from . import vectorize
 from . import utils
 
 __version__ = "0.1.0"
@@ -80,6 +83,8 @@ __all__ = [
     "Permute",
     "Coupling",
     "PartitionMask",
+    "LinearMap",
+    "TriangularLinearMap",
     "CDFBijector",
     "QuantileBijector",
     # vector/matrix bijectors
@@ -101,8 +106,10 @@ __all__ = [
     "TransformedDistribution",
     "ordered",
     "OrderedDistribution",
+    "unconstrain",
     # modules
     "dists",
     "flows",
+    "vectorize",
     "utils",
 ]

@@ -11,6 +11,7 @@ from .base import (
     inverse,
 )
 from .corr import CorrBijector, VecCholeskyBijector, VecCorrBijector
+from .linear import LinearMap, TriangularLinearMap
 from .ordered import OrderedBijector
 from .pd import CholeskyVecBijector, PDBijector, PDVecBijector
 from .scalar import (

@@ -1,0 +1,54 @@
+"""Inference engines: NUTS/HMC, ADVI, SMC (net-new layer per SURVEY.md §2.7
+and the BASELINE.json north star)."""
+
+from .adapt import (
+    StepSizeAdaptState,
+    WelfordState,
+    build_schedule,
+    stepsize_init,
+    stepsize_update,
+    welford_init,
+    welford_update_batch,
+    welford_variance,
+)
+from .advi import (
+    ADVIResult,
+    FlowPosterior,
+    FullRankGaussian,
+    MeanFieldGaussian,
+    fit_advi,
+)
+from .hmc import IntegratorState, NutsInfo, hmc_kernel, leapfrog, nuts_kernel
+from .model import Model
+from .sampler import RunStats, SamplerState, init_sampler, warmup_and_sample
+from .smc import SMCResult, run_smc, systematic_resample
+
+__all__ = [
+    "Model",
+    "nuts_kernel",
+    "hmc_kernel",
+    "leapfrog",
+    "IntegratorState",
+    "NutsInfo",
+    "SamplerState",
+    "RunStats",
+    "init_sampler",
+    "warmup_and_sample",
+    "fit_advi",
+    "MeanFieldGaussian",
+    "FullRankGaussian",
+    "FlowPosterior",
+    "ADVIResult",
+    "run_smc",
+    "SMCResult",
+    "systematic_resample",
+    # adaptation
+    "stepsize_init",
+    "stepsize_update",
+    "StepSizeAdaptState",
+    "welford_init",
+    "welford_update_batch",
+    "welford_variance",
+    "WelfordState",
+    "build_schedule",
+]

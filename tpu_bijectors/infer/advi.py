@@ -1,0 +1,134 @@
+"""ADVI: automatic differentiation variational inference in unconstrained
+space, with mean-field / full-rank Gaussian or normalizing-flow posteriors
+(net-new vs the reference; mirrors the docs/src/advi.md + flows.md usage).
+
+The variational family lives on the flat unconstrained vector given by the
+vectorize layer; the ELBO is
+
+    E_q[ logp(from_linked(v)) + logdetJ(v) ] + H[q]
+
+estimated with reparameterized Monte-Carlo samples. MC samples are the
+data-parallel axis: one fused (n_mc, dim) batch per step, shardable across
+chips.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..bijectors.base import Bijector, Chain
+from ..tree import pytree_dataclass
+
+
+@pytree_dataclass
+class MeanFieldGaussian:
+    """q(v) = N(loc, diag(exp(log_scale)^2)); entropy closed-form."""
+
+    loc: jax.Array
+    log_scale: jax.Array
+
+    @classmethod
+    def init(cls, dim: int, dtype=jnp.float32):
+        return cls(jnp.zeros(dim, dtype), jnp.full(dim, -1.0, dtype))
+
+    def sample(self, key, n: int):
+        eps = jax.random.normal(key, (n,) + self.loc.shape, self.loc.dtype)
+        return self.loc + jnp.exp(self.log_scale) * eps
+
+    def entropy(self):
+        d = self.loc.shape[-1]
+        return jnp.sum(self.log_scale) + 0.5 * d * (1.0 + jnp.log(2.0 * jnp.pi))
+
+
+@pytree_dataclass
+class FullRankGaussian:
+    """q(v) = N(loc, L L^T) with L lower-triangular (log-diag parameterized)."""
+
+    loc: jax.Array
+    tril_raw: jax.Array  # (dim, dim); diag passed through softplus-ish exp
+
+    @classmethod
+    def init(cls, dim: int, dtype=jnp.float32):
+        return cls(jnp.zeros(dim, dtype), -1.0 * jnp.eye(dim, dtype=dtype))
+
+    def _L(self):
+        dim = self.loc.shape[-1]
+        eye = jnp.eye(dim, dtype=self.loc.dtype)
+        L = jnp.tril(self.tril_raw, -1) + eye * jnp.exp(
+            jnp.diagonal(self.tril_raw)
+        )
+        return L
+
+    def sample(self, key, n: int):
+        eps = jax.random.normal(key, (n,) + self.loc.shape, self.loc.dtype)
+        return self.loc + eps @ self._L().T
+
+    def entropy(self):
+        d = self.loc.shape[-1]
+        return jnp.sum(jnp.diagonal(self.tril_raw)) + 0.5 * d * (
+            1.0 + jnp.log(2.0 * jnp.pi)
+        )
+
+
+@pytree_dataclass
+class FlowPosterior:
+    """q = flow(N(0, I)): reparameterized samples are base draws pushed through
+    the (trainable) flow; entropy term uses the flow's forward log-det
+    (training never needs the iterative inverse — SURVEY.md §3.5)."""
+
+    flow: Bijector  # trainable pytree, event_ndims 1
+
+    def sample_with_logq(self, key, n: int, dim: int):
+        dtype = jax.tree_util.tree_leaves(self.flow)[0].dtype
+        z = jax.random.normal(key, (n, dim), dtype)
+        logq0 = -0.5 * jnp.sum(z * z, -1) - 0.5 * dim * jnp.log(2.0 * jnp.pi)
+        v, ld = self.flow.forward_and_log_det(z)
+        return v, logq0 - ld
+
+
+class ADVIResult(NamedTuple):
+    q: object
+    losses: jax.Array
+
+
+def fit_advi(
+    logdensity_fn,
+    key,
+    dim: int,
+    q=None,
+    n_steps: int = 1000,
+    n_mc: int = 32,
+    learning_rate: float = 1e-2,
+    optimizer=None,
+    dtype=jnp.float32,
+) -> ADVIResult:
+    """Maximize the ELBO with Adam; whole loop is one lax.scan under jit."""
+    if q is None:
+        q = MeanFieldGaussian.init(dim, dtype)
+    opt = optimizer or optax.adam(learning_rate)
+
+    def neg_elbo(q, key):
+        if isinstance(q, FlowPosterior):
+            v, logq = q.sample_with_logq(key, n_mc, dim)
+            lp = jax.vmap(logdensity_fn)(v)
+            return -jnp.mean(lp - logq)
+        v = q.sample(key, n_mc)
+        lp = jax.vmap(logdensity_fn)(v)
+        return -(jnp.mean(lp) + q.entropy())
+
+    opt_state = opt.init(q)
+
+    def step(carry, key):
+        q, opt_state = carry
+        loss, g = jax.value_and_grad(neg_elbo)(q, key)
+        updates, opt_state = opt.update(g, opt_state, q)
+        q = optax.apply_updates(q, updates)
+        return (q, opt_state), loss
+
+    keys = jax.random.split(key, n_steps)
+    (q, _), losses = jax.lax.scan(step, (q, opt_state), keys)
+    return ADVIResult(q, losses)

@@ -1,0 +1,60 @@
+"""Model abstraction for the inference engines.
+
+The reference has no inference code (SURVEY.md §2.7) — these engines are the
+net-new layer the north star requires (BASELINE.json): leapfrog in
+unconstrained space over the vectorize layer.
+
+A `Model` is (priors, log_likelihood): priors is any distribution supported
+by `unconstrain` (typically a NamedProduct), log_likelihood maps a sample
+pytree to a scalar. The unconstrained target density is
+
+    logp(v) = priors.logpdf(x) + loglik(x) + logdetJ,   (x, logdetJ) = from_linked_vec(v)
+
+— exactly `logpdf_with_trans` composed with the flat ravel, evaluated as one
+fused XLA computation per (chains,)-batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..dists.base import Distribution
+from ..tree import pytree_dataclass
+from ..vectorize import unconstrain
+
+
+@pytree_dataclass(meta_fields=("loglik",))
+class Model:
+    priors: Distribution
+    loglik: object = None  # callable(sample_pytree) -> scalar, or None
+
+    def unconstrainer(self):
+        return unconstrain(self.priors)
+
+    def dim(self) -> int:
+        return self.unconstrainer().linked_vec_length
+
+    def logdensity_fn(self):
+        """Returns logp(v) on flat unconstrained vectors (batch-friendly)."""
+        u = self.unconstrainer()
+        priors = self.priors
+        loglik = self.loglik
+
+        def logdensity(v):
+            x, ld = u.from_linked_vec(v)
+            lp = priors.logpdf(x) + ld
+            if loglik is not None:
+                lp = lp + loglik(x)
+            return lp
+
+        return logdensity
+
+    def constrain(self, v):
+        """Flat unconstrained vector(s) -> sample pytree."""
+        return self.unconstrainer().from_linked_vec(v)[0]
+
+    def init_positions(self, key, n_chains: int, scale: float = 1.0):
+        return scale * jax.random.normal(
+            key, (n_chains, self.dim()), jnp.result_type(float)
+        )

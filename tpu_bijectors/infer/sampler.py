@@ -1,0 +1,188 @@
+"""NUTS/HMC sampling driver: warmup (windowed adaptation) + sampling, chains
+vectorized with vmap, everything inside lax.scan — ONE jitted computation for
+the whole run. Cross-chain adaptation statistics are averaged over the local
+chain axis and pmean-ed over `axis_name` when running inside shard_map
+(see ../shard/chain_parallel.py).
+
+Checkpointable: the full sampler state (positions, rng key, step-size state,
+Welford state, iteration) is a pytree — see ../shard/checkpoint.py
+(SURVEY.md §5 failure-recovery requirement).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .adapt import (
+    StepSizeAdaptState,
+    WelfordState,
+    build_schedule,
+    stepsize_init,
+    stepsize_update,
+    welford_init,
+    welford_update_batch,
+    welford_variance,
+)
+from .hmc import hmc_kernel, nuts_kernel
+
+
+class SamplerState(NamedTuple):
+    """Complete, checkpointable sampler state."""
+
+    key: jax.Array
+    q: jax.Array  # (chains, dim)
+    logp: jax.Array  # (chains,)
+    grad: jax.Array  # (chains, dim)
+    eps: jax.Array  # scalar step size (shared across chains)
+    inv_mass: jax.Array  # (dim,) diagonal inverse mass
+    ss: StepSizeAdaptState
+    welford: WelfordState
+    iteration: jax.Array
+
+
+class RunStats(NamedTuple):
+    accept_prob: jax.Array
+    diverging: jax.Array
+    n_steps: jax.Array
+    tree_depth: jax.Array
+
+
+def init_sampler(logdensity_fn, key, q0, eps0: float = 0.1) -> SamplerState:
+    """q0: (chains, dim) initial positions."""
+    dtype = q0.dtype
+    logp, grad = jax.vmap(jax.value_and_grad(logdensity_fn))(q0)
+    dim = q0.shape[-1]
+    return SamplerState(
+        key=key,
+        q=q0,
+        logp=logp,
+        grad=grad,
+        eps=jnp.asarray(eps0, dtype),
+        inv_mass=jnp.ones(dim, dtype),
+        ss=stepsize_init(eps0, dtype),
+        welford=welford_init(dim, dtype),
+        iteration=jnp.asarray(0, jnp.int32),
+    )
+
+
+def warmup_and_sample(
+    logdensity_fn,
+    key,
+    q0,
+    n_warmup: int = 500,
+    n_samples: int = 500,
+    kernel: str = "nuts",
+    max_depth: int = 10,
+    n_leapfrog: int = 32,
+    target_accept: float = 0.8,
+    eps0: float = 0.1,
+    axis_name: str | None = None,
+    thin: int = 1,
+):
+    """Run windowed-adaptation warmup then sampling.
+
+    Returns (samples (n_samples//thin, chains, dim), SamplerState, RunStats).
+    Fully jittable; call under jit/shard_map. With `axis_name` set, step-size
+    and mass adaptation share statistics across all devices via collectives
+    inside the step (no host sync).
+    """
+    if kernel == "nuts":
+        step_kernel = nuts_kernel(logdensity_fn, max_depth=max_depth)
+    elif kernel == "hmc":
+        step_kernel = hmc_kernel(logdensity_fn, n_leapfrog=n_leapfrog)
+    else:
+        raise ValueError(kernel)
+    vkernel = jax.vmap(step_kernel, in_axes=(0, 0, 0, 0, None, None))
+
+    state = init_sampler(logdensity_fn, key, q0, eps0)
+    window_id, window_end = build_schedule(n_warmup)
+
+    def mean_over_chains(x):
+        m = jnp.mean(x)
+        if axis_name is not None:
+            m = jax.lax.pmean(m, axis_name)
+        return m
+
+    def warmup_step(state: SamplerState, sched):
+        wid, wend = sched
+        k, sub = jax.random.split(state.key)
+        keys = jax.random.split(sub, state.q.shape[0])
+        q, logp, grad, info = vkernel(
+            keys, state.q, state.logp, state.grad, state.eps, state.inv_mass
+        )
+        # step size: dual averaging on the cross-chain mean accept prob
+        acc = mean_over_chains(info.accept_prob)
+        ss = stepsize_update(state.ss, acc, target=target_accept)
+        eps = jnp.exp(ss.log_eps)
+        # mass: Welford inside mass windows; refresh + reset at window ends
+        in_window = wid >= 0
+        wf_new = welford_update_batch(state.welford, q, axis_name=axis_name)
+        wf = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(in_window, a, b), wf_new, state.welford
+        )
+        var = welford_variance(wf)
+        refresh = wend & (wf.count > 2)
+        inv_mass = jnp.where(refresh, var, state.inv_mass)
+        wf = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(refresh, a, b),
+            welford_init(state.q.shape[-1], state.q.dtype),
+            wf,
+        )
+        # restart step-size adaptation after a metric refresh (Stan behavior)
+        ss = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(refresh, a, b),
+            stepsize_init_like(eps, ss),
+            ss,
+        )
+        new_state = SamplerState(
+            k, q, logp, grad, eps, inv_mass, ss, wf, state.iteration + 1
+        )
+        stats = RunStats(info.accept_prob, info.diverging, info.n_steps, info.tree_depth)
+        return new_state, stats
+
+    state, warm_stats = jax.lax.scan(
+        warmup_step, state, (window_id, window_end), length=n_warmup
+    )
+    # final step size: the dual-averaged value
+    state = state._replace(eps=jnp.exp(state.ss.log_eps_bar))
+
+    def sample_step(state: SamplerState, _):
+        k, sub = jax.random.split(state.key)
+        keys = jax.random.split(sub, state.q.shape[0])
+        q, logp, grad, info = vkernel(
+            keys, state.q, state.logp, state.grad, state.eps, state.inv_mass
+        )
+        new_state = state._replace(
+            key=k, q=q, logp=logp, grad=grad, iteration=state.iteration + 1
+        )
+        stats = RunStats(info.accept_prob, info.diverging, info.n_steps, info.tree_depth)
+        return new_state, (q, stats)
+
+    if thin <= 1:
+        state, (samples, stats) = jax.lax.scan(
+            sample_step, state, None, length=n_samples
+        )
+    else:
+        def thinned(state, _):
+            def inner(s, _):
+                s, out = sample_step(s, None)
+                return s, out[1]
+            state, st = jax.lax.scan(inner, state, None, length=thin)
+            return state, (state.q, jax.tree_util.tree_map(lambda a: a[-1], st))
+
+        state, (samples, stats) = jax.lax.scan(
+            thinned, state, None, length=n_samples // thin
+        )
+    return samples, state, stats
+
+
+def stepsize_init_like(eps, ss: StepSizeAdaptState) -> StepSizeAdaptState:
+    dtype = ss.log_eps.dtype
+    log_eps = jnp.log(eps).astype(dtype)
+    return StepSizeAdaptState(
+        log_eps, log_eps, jnp.zeros((), dtype),
+        jnp.log(10.0) + log_eps, jnp.zeros((), jnp.int32),
+    )

@@ -1,0 +1,169 @@
+"""Tempered Sequential Monte Carlo with systematic resampling.
+
+Net-new vs the reference (SURVEY.md §2.2): particles are the data-parallel
+axis; resampling uses a prefix-sum (cumulative weights) + one vectorized
+searchsorted — O(N) and fully parallel. Under shard_map the weight
+normalization and ESS use psum over the device axis and resampling gathers
+ride an all_gather (see ../shard/chain_parallel.py).
+
+Algorithm: adaptive-temperature SMC from prior to posterior:
+  particles ~ prior (via from_linked_vec of N(0,I) or prior sampling),
+  at each stage pick the next inverse temperature beta so the effective
+  sample size of the incremental weights hits `target_ess` (bisection on
+  beta inside the jitted step), resample systematically, then mutate with a
+  few random-walk-Metropolis or HMC steps at the current temperature.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .hmc import hmc_kernel
+
+
+def systematic_resample(key, log_weights):
+    """Systematic resampling: returns parent indices (N,). Prefix-sum based
+    (cumsum + searchsorted) — parallel on TPU."""
+    n = log_weights.shape[0]
+    w = jax.nn.softmax(log_weights)
+    cum = jnp.cumsum(w)
+    u0 = jax.random.uniform(key, (), w.dtype)
+    pts = (u0 + jnp.arange(n, dtype=w.dtype)) / n
+    idx = jnp.searchsorted(cum, pts, side="left")
+    return jnp.clip(idx, 0, n - 1)
+
+
+def ess(log_weights):
+    lw = log_weights - jax.scipy.special.logsumexp(log_weights)
+    return jnp.exp(-jax.scipy.special.logsumexp(2.0 * lw))
+
+
+class SMCState(NamedTuple):
+    key: jax.Array
+    particles: jax.Array  # (N, dim)
+    log_prior: jax.Array
+    log_lik: jax.Array
+    beta: jax.Array
+    log_evidence: jax.Array
+    stage: jax.Array
+
+
+class SMCResult(NamedTuple):
+    particles: jax.Array
+    log_evidence: jax.Array
+    n_stages: jax.Array
+    final_beta: jax.Array
+
+
+def _find_next_beta(log_lik, beta, target_ess_frac, n_bisect: int = 30):
+    """Largest beta' in (beta, 1] with ESS(incremental weights) >= target."""
+    n = log_lik.shape[0]
+    target = target_ess_frac * n
+
+    def ess_at(b):
+        return ess((b - beta) * log_lik)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        ok = ess_at(mid) >= target
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    full = ess_at(jnp.ones_like(beta))
+    lo, hi = jax.lax.fori_loop(
+        0, n_bisect, body, (beta, jnp.ones_like(beta))
+    )
+    return jnp.where(full >= target, jnp.ones_like(beta), lo)
+
+
+def run_smc(
+    log_prior_fn,
+    log_lik_fn,
+    key,
+    particles0,
+    n_mutations: int = 5,
+    target_ess: float = 0.5,
+    max_stages: int = 50,
+    rw_scale: float = 0.3,
+    mutation: str = "rwm",
+    hmc_eps: float = 0.2,
+    hmc_leapfrog: int = 8,
+) -> SMCResult:
+    """Tempered SMC from `log_prior_fn` to `log_prior_fn + log_lik_fn` on flat
+    unconstrained vectors. particles0: (N, dim) draws from the prior."""
+    n, dim = particles0.shape
+    dtype = particles0.dtype
+
+    lp0 = jax.vmap(log_prior_fn)(particles0)
+    ll0 = jax.vmap(log_lik_fn)(particles0)
+
+    def tempered_logp(beta):
+        def f(v):
+            return log_prior_fn(v) + beta * log_lik_fn(v)
+
+        return f
+
+    def mutate_rwm(key, particles, beta):
+        def one_step(carry, k):
+            particles, lp = carry
+            k1, k2 = jax.random.split(k)
+            prop = particles + rw_scale * jax.random.normal(
+                k1, particles.shape, dtype
+            )
+            lp_prop = jax.vmap(tempered_logp(beta))(prop)
+            accept = (
+                jnp.log(jax.random.uniform(k2, (n,), dtype)) < lp_prop - lp
+            )
+            particles = jnp.where(accept[:, None], prop, particles)
+            lp = jnp.where(accept, lp_prop, lp)
+            return (particles, lp), jnp.mean(accept)
+
+        lp = jax.vmap(tempered_logp(beta))(particles)
+        keys = jax.random.split(key, n_mutations)
+        (particles, _), acc = jax.lax.scan(one_step, (particles, lp), keys)
+        return particles
+
+    def mutate_hmc(key, particles, beta):
+        kern = hmc_kernel(tempered_logp(beta), n_leapfrog=hmc_leapfrog)
+        vk = jax.vmap(kern, in_axes=(0, 0, 0, 0, None, None))
+        lp, grad = jax.vmap(jax.value_and_grad(tempered_logp(beta)))(particles)
+        inv_mass = jnp.ones(dim, dtype)
+
+        def one(carry, k):
+            q, lp, grad = carry
+            keys = jax.random.split(k, n)
+            q, lp, grad, _ = vk(keys, q, lp, grad, jnp.asarray(hmc_eps, dtype), inv_mass)
+            return (q, lp, grad), None
+
+        keys = jax.random.split(key, n_mutations)
+        (particles, _, _), _ = jax.lax.scan(one, (particles, lp, grad), keys)
+        return particles
+
+    mutate = mutate_hmc if mutation == "hmc" else mutate_rwm
+
+    def stage(state: SMCState):
+        k, k_res, k_mut = jax.random.split(state.key, 3)
+        new_beta = _find_next_beta(state.log_lik, state.beta, target_ess)
+        inc = (new_beta - state.beta) * state.log_lik
+        log_ev = state.log_evidence + (
+            jax.scipy.special.logsumexp(inc) - jnp.log(float(n))
+        )
+        idx = systematic_resample(k_res, inc)
+        particles = state.particles[idx]
+        particles = mutate(k_mut, particles, new_beta)
+        lp = jax.vmap(log_prior_fn)(particles)
+        ll = jax.vmap(log_lik_fn)(particles)
+        return SMCState(k, particles, lp, ll, new_beta, log_ev, state.stage + 1)
+
+    def cond(state: SMCState):
+        return (state.beta < 1.0) & (state.stage < max_stages)
+
+    init = SMCState(
+        key, particles0, lp0, ll0,
+        jnp.zeros((), dtype), jnp.zeros((), dtype), jnp.asarray(0, jnp.int32),
+    )
+    final = jax.lax.while_loop(cond, stage, init)
+    return SMCResult(final.particles, final.log_evidence, final.stage, final.beta)

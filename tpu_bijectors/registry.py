@@ -25,7 +25,7 @@ import math
 
 import jax.numpy as jnp
 
-from .bijectors.base import Bijector, Block, Identity, elementwise, inverse
+from .bijectors.base import Bijector, Block, Chain, Identity, elementwise, inverse
 from .bijectors.corr import VecCholeskyBijector, VecCorrBijector
 from .bijectors.pd import PDVecBijector
 from .bijectors.scalar import Truncated
@@ -74,8 +74,35 @@ def bijector(d: Distribution) -> Bijector:
             upper_finite=s.upper_finite,
         )
         return elementwise(b, n)
-    if s.kind == "real_vector":
+    if s.kind in ("real_vector", "real_matrix"):
         return elementwise(Identity(), n)
+    if s.kind == "reshaped":
+        # inverse(Reshape) ∘ b ∘ Reshape (src/transformed_distribution.jl:144-149)
+        from .bijectors.reshape import Reshape
+
+        inner_b = bijector(d.base)
+        inner_shape = tuple(int(v) for v in d.base.event_shape)
+        return Chain((inner_b, Reshape(tuple(d.shape), inner_shape)))
+    if s.kind == "joint_order":
+        # JointOrderWrap (src/vector/order/order.jl:14-76): elementwise link,
+        # sign-flip sandwich for decreasing links, then unordered via the
+        # ordered bijector's inverse.
+        from .bijectors.base import Block
+        from .bijectors.ordered import OrderedBijector
+        from .bijectors.scalar import SignFlip
+
+        b_scalar = bijector(d.base)
+        eb = Block(b_scalar, 1)
+        flip = Block(SignFlip(), 1)
+        if b_scalar.monotonically_decreasing:
+            return Chain((flip, inverse(OrderedBijector()), flip, eb))
+        return Chain((inverse(OrderedBijector()), eb))
+    if s.kind == "product":
+        # dict/tuple sample -> flat unconstrained vector (the reference's
+        # NamedStacked, src/bijectors/named_stacked.jl) via the vectorize layer
+        from .vectorize.core import UnconstrainerBijector, unconstrain
+
+        return UnconstrainerBijector(unconstrain(d))
     raise NotImplementedError(f"no bijector known for {type(d).__name__} ({s.kind})")
 
 

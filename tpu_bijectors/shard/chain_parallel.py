@@ -1,0 +1,256 @@
+"""Chain-parallel NUTS / particle-parallel SMC over a jax.sharding.Mesh.
+
+Chains/particles are the data-parallel axis (SURVEY.md §2.2): per-chain state
+is embarrassingly parallel; the ONLY cross-device traffic is
+
+  * dual-averaging accept statistics and Welford mass-matrix accumulators:
+    `pmean`/`psum` over the 'chain' mesh axis INSIDE the jitted warmup step
+    (tiny scalars/(dim,) vectors, hidden under compute; no host sync);
+  * SMC resampling: log-weights `all_gather` over the axis + global
+    systematic resampling with static index arithmetic.
+
+Multi-host: `multihost_init` wraps `jax.distributed.initialize`; the same
+`shard_map` program runs across hosts with the mesh spanning all devices
+(ICI within a slice, DCN across slices — XLA owns the transport).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..infer.sampler import warmup_and_sample
+from ..infer.smc import systematic_resample
+
+
+def multihost_init(**kwargs):
+    """Initialize the multi-host process group over DCN
+    (jax.distributed.initialize; no-op if already initialized)."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        pass  # already initialized
+
+
+def make_mesh(axis_name: str = "chain", devices=None) -> Mesh:
+    """1-D mesh over all (local or global) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_chains(mesh: Mesh, x, axis_name: str = "chain"):
+    """Place a (chains, ...) array with the chain axis sharded over the mesh."""
+    spec = P(axis_name, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def chain_parallel_nuts(
+    logdensity_fn,
+    mesh: Mesh,
+    key,
+    q0,
+    axis_name: str = "chain",
+    **kwargs,
+):
+    """Run warmup_and_sample with chains sharded over `mesh`.
+
+    q0: (n_chains, dim) with n_chains divisible by the mesh size. Adaptation
+    statistics are shared across ALL chains on ALL devices via collectives
+    inside the step (kwargs forwarded to warmup_and_sample).
+    """
+    n_dev = mesh.devices.size
+    n_chains = q0.shape[0]
+    if n_chains % n_dev:
+        raise ValueError(f"n_chains={n_chains} not divisible by mesh size {n_dev}")
+
+    def local_run(key, q0_local):
+        # Per-device: q0_local is (n_chains/n_dev, dim); fold in the device
+        # index so each shard uses independent randomness.
+        idx = jax.lax.axis_index(axis_name)
+        key_local = jax.random.fold_in(key, idx)
+        return warmup_and_sample(
+            logdensity_fn, key_local, q0_local, axis_name=axis_name, **kwargs
+        )
+
+    sharded = jax.shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name, None)),
+        out_specs=(
+            P(None, axis_name, None),  # samples (T, chains, dim)
+            _state_specs(axis_name),
+            P(None, axis_name),  # stats (T, chains)
+        ),
+        check_vma=False,
+    )
+    return jax.jit(sharded)(key, q0)
+
+
+def _state_specs(axis_name):
+    """PartitionSpecs for SamplerState: per-chain fields sharded, shared
+    adaptation state replicated."""
+    from ..infer.sampler import SamplerState
+
+    return SamplerState(
+        key=P(),
+        q=P(axis_name, None),
+        logp=P(axis_name),
+        grad=P(axis_name, None),
+        eps=P(),
+        inv_mass=P(None),
+        ss=jax.tree_util.tree_map(lambda _: P(), _ss_proto()),
+        welford=jax.tree_util.tree_map(lambda _: P(), _wf_proto()),
+        iteration=P(),
+    )
+
+
+def _ss_proto():
+    from ..infer.adapt import StepSizeAdaptState
+
+    z = jnp.zeros(())
+    return StepSizeAdaptState(z, z, z, z, z)
+
+
+def _wf_proto():
+    from ..infer.adapt import WelfordState
+
+    z = jnp.zeros(())
+    return WelfordState(z, z, z)
+
+
+# ---------------------------------------------------------------------------
+# Particle-parallel SMC
+# ---------------------------------------------------------------------------
+
+
+def distributed_systematic_resample(key, log_weights_local, axis_name: str):
+    """Global systematic resampling with particles sharded over `axis_name`.
+
+    all_gather the (small) per-particle log-weights, compute the global
+    parents, then gather the local slice of parent indices and fetch parent
+    particles by a gather over the full particle array (all_gather of
+    particles; for very large states an index-exchange ppermute scheme would
+    replace this — weights-first keeps it simple and correct).
+    Returns local parent indices into the GLOBAL particle array.
+    """
+    n_local = log_weights_local.shape[0]
+    lw_all = jax.lax.all_gather(log_weights_local, axis_name)  # (n_dev, n_local)
+    lw_flat = lw_all.reshape(-1)
+    parents = systematic_resample(key, lw_flat)  # (n_global,) same on all devices
+    idx = jax.lax.axis_index(axis_name)
+    return jax.lax.dynamic_slice_in_dim(parents, idx * n_local, n_local)
+
+
+def chain_parallel_smc(
+    log_prior_fn,
+    log_lik_fn,
+    mesh: Mesh,
+    key,
+    particles0,
+    axis_name: str = "chain",
+    n_mutations: int = 5,
+    target_ess: float = 0.5,
+    max_stages: int = 50,
+    rw_scale: float = 0.3,
+):
+    """Tempered SMC with particles sharded over the mesh. Resampling uses
+    all_gather'd weights + a global systematic pick; mutation is local."""
+    from jax.scipy.special import logsumexp
+
+    n_dev = mesh.devices.size
+    n, dim = particles0.shape
+    if n % n_dev:
+        raise ValueError(f"particles {n} not divisible by mesh {n_dev}")
+
+    def local_smc(key, parts_local):
+        idx = jax.lax.axis_index(axis_name)
+        key = jax.random.fold_in(key, idx)
+        n_local = parts_local.shape[0]
+        dtype = parts_local.dtype
+
+        def tempered(beta):
+            return lambda v: log_prior_fn(v) + beta * log_lik_fn(v)
+
+        def ess_global(lw_local):
+            m = jax.lax.pmax(jnp.max(lw_local), axis_name)
+            w = jnp.exp(lw_local - m)
+            s1 = jax.lax.psum(jnp.sum(w), axis_name)
+            s2 = jax.lax.psum(jnp.sum(w * w), axis_name)
+            return s1 * s1 / s2
+
+        def next_beta(ll_local, beta):
+            target = target_ess * (n_local * n_dev)
+
+            def body(_, lohi):
+                lo, hi = lohi
+                mid = 0.5 * (lo + hi)
+                ok = ess_global((mid - beta) * ll_local) >= target
+                return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+            full_ok = ess_global((1.0 - beta) * ll_local) >= target
+            lo, hi = jax.lax.fori_loop(0, 30, body, (beta, jnp.ones_like(beta)))
+            return jnp.where(full_ok, jnp.ones_like(beta), lo)
+
+        def mutate(key, parts, beta):
+            lp = jax.vmap(tempered(beta))(parts)
+
+            def one(carry, k):
+                parts, lp = carry
+                k1, k2 = jax.random.split(k)
+                prop = parts + rw_scale * jax.random.normal(k1, parts.shape, dtype)
+                lp_prop = jax.vmap(tempered(beta))(prop)
+                acc = jnp.log(jax.random.uniform(k2, (n_local,), dtype)) < lp_prop - lp
+                return (jnp.where(acc[:, None], prop, parts),
+                        jnp.where(acc, lp_prop, lp)), None
+
+            (parts, _), _ = jax.lax.scan(
+                one, (parts, lp), jax.random.split(key, n_mutations)
+            )
+            return parts
+
+        def stage(state):
+            k, parts, ll, beta, log_ev, it = state
+            k, k_res, k_mut = jax.random.split(k, 3)
+            # the resampling key must be IDENTICAL on all devices
+            k_res = jax.lax.pmax(
+                jax.random.key_data(jax.random.fold_in(key, 0)), axis_name
+            )
+            k_res = jax.random.wrap_key_data(k_res)
+            k_res = jax.random.fold_in(k_res, it)
+            nb = next_beta(ll, beta)
+            inc = (nb - beta) * ll
+            m = jax.lax.pmax(jnp.max(inc), axis_name)
+            sum_w = jax.lax.psum(jnp.sum(jnp.exp(inc - m)), axis_name)
+            log_ev = log_ev + m + jnp.log(sum_w) - jnp.log(float(n_local * n_dev))
+            parents = distributed_systematic_resample(k_res, inc, axis_name)
+            all_parts = jax.lax.all_gather(parts, axis_name).reshape(-1, dim)
+            parts = all_parts[parents]
+            parts = mutate(k_mut, parts, nb)
+            ll = jax.vmap(log_lik_fn)(parts)
+            return (k, parts, ll, nb, log_ev, it + 1)
+
+        def cond(state):
+            _, _, _, beta, _, it = state
+            return (beta < 1.0) & (it < max_stages)
+
+        ll0 = jax.vmap(log_lik_fn)(parts_local)
+        init = (
+            key, parts_local, ll0,
+            jnp.zeros((), dtype), jnp.zeros((), dtype), jnp.asarray(0, jnp.int32),
+        )
+        k, parts, ll, beta, log_ev, it = jax.lax.while_loop(cond, stage, init)
+        return parts, log_ev, beta, it
+
+    sharded = jax.shard_map(
+        local_smc,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name, None)),
+        out_specs=(P(axis_name, None), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)(key, particles0)

@@ -1,0 +1,448 @@
+"""Vectorization layer: pytree sample <-> flat (unconstrained) vector.
+
+TPU-native counterpart of the reference's VectorBijectors module
+(/root/reference/src/vector/ — the PPL-facing API that DynamicPPL/Turing
+consume, SURVEY.md §2.5). For any distribution `d`:
+
+  u = unconstrain(d)
+  u.vec_length / u.linked_vec_length      static ints (no sampling)
+  u.to_vec(x) / u.from_vec(v)             shape ravel, logJ == 0
+  u.to_linked_vec(x) -> (v, logdet)       ravel + unconstrain
+  u.from_linked_vec(v) -> (x, logdet)     the sampler hot path
+  u.optic_vec() / u.linked_optic_vec()    per-element provenance paths
+                                          (None when entangled, e.g. simplex —
+                                          reference interface.jl:143-184)
+
+Everything is static-shape: offsets are computed at trace time, so a NUTS
+state is ONE (n_chains, dim) array and `from_linked_vec` is a single fused
+XLA computation. Homogeneous IID blocks take the batched fast path (the
+TPU-native version of the reference's Elementwise/Fill optimization,
+src/vector/product/fill.jl — batching over the block is where throughput
+comes from).
+
+Supported structure: any registered leaf distribution, IIDProduct, Product,
+NamedProduct, TransformedDistribution (to_linked_vec(td) composes
+inverse(td.transform) then the base link, reference src/vector/transformed.jl).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bijectors.base import Bijector, inverse as _inverse
+from ..dists.base import Distribution
+from ..dists.product import IIDProduct, NamedProduct, Product
+from ..registry import bijector
+from ..transformed import TransformedDistribution
+from ..tree import pytree_dataclass
+from ..utils import tril_to_vec, vec_to_tril
+
+
+def _shape_len(shape) -> int:
+    n = 1
+    for s in shape:
+        n *= int(s)
+    return n
+
+
+def _ravel_event(x, event_shape):
+    ne = len(event_shape)
+    batch = x.shape[: x.ndim - ne]
+    return jnp.reshape(x, batch + (_shape_len(event_shape),))
+
+
+def _unravel_event(v, event_shape):
+    batch = v.shape[:-1]
+    return jnp.reshape(v, batch + tuple(int(s) for s in event_shape))
+
+
+class Unconstrainer:
+    """Abstract; see module docstring."""
+
+    vec_length: int
+    linked_vec_length: int
+
+    def to_vec(self, x):
+        raise NotImplementedError
+
+    def from_vec(self, v):
+        raise NotImplementedError
+
+    def to_linked_vec(self, x):
+        raise NotImplementedError
+
+    def from_linked_vec(self, v):
+        raise NotImplementedError
+
+    def optic_vec(self):
+        raise NotImplementedError
+
+    def linked_optic_vec(self):
+        raise NotImplementedError
+
+
+@pytree_dataclass(meta_fields=("event_shape", "linked_shape", "chol_pack", "entangled"))
+class LeafUnconstrainer(Unconstrainer):
+    """Any single distribution with a registry bijector.
+
+    `chol_pack`: Cholesky-factor-valued events ravel as the packed triangle
+    (n(n+1)/2) instead of the full matrix (reference
+    src/vector/cholesky/cholesky.jl:11-68).
+    `entangled`: linked coordinates depend on multiple input coordinates
+    (simplex/pd/corr) -> linked optics are None (interface.jl:168-184).
+    """
+
+    dist: Distribution
+    link: Bijector
+    event_shape: tuple
+    linked_shape: tuple
+    chol_pack: bool = False
+    entangled: bool = False
+
+    @property
+    def vec_length(self):  # type: ignore[override]
+        if self.chol_pack:
+            n = int(self.event_shape[-1])
+            return n * (n + 1) // 2
+        return _shape_len(self.event_shape)
+
+    @property
+    def linked_vec_length(self):  # type: ignore[override]
+        return _shape_len(self.linked_shape)
+
+    def to_vec(self, x):
+        if self.chol_pack:
+            return tril_to_vec(_to_lower(x, self.dist))
+        return _ravel_event(x, self.event_shape)
+
+    def from_vec(self, v):
+        if self.chol_pack:
+            return _from_lower(vec_to_tril(v), self.dist)
+        return _unravel_event(v, self.event_shape)
+
+    def to_linked_vec(self, x):
+        y, ld = self.link.forward_and_log_det(x)
+        ne_in = int(self.link.event_ndims_in)
+        extra = len(self.event_shape) - ne_in
+        if extra > 0:
+            ld = jnp.sum(ld, axis=tuple(range(-extra, 0)))
+        return _ravel_event(y, self.linked_shape), ld
+
+    def from_linked_vec(self, v):
+        y = _unravel_event(v, self.linked_shape)
+        x, ld = self.link.inverse_and_log_det(y)
+        ne_in = int(self.link.event_ndims_in)
+        extra = len(self.event_shape) - ne_in
+        if extra > 0:
+            ld = jnp.sum(ld, axis=tuple(range(-extra, 0)))
+        return x, ld
+
+    def optic_vec(self):
+        return [((), i) for i in range(self.vec_length)]
+
+    def linked_optic_vec(self):
+        if self.entangled:
+            return [None] * self.linked_vec_length
+        return [((), i) for i in range(self.linked_vec_length)]
+
+
+def _to_lower(x, dist):
+    mode = getattr(dist, "mode", "L")
+    return x if mode == "L" else jnp.swapaxes(x, -1, -2)
+
+
+def _from_lower(L, dist):
+    mode = getattr(dist, "mode", "L")
+    return L if mode == "L" else jnp.swapaxes(L, -1, -2)
+
+
+@pytree_dataclass(meta_fields=("n",))
+class IIDUnconstrainer(Unconstrainer):
+    """Homogeneous block fast path: ONE bijector over a batched leading axis
+    (replaces the reference's per-component loop + Elementwise fast path)."""
+
+    inner: LeafUnconstrainer
+    n: int
+
+    @property
+    def vec_length(self):  # type: ignore[override]
+        return self.n * self.inner.vec_length
+
+    @property
+    def linked_vec_length(self):  # type: ignore[override]
+        return self.n * self.inner.linked_vec_length
+
+    def to_vec(self, x):
+        # x: (..., n) + inner event; inner methods broadcast over the axis
+        v = self.inner.to_vec(x)  # (..., n, inner_len)
+        return jnp.reshape(v, v.shape[:-2] + (self.vec_length,))
+
+    def from_vec(self, v):
+        vi = jnp.reshape(v, v.shape[:-1] + (self.n, self.inner.vec_length))
+        return self.inner.from_vec(vi)
+
+    def to_linked_vec(self, x):
+        y, ld = self.inner.to_linked_vec(x)  # y: (..., n, L_i); ld: (..., n)
+        return jnp.reshape(y, y.shape[:-2] + (self.linked_vec_length,)), jnp.sum(
+            ld, axis=-1
+        )
+
+    def from_linked_vec(self, v):
+        vi = jnp.reshape(v, v.shape[:-1] + (self.n, self.inner.linked_vec_length))
+        x, ld = self.inner.from_linked_vec(vi)
+        return x, jnp.sum(ld, axis=-1)
+
+    def optic_vec(self):
+        out = []
+        for i in range(self.n):
+            for o in self.inner.optic_vec():
+                out.append(None if o is None else ((i,) + o[0], o[1]))
+        return out
+
+    def linked_optic_vec(self):
+        out = []
+        for i in range(self.n):
+            for o in self.inner.linked_optic_vec():
+                out.append(None if o is None else ((i,) + o[0], o[1]))
+        return out
+
+
+@pytree_dataclass(meta_fields=("offsets", "linked_offsets", "names"))
+class TreeUnconstrainer(Unconstrainer):
+    """Tuple/dict product with static offsets (reference ProductVecTransform,
+    src/vector/product/product.jl:20-320)."""
+
+    children: tuple
+    offsets: tuple  # (start, len) per child in vec space
+    linked_offsets: tuple
+    names: tuple = None  # type: ignore[assignment]  # None -> tuple-valued
+
+    @classmethod
+    def build(cls, children, names=None):
+        ofs, lofs = [], []
+        o = lo = 0
+        for c in children:
+            ofs.append((o, c.vec_length))
+            lofs.append((lo, c.linked_vec_length))
+            o += c.vec_length
+            lo += c.linked_vec_length
+        return cls(tuple(children), tuple(ofs), tuple(lofs), names)
+
+    @property
+    def vec_length(self):  # type: ignore[override]
+        return sum(l for _, l in self.offsets)
+
+    @property
+    def linked_vec_length(self):  # type: ignore[override]
+        return sum(l for _, l in self.linked_offsets)
+
+    def _parts(self, x):
+        if self.names is None:
+            return list(x)
+        return [x[n] for n in self.names]
+
+    def _rebuild(self, parts):
+        if self.names is None:
+            return tuple(parts)
+        return dict(zip(self.names, parts))
+
+    def to_vec(self, x):
+        return jnp.concatenate(
+            [c.to_vec(xi) for c, xi in zip(self.children, self._parts(x))], axis=-1
+        )
+
+    def from_vec(self, v):
+        parts = [
+            c.from_vec(v[..., s : s + l])
+            for c, (s, l) in zip(self.children, self.offsets)
+        ]
+        return self._rebuild(parts)
+
+    def to_linked_vec(self, x):
+        vs, ld = [], None
+        for c, xi in zip(self.children, self._parts(x)):
+            vi, ldi = c.to_linked_vec(xi)
+            vs.append(vi)
+            ld = ldi if ld is None else ld + ldi
+        return jnp.concatenate(vs, axis=-1), ld
+
+    def from_linked_vec(self, v):
+        parts, ld = [], None
+        for c, (s, l) in zip(self.children, self.linked_offsets):
+            xi, ldi = c.from_linked_vec(v[..., s : s + l])
+            parts.append(xi)
+            ld = ldi if ld is None else ld + ldi
+        return self._rebuild(parts), ld
+
+    def optic_vec(self):
+        out = []
+        for i, c in enumerate(self.children):
+            key = i if self.names is None else self.names[i]
+            for o in c.optic_vec():
+                out.append(None if o is None else ((key,) + o[0], o[1]))
+        return out
+
+    def linked_optic_vec(self):
+        out = []
+        for i, c in enumerate(self.children):
+            key = i if self.names is None else self.names[i]
+            for o in c.linked_optic_vec():
+                out.append(None if o is None else ((key,) + o[0], o[1]))
+        return out
+
+
+@pytree_dataclass
+class TransformedUnconstrainer(Unconstrainer):
+    """to_linked_vec(td) = to_linked_vec(td.base) ∘ inverse(td.transform)
+    (reference src/vector/transformed.jl:4-11)."""
+
+    base: Unconstrainer
+    transform: Bijector
+    td: TransformedDistribution
+
+    @property
+    def vec_length(self):  # type: ignore[override]
+        return _shape_len(self.td.event_shape)
+
+    @property
+    def linked_vec_length(self):  # type: ignore[override]
+        return self.base.linked_vec_length
+
+    def to_vec(self, y):
+        return _ravel_event(y, self.td.event_shape)
+
+    def from_vec(self, v):
+        return _unravel_event(v, self.td.event_shape)
+
+    def to_linked_vec(self, y):
+        x, ld = self.transform.inverse_and_log_det(y)
+        extra = self.td.base.event_ndims - int(self.transform.event_ndims_in)
+        if extra > 0:
+            ld = jnp.sum(ld, axis=tuple(range(-extra, 0)))
+        v, ld2 = self.base.to_linked_vec(x)
+        return v, ld + ld2
+
+    def from_linked_vec(self, v):
+        x, ld = self.base.from_linked_vec(v)
+        y, ld2 = self.transform.forward_and_log_det(x)
+        extra = self.td.base.event_ndims - int(self.transform.event_ndims_in)
+        if extra > 0:
+            ld2 = jnp.sum(ld2, axis=tuple(range(-extra, 0)))
+        return y, ld + ld2
+
+    def optic_vec(self):
+        return [((), i) for i in range(self.vec_length)]
+
+    def linked_optic_vec(self):
+        return [None] * self.linked_vec_length
+
+
+@pytree_dataclass
+class UnconstrainerBijector(Bijector):
+    """Adapter exposing an Unconstrainer as a Bijector: pytree sample ->
+    flat unconstrained vector (the reference's NamedStacked bijector,
+    src/bijectors/named_stacked.jl, generalized to any product structure)."""
+
+    u: Unconstrainer
+
+    event_ndims_in = 0  # input is a pytree, not a single array
+    event_ndims_out = 1
+
+    def forward_and_log_det(self, x):
+        return self.u.to_linked_vec(x)
+
+    def forward(self, x):
+        return self.u.to_linked_vec(x)[0]
+
+    def inverse_and_log_det(self, v):
+        return self.u.from_linked_vec(v)
+
+    def inverse(self, v):
+        return self.u.from_linked_vec(v)[0]
+
+    def forward_event_shape(self, shape):
+        return (self.u.linked_vec_length,)
+
+
+_ENTANGLED_KINDS = {"simplex", "pd", "corr", "chol_corr"}
+
+
+def unconstrain(d: Distribution) -> Unconstrainer:
+    """Build the Unconstrainer for `d` (the reference's `to_linked_vec` et al.
+    entry points, src/vector/interface.jl)."""
+    if isinstance(d, TransformedDistribution):
+        return TransformedUnconstrainer(unconstrain(d.base), d.transform, d)
+    if isinstance(d, IIDProduct):
+        inner = unconstrain(d.base)
+        if not isinstance(inner, LeafUnconstrainer):
+            # nested products: treat as tuple of n children (rare, still static)
+            return TreeUnconstrainer.build(tuple(inner for _ in range(d.n)))
+        return IIDUnconstrainer(inner, d.n)
+    if isinstance(d, Product):
+        return TreeUnconstrainer.build(tuple(unconstrain(c) for c in d.components))
+    if isinstance(d, NamedProduct):
+        return TreeUnconstrainer.build(
+            tuple(unconstrain(c) for c in d.components), names=d.names
+        )
+    b = bijector(d)
+    ev = tuple(int(s) for s in d.event_shape)
+    ne_in = int(b.event_ndims_in)
+    if ne_in == 0:
+        linked = ev
+    else:
+        # bijector acts on the trailing ne_in dims of the event
+        linked = ev[: len(ev) - ne_in] + tuple(
+            b.forward_event_shape(ev[len(ev) - ne_in :])
+        )
+    kind = d.support.kind
+    return LeafUnconstrainer(
+        d,
+        b,
+        ev,
+        linked,
+        chol_pack=(kind == "chol_corr"),
+        entangled=(kind in _ENTANGLED_KINDS),
+    )
+
+
+# -- module-level convenience API matching the reference's 8 generic functions
+
+
+def vec_length(d: Distribution) -> int:
+    return unconstrain(d).vec_length
+
+
+def linked_vec_length(d: Distribution) -> int:
+    return unconstrain(d).linked_vec_length
+
+
+def to_vec(d: Distribution):
+    u = unconstrain(d)
+    return u.to_vec
+
+
+def from_vec(d: Distribution):
+    u = unconstrain(d)
+    return u.from_vec
+
+
+def to_linked_vec(d: Distribution):
+    u = unconstrain(d)
+    return u.to_linked_vec
+
+
+def from_linked_vec(d: Distribution):
+    u = unconstrain(d)
+    return u.from_linked_vec
+
+
+def optic_vec(d: Distribution):
+    return unconstrain(d).optic_vec()
+
+
+def linked_optic_vec(d: Distribution):
+    return unconstrain(d).linked_optic_vec()
