@@ -1,0 +1,51 @@
+"""Pallas kernel numerical-equivalence tests (interpret mode on CPU;
+the jnp implementations are the ground truth — SURVEY.md §7 step 9
+"target bit-identical logdetJ vs the jnp versions")."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_bijectors.bijectors.simplex import SimplexBijector, _simplex_inverse
+from tpu_bijectors.kernels.simplex import (
+    simplex_forward_logdet_pallas,
+    simplex_inverse_pallas,
+)
+
+
+@pytest.mark.parametrize("B,K", [(7, 4), (130, 8), (256, 17), (64, 33)])
+def test_simplex_inverse_pallas_bitident(B, K, rng):
+    y = jnp.asarray(rng.standard_normal((B, K - 1)), jnp.float32)
+    x_ref = _simplex_inverse(y)
+    x_pal = simplex_inverse_pallas(y, interpret=True)
+    assert bool(jnp.all(x_ref == x_pal)), "pallas inverse not bit-identical"
+
+
+@pytest.mark.parametrize("B,K", [(16, 5), (128, 12)])
+def test_simplex_forward_pallas_close(B, K, rng):
+    b = SimplexBijector()
+    x = jnp.asarray(rng.dirichlet(np.ones(K), B), jnp.float32)
+    y_ref, ld_ref = b.forward_and_log_det(x)
+    y_pal, ld_pal = simplex_forward_logdet_pallas(x, interpret=True)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ld_pal), np.asarray(ld_ref), atol=2e-5)
+
+
+def test_pallas_dispatch_is_tpu_only(rng):
+    """On CPU the scan path is used; outputs identical either way."""
+    b = SimplexBijector()
+    y = jnp.asarray(rng.standard_normal((2048, 7)), jnp.float32)
+    x = b.inverse(y)  # must NOT hit pallas on cpu backend
+    np.testing.assert_allclose(
+        np.asarray(x), np.asarray(_simplex_inverse(y)), atol=0
+    )
+
+
+def test_kernels_toggle():
+    from tpu_bijectors import kernels
+
+    assert kernels.enabled()
+    kernels.enable(False)
+    assert not kernels.enabled()
+    kernels.enable(True)

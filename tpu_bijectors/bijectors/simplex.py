@@ -92,11 +92,49 @@ class SimplexBijector(Bijector):
         return -jnp.sum(lp, axis=-1)
 
     def inverse(self, y):
+        if _pallas_profitable(y):
+            return _simplex_inverse_pallas_diffable(y)
         return _simplex_inverse(y)
 
     def inverse_and_log_det(self, y):
-        x = _simplex_inverse(y)
+        x = self.inverse(y)
         return x, -self.forward_log_det_jacobian(x)
+
+
+@jax.custom_jvp
+def _simplex_inverse_pallas_diffable(y):
+    """Pallas primal with derivatives routed through the jnp scan (Pallas
+    kernels are not generally differentiable; the tangent map is identical)."""
+    from ..kernels.simplex import simplex_inverse_pallas
+
+    return simplex_inverse_pallas(y)
+
+
+@_simplex_inverse_pallas_diffable.defjvp
+def _simplex_inverse_pallas_jvp(primals, tangents):
+    (y,) = primals
+    (dy,) = tangents
+    return jax.jvp(_simplex_inverse, (y,), (dy,))
+
+
+def _pallas_profitable(y) -> bool:
+    """Dispatch the Pallas kernel where it measured faster than the scanned
+    jnp path on TPU (2D f32 batches, small K; see kernels/simplex.py).
+    Trace-time decision: static shape/dtype/backend only."""
+    try:
+        from .. import kernels
+
+        if not kernels.enabled():
+            return False
+        return (
+            jax.default_backend() == "tpu"
+            and y.ndim == 2
+            and y.shape[-1] + 1 <= 32
+            and y.shape[0] >= 1024
+            and jnp.result_type(y, float) == jnp.float32
+        )
+    except Exception:
+        return False
 
 
 def _simplex_inverse(y):

@@ -385,7 +385,8 @@ class Rayleigh(Distribution):
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape
         dtype = jnp.result_type(self.scale, float)
-        return self.scale * jax.random.rayleigh(key, shape, dtype)
+        u = jax.random.uniform(key, shape, dtype, minval=jnp.finfo(dtype).tiny)
+        return self.scale * jnp.sqrt(-2.0 * jnp.log(u))
 
     @property
     def support(self):

@@ -1,0 +1,133 @@
+"""Pallas TPU kernels for the stick-breaking simplex bijector.
+
+Layout: the event axis K lives on the SUBLANE dimension and the batch on the
+128-wide LANE dimension, so the sequential K-recurrence runs as a register-
+carried loop over sublanes while every step is a full-width VPU op across the
+batch tile. This turns the inverse's lax.scan (K tiny sequential HLO steps)
+into ONE kernel with K in-register steps and a single HBM round-trip.
+
+Numerics match bijectors/simplex.py exactly (same eps algebra/clamps,
+reference: /root/reference/src/bijectors/simplex.jl:84-120).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import _eps
+
+_LANES = 128
+_MAX_UNROLL = 128  # static-unroll threshold over K
+
+
+def _pad_to(x, n, axis):
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def simplex_inverse_pallas(y, *, interpret: bool = False):
+    """y: (B, K-1) -> x: (B, K) (unconstrained -> simplex), matching
+    bijectors.simplex._simplex_inverse bit-for-bit in f32."""
+    B, Km1 = y.shape
+    K = Km1 + 1
+    dtype = jnp.result_type(y, float)
+    y = y.astype(dtype)
+    eps = _eps(dtype)
+    log_coeffs = np.log(np.arange(K - 1, 0, -1)).astype(dtype)
+
+    Bp = ((B + _LANES - 1) // _LANES) * _LANES
+    yt = _pad_to(y, Bp, 0).T  # (K-1, Bp)
+
+    def kernel(y_ref, x_ref):
+        s = jnp.zeros((1, _LANES), dtype)
+        for k in range(K - 1):
+            z = jax.nn.sigmoid(y_ref[k, :] - log_coeffs[k]).reshape(1, _LANES)
+            if k == 0:
+                xk = jnp.clip((z - eps) / (1 - 2 * eps), 0.0, 1.0)
+            else:
+                xk = jnp.clip(((1 + eps) - s) / (1 - 2 * eps) * z - eps, 0.0, 1.0)
+            x_ref[k, :] = xk[0, :]
+            s = s + xk
+        x_ref[K - 1, :] = jnp.clip(1.0 - s, 0.0, 1.0)[0, :]
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((K, Bp), dtype),
+        grid=(Bp // _LANES,),
+        in_specs=[
+            pl.BlockSpec((Km1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (K, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(yt)
+    return out.T[:B]
+
+
+def simplex_forward_logdet_pallas(x, *, interpret: bool = False):
+    """x: (B, K) -> (y: (B, K-1), logdet: (B,)) fused single pass,
+    matching SimplexBijector.forward / .forward_log_det_jacobian."""
+    B, K = x.shape
+    dtype = jnp.result_type(x, float)
+    x = x.astype(dtype)
+    eps = _eps(dtype)
+    log_coeffs = np.log(np.arange(K - 1, 0, -1)).astype(dtype)
+
+    Bp = ((B + _LANES - 1) // _LANES) * _LANES
+    xt = _pad_to(x, Bp, 0).T  # (K, Bp); pad rows are zeros -> harmless
+
+    def kernel(x_ref, y_ref, ld_ref):
+        # s = prefix sum of x before index k; shared by transform and logdet.
+        s = jnp.zeros((1, _LANES), dtype)
+        lp = jnp.zeros((1, _LANES), dtype)
+        for k in range(K - 1):
+            xk = x_ref[k, :].reshape(1, _LANES)
+            if k == 0:
+                zf = xk * (1 - 2 * eps) + eps
+                zl = xk
+                lp = lp + jnp.log(jnp.maximum(zl, eps)) + jnp.log(
+                    jnp.maximum(1.0 - zl, eps)
+                )
+            else:
+                zf = (xk + eps) * (1 - 2 * eps) / ((1 + eps) - s)
+                rem_l = jnp.maximum(1.0 - s, eps)
+                zl = xk / rem_l
+                lp = (
+                    lp
+                    + jnp.log(jnp.maximum(zl, eps))
+                    + jnp.log(jnp.maximum(1.0 - zl, eps))
+                    + jnp.log(rem_l)
+                )
+            y_ref[k, :] = (jnp.log(zf) - jnp.log1p(-zf) + log_coeffs[k])[0, :]
+            s = s + xk
+        ld_ref[0, :] = (-lp)[0, :]
+
+    y_out, ld_out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((K - 1, Bp), dtype),
+            jax.ShapeDtypeStruct((1, Bp), dtype),
+        ),
+        grid=(Bp // _LANES,),
+        in_specs=[
+            pl.BlockSpec((K, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((K - 1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(xt)
+    return y_out.T[:B], ld_out[0, :B]
