@@ -154,6 +154,33 @@ class Distribution:
     def quantile(self, q):
         raise NotImplementedError(type(self).__name__)
 
+    # -- affine algebra (`Logistic() + 2`, `Gamma(2,3) * -3`, ... — the
+    # reference test matrix's AffineDistribution rows,
+    # test/vector/univariate.jl:78-89) ----------------------------------------
+
+    def __add__(self, c):
+        from .affine import affine
+
+        return affine(self, loc=c)
+
+    __radd__ = __add__
+
+    def __sub__(self, c):
+        return self + (-c)
+
+    def __mul__(self, c):
+        from .affine import affine
+
+        return affine(self, scale=c)
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return self * (-1.0)
+
+    def __truediv__(self, c):
+        return self * (1.0 / c)
+
     def in_support(self, x, atol: float = 1e-8):
         """Boolean in-support check (used by the test harness, mirrors
         `insupport` checks in src/vector/test_utils.jl:325-374)."""
