@@ -152,7 +152,38 @@ class Distribution:
         raise NotImplementedError(type(self).__name__)
 
     def quantile(self, q):
-        raise NotImplementedError(type(self).__name__)
+        """Default quantile: bracket expansion + fixed bisection on `cdf`
+        (static trip counts; subclasses override when a closed form exists)."""
+        import jax.numpy as jnp
+        from jax import lax
+
+        q = jnp.asarray(q)
+        dtype = jnp.result_type(q, float)
+        q = q.astype(dtype)
+        s = self.support
+        lo = jnp.full(jnp.shape(q), s.lower if s.lower_finite else -1.0, dtype)
+        hi = jnp.full(jnp.shape(q), s.upper if s.upper_finite else 1.0, dtype)
+        if not s.lower_finite or not s.upper_finite:
+            # geometric bracket expansion on the unbounded side(s)
+            def expand(_, lohi):
+                lo, hi = lohi
+                width = jnp.maximum(hi - lo, 1.0)
+                if not s.lower_finite:
+                    lo = jnp.where(self.cdf(lo) > q, lo - width, lo)
+                if not s.upper_finite:
+                    hi = jnp.where(self.cdf(hi) < q, hi + width, hi)
+                return lo, hi
+
+            lo, hi = lax.fori_loop(0, 64, expand, (lo, hi))
+
+        def bisect(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            go_hi = self.cdf(mid) < q
+            return jnp.where(go_hi, mid, lo), jnp.where(go_hi, hi, mid)
+
+        lo, hi = lax.fori_loop(0, 80, bisect, (lo, hi))
+        return 0.5 * (lo + hi)
 
     # -- affine algebra (`Logistic() + 2`, `Gamma(2,3) * -3`, ... — the
     # reference test matrix's AffineDistribution rows,

@@ -3,3 +3,4 @@ from .harness import (
     check_logdet_against_jacobian,
     random_unconstrained,
 )
+from .sweep import test_all

@@ -1,0 +1,237 @@
+"""Distribution-level property sweep: the TPU-native `test_all`.
+
+Port of the reference's shipped harness entry point
+(/root/reference/src/vector/test_utils.jl:246-277 — `VectorBijectors.test_all`)
+— one call runs the full §4.2 property set against `unconstrain(d)`:
+
+1. roundtrip            — samples: from_vec∘to_vec ≈ id, linked ditto, and
+                          inverse logdet == -forward logdet  (:284-312)
+2. roundtrip_inverse    — random unconstrained vectors: from_linked_vec lands
+                          in-support and to_linked∘from_linked ≈ id (:325-374)
+3. trace stability      — the JAX analogue of `@inferred` type stability:
+                          `jit(from_linked_vec)` traces exactly once across
+                          repeated calls (static shapes, no retrace) (:385-413)
+4. static lengths       — vec_length / linked_vec_length match actual shapes
+                          without sampling (:480-497)
+5. optic sparsity       — non-entangled linked coordinates depend only on
+                          their claimed input (AD Jacobian support) (:419-473)
+6. logjac vs AD oracle  — linked logdet against slogdet of the jacfwd
+                          Jacobian in both directions, using square free
+                          charts for dimension-changing links (the reference's
+                          to_vec_for_logjac_test shims, :92-244 + :573-633)
+7. logpdf consistency   — logpdf(x) - logdetJ == logpdf_with_trans(d, x, true)
+
+The reference's zero-allocation check (:504-543) has no analogue under XLA
+(everything is compiled); its role is covered by check 3.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dists.base import Distribution
+from ..vectorize.core import (
+    IIDUnconstrainer,
+    LeafUnconstrainer,
+    TransformedUnconstrainer,
+    TreeUnconstrainer,
+    Unconstrainer,
+    unconstrain,
+)
+
+
+def _free_chart(u: Unconstrainer, x):
+    """Sample -> free coordinates with dim == linked_vec_length (square-
+    Jacobian trick). Returns None when no valid chart exists (the AD logjac
+    check is then skipped for this distribution)."""
+    from ..utils import tril_to_vec, triu_to_vec
+
+    if isinstance(u, LeafUnconstrainer):
+        kind = u.dist.support.kind
+        if kind == "simplex":
+            return u.to_vec(x)[..., :-1]
+        if kind == "corr":
+            return triu_to_vec(x, k=1)
+        if kind == "pd":
+            return tril_to_vec(x)
+        if kind == "chol_corr":
+            mode = getattr(u.dist, "mode", "L")
+            return tril_to_vec(x, k=1) if mode == "L" else triu_to_vec(x, k=1)
+        v = u.to_vec(x)
+        if v.shape[-1] != u.linked_vec_length:
+            return None  # unknown dimension-changing link
+        return v
+    if isinstance(u, IIDUnconstrainer):
+        inner = _free_chart(u.inner, x)  # broadcasts over the leading block axis
+        if inner is None:
+            return None
+        return jnp.reshape(inner, inner.shape[:-2] + (-1,))
+    if isinstance(u, TreeUnconstrainer):
+        parts = []
+        items = list(x) if u.names is None else [x[n] for n in u.names]
+        for c, xi in zip(u.children, items):
+            p = _free_chart(c, xi)
+            if p is None:
+                return None
+            parts.append(p)
+        return jnp.concatenate(parts, axis=-1)
+    if isinstance(u, TransformedUnconstrainer):
+        # only valid when the whole path is dimension-preserving: the ravel
+        # chart's logdet then matches the reported (base + transform) logdet
+        if u.vec_length != u.linked_vec_length:
+            return None
+        return u.to_vec(x)
+    return None
+
+
+def _check_in_support(u: Unconstrainer, x, atol=1e-6):
+    if isinstance(u, LeafUnconstrainer):
+        ok = u.dist.in_support(x, atol)
+        return bool(jnp.all(ok))
+    if isinstance(u, IIDUnconstrainer):
+        return _check_in_support(u.inner, x, atol)
+    if isinstance(u, TreeUnconstrainer):
+        items = list(x) if u.names is None else [x[n] for n in u.names]
+        return all(_check_in_support(c, xi, atol) for c, xi in zip(u.children, items))
+    if isinstance(u, TransformedUnconstrainer):
+        return True  # support of a transformed dist is the transform's image
+    return True
+
+
+def _tree_allclose(a, b, atol, rtol=1e-7):
+    la, lb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol, rtol=rtol)
+
+
+def test_all(
+    d: Distribution,
+    *,
+    seed: int = 23,
+    n_roundtrip: int = 32,
+    n_inverse: int = 16,
+    inverse_scale: float = 1.0,
+    atol: float = 1e-7,
+    check_logjac_ad: bool = True,
+    check_optics: bool = True,
+    check_logpdf: bool = True,
+    skip=(),
+):
+    """Run the full property sweep on distribution `d`. Raises on failure."""
+    key = jax.random.PRNGKey(seed)
+    rng = np.random.default_rng(seed)
+    u = unconstrain(d)
+    discrete = getattr(d, "support", None) is not None and d.support.kind == "discrete"
+
+    # dtype-aware tolerances: f64 keeps the reference's ~1e-5/1e-6 bars
+    # (test_utils.jl:251-254); f32 (the TPU performance mode) scales by eps
+    eps = float(jnp.finfo(jnp.result_type(float)).eps)
+    rt_tol = max(100.0 * atol, 1e3 * eps)  # 1e-5 in f64, ~1.2e-4 in f32
+    ld_tol = max(10.0 * atol, 1e3 * eps)  # 1e-6 in f64
+
+    # 4. static lengths (checked first — later tests rely on them)
+    assert isinstance(u.vec_length, int) and isinstance(u.linked_vec_length, int)
+
+    # 1. roundtrip on real samples
+    if "roundtrip" not in skip:
+        x = d.sample(key, (n_roundtrip,))
+        v = u.to_vec(x)
+        assert v.shape[-1] == u.vec_length, (v.shape, u.vec_length)
+        _tree_allclose(u.from_vec(v), x, atol=atol)
+        lv, ld = u.to_linked_vec(x)
+        assert lv.shape[-1] == u.linked_vec_length
+        assert jnp.shape(ld) == jnp.shape(lv)[:-1]
+        x_rt, ld_inv = u.from_linked_vec(lv)
+        if discrete:
+            # identity link: exact round-trip, logdet 0
+            _tree_allclose(x_rt, x, atol=0)
+            np.testing.assert_allclose(np.asarray(ld), 0.0)
+        else:
+            _tree_allclose(x_rt, x, atol=rt_tol, rtol=rt_tol)
+            np.testing.assert_allclose(
+                np.asarray(ld_inv), -np.asarray(ld), atol=ld_tol, rtol=ld_tol
+            )
+
+    # 2. inverse roundtrip from random unconstrained + in-support
+    if "inverse" not in skip and not discrete:
+        y = jnp.asarray(rng.standard_normal((n_inverse, u.linked_vec_length)) * inverse_scale)
+        xs, ld = u.from_linked_vec(y)
+        assert _check_in_support(u, xs), f"from_linked_vec left support for {type(d).__name__}"
+        y_rt, ld2 = u.to_linked_vec(xs)
+        np.testing.assert_allclose(np.asarray(y_rt), np.asarray(y), atol=rt_tol, rtol=rt_tol)
+        np.testing.assert_allclose(np.asarray(ld2), -np.asarray(ld), atol=ld_tol, rtol=ld_tol)
+
+    # 3. trace stability: jit compiles once, no retrace on second call
+    if "trace" not in skip and not discrete:
+        traces = 0
+
+        def f(v):
+            nonlocal traces
+            traces += 1
+            return u.from_linked_vec(v)
+
+        jf = jax.jit(f)
+        y0 = jnp.zeros(u.linked_vec_length)
+        jax.block_until_ready(jf(y0)[1])
+        jax.block_until_ready(jf(y0 + 0.1)[1])
+        assert traces == 1, f"from_linked_vec retraced ({traces} traces)"
+
+    # 5. optic provenance + Jacobian sparsity
+    if check_optics and "optics" not in skip and not discrete:
+        ov = u.optic_vec()
+        lov = u.linked_optic_vec()
+        assert len(ov) == u.vec_length
+        assert len(lov) == u.linked_vec_length
+        if u.vec_length == u.linked_vec_length and all(o is not None for o in lov):
+            y = jnp.asarray(rng.standard_normal(u.linked_vec_length) * 0.3)
+
+            def comp(yv):
+                xs, _ = u.from_linked_vec(yv)
+                return u.to_vec(xs)
+
+            J = np.asarray(jax.jacfwd(comp)(y))
+            off = J - np.diag(np.diag(J))
+            np.testing.assert_allclose(off, 0.0, atol=1e-10,
+                                       err_msg="claimed-independent linked coords are entangled")
+
+    # 6. logjac vs AD Jacobian oracle, both directions
+    if check_logjac_ad and "logjac" not in skip and not discrete:
+        y = jnp.asarray(rng.standard_normal(u.linked_vec_length) * 0.3 * inverse_scale)
+        x0, ld0 = u.from_linked_vec(y)
+        chart = _free_chart(u, x0)
+        if chart is not None:
+
+            def fwd(yv):
+                xs, _ = u.from_linked_vec(yv)
+                return _free_chart(u, xs)
+
+            J = jax.jacfwd(fwd)(y)
+            _, logdet = jnp.linalg.slogdet(J)
+            np.testing.assert_allclose(
+                np.asarray(logdet), np.asarray(ld0), atol=ld_tol, rtol=ld_tol,
+                err_msg="from_linked logdet != slogdet(AD Jacobian)",
+            )
+
+    # 7. logpdf_with_trans consistency through the unconstrainer
+    if check_logpdf and "logpdf" not in skip and not discrete and isinstance(u, LeafUnconstrainer):
+        from ..registry import logpdf_with_trans
+
+        x = d.sample(jax.random.PRNGKey(seed + 1))
+        _, ld = u.to_linked_vec(x)
+        lp = d.logpdf(x)
+        if jnp.ndim(lp) > 0:
+            lp = jnp.sum(lp)  # scalar-event dists return elementwise logpdf
+        np.testing.assert_allclose(
+            float(lp - ld),
+            float(logpdf_with_trans(d, x, True)),
+            atol=1e-8,
+            rtol=1e-8,
+        )
+
+    return True
+
+
+test_all.__test__ = False  # it IS the harness, not a pytest case

@@ -368,7 +368,7 @@ class UnconstrainerBijector(Bijector):
         return (self.u.linked_vec_length,)
 
 
-_ENTANGLED_KINDS = {"simplex", "pd", "corr", "chol_corr"}
+_ENTANGLED_KINDS = {"simplex", "pd", "corr", "chol_corr", "joint_order"}
 
 
 def unconstrain(d: Distribution) -> Unconstrainer:
