@@ -104,3 +104,17 @@ def test_transformed_distribution_dirichlet(key):
     np.testing.assert_allclose(
         float(td.logpdf(y)), float(tb.logpdf_with_trans(d, x, True)), atol=1e-9
     )
+
+
+def test_uniform_logpdf_stability_at_extreme_y():
+    """Bijectors.jl#325 regression (reference test/interface.jl:84-97): at
+    y=80 the constrained x rounds to the boundary, but the stable inverse
+    log-jac log(b-a) - |y| - 2*log1pexp(-|y|) keeps logpdf finite."""
+    d = dists.Uniform(-1.0, 1.0)
+    td = tb.transformed(d)
+    for y in (80.0, -80.0):
+        lp = float(td.logpdf(jnp.asarray(y, jnp.float64)))
+        assert np.isfinite(lp), f"transformed-Uniform logpdf -inf at y={y}"
+        # analytic: logpdf(U(-1,1), x) + log(2) - |y| - 2 log1pexp(-|y|)
+        expect = -np.log(2.0) + np.log(2.0) - abs(y) - 2 * np.log1p(np.exp(-abs(y)))
+        np.testing.assert_allclose(lp, expect, atol=1e-12)

@@ -246,6 +246,13 @@ class VecCorrBijector(Bijector):
         return self.inverse_and_log_det(y)[0]
 
     def inverse_and_log_det(self, y):
+        return self.inverse_and_log_det_with_factor(y)[:2]
+
+    def inverse_and_log_det_with_factor(self, y):
+        """(X, logJ, W): also exposes the upper Cholesky factor W of X that
+        the inverse computes anyway — distributions whose density is a
+        function of the factor (LKJ: logdet X = 2 sum log W_jj) fuse on it
+        instead of re-decomposing X (the NUTS hot-path optimization)."""
         K = triu1_dim_from_length(y.shape[-1])
         Y = vec_to_triu(y, k=1, n=K)
         W, logJ = _inv_link_chol_lkj(Y)
@@ -257,7 +264,7 @@ class VecCorrBijector(Bijector):
         )
         d = jnp.diagonal(W, axis1=-2, axis2=-1)
         logJ = logJ + jnp.sum(coeff * jnp.log(d), axis=-1)
-        return pd_from_upper(W), logJ
+        return pd_from_upper(W), logJ, W
 
     def inverse_log_det_jacobian(self, y):
         return _logabsdetjac_inv_corr_vec(y)

@@ -93,9 +93,15 @@ class PDVecBijector(Bijector):
         return pd_from_lower(L)
 
     def inverse_and_log_det(self, y):
+        return self.inverse_and_log_det_with_factor(y)[:2]
+
+    def inverse_and_log_det_with_factor(self, y):
+        """(X, logJ, L): also exposes the lower Cholesky factor L of X —
+        Wishart-family densities fuse on it (logdet X = 2 sum log L_ii,
+        trace terms via triangular solves) instead of re-decomposing X."""
         Y = vec_to_tril(y)
         L = set_diag(Y, jnp.exp(jnp.diagonal(Y, axis1=-2, axis2=-1)))
-        return pd_from_lower(L), -_pd_logdet_from_chol(L)
+        return pd_from_lower(L), -_pd_logdet_from_chol(L), L
 
 
 @pytree_dataclass

@@ -89,9 +89,20 @@ class LKJ(Distribution):
         return jnp.shape(self.eta)
 
     def logpdf(self, X):
+        # logdet via Cholesky (SPD): cheaper than LU slogdet and f64-safe on TPU
         dtype = jnp.result_type(X, float)
-        sign, logdet = jnp.linalg.slogdet(X)
+        L = cholesky_lower(X)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1)
         eta = jnp.asarray(self.eta, dtype)
+        return (eta - 1.0) * logdet - _lkj_log_normalizer(self.dim, eta, dtype)
+
+    def logpdf_from_factor(self, W):
+        """Density from the upper Cholesky factor W of X = W'W (the factor
+        the VecCorrBijector inverse computes anyway): logdet X = 2 sum log W_jj.
+        Fuses the NUTS hot path — no re-decomposition of X."""
+        dtype = jnp.result_type(W, float)
+        eta = jnp.asarray(self.eta, dtype)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(W, axis1=-2, axis2=-1)), -1)
         return (eta - 1.0) * logdet - _lkj_log_normalizer(self.dim, eta, dtype)
 
     def sample(self, key, sample_shape=()):
@@ -210,6 +221,29 @@ class Wishart(Distribution):
             - _mv_lgamma(0.5 * v, K)
         )
 
+    def logpdf_from_factor(self, L):
+        """Density from the lower Cholesky factor L of X = LL' (the factor the
+        PDVecBijector inverse computes anyway): logdet X = 2 sum log L_ii and
+        tr(S^-1 X) = ||solve_tri(chol(S), L)||_F^2 — one batched triangular
+        solve instead of an LU solve + slogdet per sample."""
+        dtype = jnp.result_type(L, float)
+        K = jnp.shape(self.scale)[-1]
+        v = jnp.asarray(self.df, dtype)
+        S = jnp.asarray(self.scale, dtype)
+        Sc = cholesky_lower(S)
+        logdetX = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1)
+        logdetS = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Sc, axis1=-2, axis2=-1)), -1)
+        Sc_b = jnp.broadcast_to(Sc, jnp.shape(L)[:-2] + jnp.shape(Sc)[-2:])
+        A = jax.scipy.linalg.solve_triangular(Sc_b, L, lower=True)
+        tr = jnp.sum(A * A, axis=(-2, -1))
+        return (
+            0.5 * (v - K - 1.0) * logdetX
+            - 0.5 * tr
+            - 0.5 * v * K * LOG2
+            - 0.5 * v * logdetS
+            - _mv_lgamma(0.5 * v, K)
+        )
+
     def sample(self, key, sample_shape=()):
         dtype = jnp.result_type(self.df, self.scale, float)
         K = jnp.shape(self.scale)[-1]
@@ -248,6 +282,27 @@ class InverseWishart(Distribution):
         _, logdetX = jnp.linalg.slogdet(X)
         _, logdetP = jnp.linalg.slogdet(P)
         tr = jnp.trace(jnp.linalg.solve(X, P), axis1=-2, axis2=-1)
+        return (
+            0.5 * v * logdetP
+            - 0.5 * (v + K + 1.0) * logdetX
+            - 0.5 * tr
+            - 0.5 * v * K * LOG2
+            - _mv_lgamma(0.5 * v, K)
+        )
+
+    def logpdf_from_factor(self, L):
+        """Density from the lower Cholesky factor L of X = LL':
+        tr(Psi X^-1) = ||solve_tri(L, chol(Psi))||_F^2."""
+        dtype = jnp.result_type(L, float)
+        K = jnp.shape(self.psi)[-1]
+        v = jnp.asarray(self.df, dtype)
+        P = jnp.asarray(self.psi, dtype)
+        Pc = cholesky_lower(P)
+        logdetX = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1)
+        logdetP = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Pc, axis1=-2, axis2=-1)), -1)
+        Pc_b = jnp.broadcast_to(Pc, jnp.shape(L)[:-2] + jnp.shape(Pc)[-2:])
+        B = jax.scipy.linalg.solve_triangular(L, Pc_b, lower=True)
+        tr = jnp.sum(B * B, axis=(-2, -1))
         return (
             0.5 * v * logdetP
             - 0.5 * (v + K + 1.0) * logdetX

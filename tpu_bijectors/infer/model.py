@@ -36,14 +36,17 @@ class Model:
         return self.unconstrainer().linked_vec_length
 
     def logdensity_fn(self):
-        """Returns logp(v) on flat unconstrained vectors (batch-friendly)."""
+        """Returns logp(v) on flat unconstrained vectors (batch-friendly).
+
+        Uses the fused `from_linked_vec_with_logpdf` path: factor-aware
+        densities (LKJ / Wishart) are evaluated from the Cholesky factor the
+        inverse link already computes — no re-decomposition in the leapfrog
+        hot loop."""
         u = self.unconstrainer()
-        priors = self.priors
         loglik = self.loglik
 
         def logdensity(v):
-            x, ld = u.from_linked_vec(v)
-            lp = priors.logpdf(x) + ld
+            x, lp = u.from_linked_vec_with_logpdf(v)
             if loglik is not None:
                 lp = lp + loglik(x)
             return lp

@@ -84,6 +84,14 @@ class Unconstrainer:
     def linked_optic_vec(self):
         raise NotImplementedError
 
+    def from_linked_vec_with_logpdf(self, v):
+        """(x, logpdf(d, x) + logdetJ) — the sampler hot path as ONE fused
+        computation. Leaf distributions whose density is a function of a
+        decomposition the inverse link already computes (LKJ: Cholesky factor
+        of the correlation matrix; Wishart family: factor of the SPD matrix)
+        override the generic path and never re-decompose x."""
+        raise NotImplementedError
+
 
 @pytree_dataclass(meta_fields=("event_shape", "linked_shape", "chol_pack", "entangled"))
 class LeafUnconstrainer(Unconstrainer):
@@ -149,6 +157,21 @@ class LeafUnconstrainer(Unconstrainer):
             return [None] * self.linked_vec_length
         return [((), i) for i in range(self.linked_vec_length)]
 
+    def from_linked_vec_with_logpdf(self, v):
+        b, d = self.link, self.dist
+        if hasattr(b, "inverse_and_log_det_with_factor") and hasattr(
+            d, "logpdf_from_factor"
+        ):
+            y = _unravel_event(v, self.linked_shape)
+            x, ld, factor = b.inverse_and_log_det_with_factor(y)
+            lp = d.logpdf_from_factor(factor)
+            extra = len(self.event_shape) - int(b.event_ndims_in)
+            if extra > 0:
+                ld = jnp.sum(ld, axis=tuple(range(-extra, 0)))
+            return x, lp + ld
+        x, ld = self.from_linked_vec(v)
+        return x, d.logpdf(x) + ld
+
 
 def _to_lower(x, dist):
     mode = getattr(dist, "mode", "L")
@@ -195,6 +218,11 @@ class IIDUnconstrainer(Unconstrainer):
         vi = jnp.reshape(v, v.shape[:-1] + (self.n, self.inner.linked_vec_length))
         x, ld = self.inner.from_linked_vec(vi)
         return x, jnp.sum(ld, axis=-1)
+
+    def from_linked_vec_with_logpdf(self, v):
+        vi = jnp.reshape(v, v.shape[:-1] + (self.n, self.inner.linked_vec_length))
+        x, lpld = self.inner.from_linked_vec_with_logpdf(vi)
+        return x, jnp.sum(lpld, axis=-1)
 
     def optic_vec(self):
         out = []
@@ -278,6 +306,14 @@ class TreeUnconstrainer(Unconstrainer):
             ld = ldi if ld is None else ld + ldi
         return self._rebuild(parts), ld
 
+    def from_linked_vec_with_logpdf(self, v):
+        parts, acc = [], None
+        for c, (s, l) in zip(self.children, self.linked_offsets):
+            xi, a = c.from_linked_vec_with_logpdf(v[..., s : s + l])
+            parts.append(xi)
+            acc = a if acc is None else acc + a
+        return self._rebuild(parts), acc
+
     def optic_vec(self):
         out = []
         for i, c in enumerate(self.children):
@@ -333,6 +369,13 @@ class TransformedUnconstrainer(Unconstrainer):
         if extra > 0:
             ld2 = jnp.sum(ld2, axis=tuple(range(-extra, 0)))
         return y, ld + ld2
+
+    def from_linked_vec_with_logpdf(self, v):
+        # logpdf(td, y) + ld(v->y) telescopes to base logpdf + base ld: the
+        # transform's forward and inverse log-dets cancel
+        x, lpld = self.base.from_linked_vec_with_logpdf(v)
+        y = self.transform.forward(x)
+        return y, lpld
 
     def optic_vec(self):
         return [((), i) for i in range(self.vec_length)]
