@@ -215,3 +215,30 @@ def test_smc_hmc_mutation(key):
     )(jax.random.PRNGKey(12), particles0)
     p = np.asarray(res.particles)
     np.testing.assert_allclose(p.mean(0), 1.0, atol=0.1)  # posterior mean = 1
+
+
+def test_nuts_ordered_distribution(key):
+    """Sampling transformed(ordered(iid Normal)) via NUTS matches the
+    order-statistics moments of sorting iid draws (reference
+    test/bijectors/ordered.jl runs the same check with AdvancedHMC)."""
+    n = 4
+    d = dists.IIDProduct(dists.Normal(0.0, 1.0), n)
+    od = tb.ordered(d)
+    b = tb.bijector(od)  # ordered -> unconstrained
+
+    def logp(v):
+        x, ld = tb.inverse(b).forward_and_log_det(v)
+        return d.logpdf(x) + ld
+
+    q0 = 0.5 * jax.random.normal(jax.random.PRNGKey(13), (4, n), jnp.float64)
+    samples, _, stats = jax.jit(
+        lambda k, q: warmup_and_sample(logp, k, q, n_warmup=400, n_samples=800)
+    )(key, q0)
+    x = np.asarray(jax.vmap(tb.inverse(b).forward)(samples.reshape(-1, n)))
+    assert np.all(np.diff(x, axis=-1) >= -1e-10), "NUTS left the ordered set"
+    # oracle: moments of sorted iid normal draws
+    z = np.sort(np.asarray(
+        dists.Normal(0.0, 1.0).sample(jax.random.PRNGKey(14), (200_000, n))
+    ), axis=-1)
+    np.testing.assert_allclose(x.mean(0), z.mean(0), atol=0.05)
+    np.testing.assert_allclose(x.std(0), z.std(0), atol=0.05)

@@ -49,3 +49,42 @@ def test_kernels_toggle():
     kernels.enable(False)
     assert not kernels.enabled()
     kernels.enable(True)
+
+
+@pytest.mark.parametrize("B,K", [(16, 4), (130, 8), (64, 12)])
+def test_simplex_inverse_logdet_pallas_close(B, K, rng):
+    from tpu_bijectors.bijectors.simplex import _simplex_inverse_logdet_jnp
+    from tpu_bijectors.kernels.simplex import simplex_inverse_logdet_pallas
+
+    y = jnp.asarray(rng.standard_normal((B, K - 1)), jnp.float32)
+    x_ref, ld_ref = _simplex_inverse_logdet_jnp(y)
+    x_pal, ld_pal = simplex_inverse_logdet_pallas(y, interpret=True)
+    assert bool(jnp.all(x_ref == x_pal)), "fused inverse x not bit-identical"
+    np.testing.assert_allclose(np.asarray(ld_pal), np.asarray(ld_ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("B,K", [(16, 3), (130, 8), (64, 11)])
+def test_lkj_inverse_pallas_close(B, K, rng):
+    from tpu_bijectors.bijectors.corr import _vec_corr_inverse_all_jnp
+    from tpu_bijectors.kernels.lkj import lkj_inverse_pallas
+
+    y = jnp.asarray(0.5 * rng.standard_normal((B, K * (K - 1) // 2)), jnp.float32)
+    X_ref, lj_ref, ldw_ref = _vec_corr_inverse_all_jnp(y)
+    X_pal, lj_pal, ldw_pal = lkj_inverse_pallas(y, K, interpret=True)
+    np.testing.assert_allclose(np.asarray(X_pal), np.asarray(X_ref), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(lj_pal), np.asarray(lj_ref), atol=3e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(ldw_pal), np.asarray(ldw_ref), atol=3e-5, rtol=2e-5)
+
+
+def test_lkj_pallas_grad_routes_through_jnp(rng):
+    """The custom_jvp wrapper must differentiate via the jnp path."""
+    from tpu_bijectors.bijectors.corr import (
+        _vec_corr_inverse_all_jnp,
+        _vec_corr_inverse_all_pallas,
+    )
+
+    y = jnp.asarray(0.3 * rng.standard_normal((4, 6)), jnp.float64)
+    g_ref = jax.grad(lambda y: jnp.sum(_vec_corr_inverse_all_jnp(y)[1]))(y)
+    # grad of the pallas-wrapped fn never executes the kernel (jvp rule)
+    g_pal = jax.grad(lambda y: jnp.sum(_vec_corr_inverse_all_pallas(y, 4)[1]))(y)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref), rtol=1e-12)

@@ -25,6 +25,7 @@ triangle (matching `update_triu_from_vec`, src/utils.jl:77-85).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -249,25 +250,75 @@ class VecCorrBijector(Bijector):
         return self.inverse_and_log_det_with_factor(y)[:2]
 
     def inverse_and_log_det_with_factor(self, y):
-        """(X, logJ, W): also exposes the upper Cholesky factor W of X that
-        the inverse computes anyway — distributions whose density is a
-        function of the factor (LKJ: logdet X = 2 sum log W_jj) fuse on it
-        instead of re-decomposing X (the NUTS hot-path optimization)."""
-        K = triu1_dim_from_length(y.shape[-1])
-        Y = vec_to_triu(y, k=1, n=K)
-        W, logJ = _inv_link_chol_lkj(Y)
-        coeff = jnp.concatenate(
-            [
-                jnp.zeros((1,), W.dtype),
-                jnp.asarray(np.maximum(np.arange(K - 2, -1, -1), 0), dtype=W.dtype),
-            ]
-        )
-        d = jnp.diagonal(W, axis1=-2, axis2=-1)
-        logJ = logJ + jnp.sum(coeff * jnp.log(d), axis=-1)
-        return pd_from_upper(W), logJ, W
+        """(X, logJ, log_diag_W): also exposes the log-diagonal of the upper
+        Cholesky factor W of X that the inverse computes anyway —
+        distributions whose density is a function of the factor (LKJ:
+        logdet X = 2 sum log W_jj) fuse on it instead of re-decomposing X
+        (the NUTS hot-path optimization)."""
+        if _lkj_pallas_profitable(y):
+            K = triu1_dim_from_length(y.shape[-1])
+            return _vec_corr_inverse_all_pallas(y, K)
+        return _vec_corr_inverse_all_jnp(y)
 
     def inverse_log_det_jacobian(self, y):
         return _logabsdetjac_inv_corr_vec(y)
+
+
+def _vec_corr_inverse_all_jnp(y):
+    """(X, logJ, log_diag_W) via the masked-cumsum jnp path."""
+    K = triu1_dim_from_length(y.shape[-1])
+    Y = vec_to_triu(y, k=1, n=K)
+    W, logJ = _inv_link_chol_lkj(Y)
+    coeff = jnp.concatenate(
+        [
+            jnp.zeros((1,), W.dtype),
+            jnp.asarray(np.maximum(np.arange(K - 2, -1, -1), 0), dtype=W.dtype),
+        ]
+    )
+    log_diag = jnp.log(jnp.diagonal(W, axis1=-2, axis2=-1))
+    logJ = logJ + jnp.sum(coeff * log_diag, axis=-1)
+    return pd_from_upper(W), logJ, log_diag
+
+
+def _lkj_pallas_profitable(y) -> bool:
+    """Trace-time dispatch (static shape/dtype/backend only): the fused
+    lane-batch kernel wins for 2D f32 batches of small K (see kernels/lkj.py)."""
+    import jax
+
+    try:
+        from .. import kernels
+
+        if not kernels.enabled():
+            return False
+        K = triu1_dim_from_length(y.shape[-1])
+        return (
+            jax.default_backend() == "tpu"
+            and y.ndim == 2
+            and K <= 16
+            and y.shape[0] >= 1024
+            and jnp.result_type(y, float) == jnp.float32
+        )
+    except Exception:
+        return False
+
+
+from jax import custom_jvp as _custom_jvp
+from functools import partial as _partial
+
+
+@_partial(_custom_jvp, nondiff_argnums=(1,))
+def _vec_corr_inverse_all_pallas(y, K):
+    """Pallas primal; derivatives route through the jnp path (identical math)."""
+    from ..kernels.lkj import lkj_inverse_pallas
+
+    return lkj_inverse_pallas(y, K)
+
+
+@_vec_corr_inverse_all_pallas.defjvp
+def _vec_corr_inverse_all_pallas_jvp(K, primals, tangents):
+    (y,) = primals
+    (dy,) = tangents
+    return jax.jvp(_vec_corr_inverse_all_jnp, (y,), (dy,))
 
 
 @pytree_dataclass(meta_fields=("mode",))

@@ -97,7 +97,9 @@ class SimplexBijector(Bijector):
         return _simplex_inverse(y)
 
     def inverse_and_log_det(self, y):
-        x = self.inverse(y)
+        if _pallas_profitable(y):
+            return _simplex_inverse_logdet_pallas_diffable(y)
+        x = _simplex_inverse(y)
         return x, -self.forward_log_det_jacobian(x)
 
 
@@ -115,6 +117,26 @@ def _simplex_inverse_pallas_jvp(primals, tangents):
     (y,) = primals
     (dy,) = tangents
     return jax.jvp(_simplex_inverse, (y,), (dy,))
+
+
+@jax.custom_jvp
+def _simplex_inverse_logdet_pallas_diffable(y):
+    """Fused Pallas (x, ld_inv) primal; tangents via the jnp composition."""
+    from ..kernels.simplex import simplex_inverse_logdet_pallas
+
+    return simplex_inverse_logdet_pallas(y)
+
+
+def _simplex_inverse_logdet_jnp(y):
+    x = _simplex_inverse(y)
+    return x, -SimplexBijector().forward_log_det_jacobian(x)
+
+
+@_simplex_inverse_logdet_pallas_diffable.defjvp
+def _simplex_inverse_logdet_pallas_jvp(primals, tangents):
+    (y,) = primals
+    (dy,) = tangents
+    return jax.jvp(_simplex_inverse_logdet_jnp, (y,), (dy,))
 
 
 def _pallas_profitable(y) -> bool:

@@ -96,13 +96,14 @@ class LKJ(Distribution):
         eta = jnp.asarray(self.eta, dtype)
         return (eta - 1.0) * logdet - _lkj_log_normalizer(self.dim, eta, dtype)
 
-    def logpdf_from_factor(self, W):
-        """Density from the upper Cholesky factor W of X = W'W (the factor
-        the VecCorrBijector inverse computes anyway): logdet X = 2 sum log W_jj.
-        Fuses the NUTS hot path — no re-decomposition of X."""
-        dtype = jnp.result_type(W, float)
+    def logpdf_from_factor(self, log_diag_w):
+        """Density from the log-diagonal of the upper Cholesky factor W of
+        X = W'W (which the VecCorrBijector inverse computes anyway):
+        logdet X = 2 sum log W_jj. Fuses the NUTS hot path — no
+        re-decomposition of X."""
+        dtype = jnp.result_type(log_diag_w, float)
         eta = jnp.asarray(self.eta, dtype)
-        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(W, axis1=-2, axis2=-1)), -1)
+        logdet = 2.0 * jnp.sum(log_diag_w, -1)
         return (eta - 1.0) * logdet - _lkj_log_normalizer(self.dim, eta, dtype)
 
     def sample(self, key, sample_shape=()):

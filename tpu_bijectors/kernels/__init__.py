@@ -17,11 +17,18 @@ def enabled() -> bool:
     return _ENABLED
 
 
-from .simplex import simplex_forward_logdet_pallas, simplex_inverse_pallas  # noqa: E402
+from .simplex import (  # noqa: E402
+    simplex_forward_logdet_pallas,
+    simplex_inverse_logdet_pallas,
+    simplex_inverse_pallas,
+)
+from .lkj import lkj_inverse_pallas  # noqa: E402
 
 __all__ = [
     "enable",
     "enabled",
     "simplex_inverse_pallas",
+    "simplex_inverse_logdet_pallas",
     "simplex_forward_logdet_pallas",
+    "lkj_inverse_pallas",
 ]

@@ -76,6 +76,66 @@ def simplex_inverse_pallas(y, *, interpret: bool = False):
     return out.T[:B]
 
 
+def simplex_inverse_logdet_pallas(y, *, interpret: bool = False):
+    """y: (B, K-1) -> (x: (B, K), ld_inv: (B,)) in ONE pass: the inverse
+    recurrence and the inverse log-det (= -forward logdet at the
+    reconstructed x, same eps algebra as
+    SimplexBijector.forward_log_det_jacobian) share the running sum."""
+    B, Km1 = y.shape
+    K = Km1 + 1
+    dtype = jnp.result_type(y, float)
+    y = y.astype(dtype)
+    eps = _eps(dtype)
+    log_coeffs = np.log(np.arange(K - 1, 0, -1)).astype(dtype)
+
+    Bp = ((B + _LANES - 1) // _LANES) * _LANES
+    yt = _pad_to(y, Bp, 0).T  # (K-1, Bp)
+
+    def kernel(y_ref, x_ref, ld_ref):
+        s = jnp.zeros((1, _LANES), dtype)
+        lp = jnp.zeros((1, _LANES), dtype)
+        for k in range(K - 1):
+            z = jax.nn.sigmoid(y_ref[k, :] - log_coeffs[k]).reshape(1, _LANES)
+            if k == 0:
+                xk = jnp.clip((z - eps) / (1 - 2 * eps), 0.0, 1.0)
+                zl = xk
+                lp = lp + jnp.log(jnp.maximum(zl, eps)) + jnp.log(
+                    jnp.maximum(1.0 - zl, eps)
+                )
+            else:
+                xk = jnp.clip(((1 + eps) - s) / (1 - 2 * eps) * z - eps, 0.0, 1.0)
+                rem = jnp.maximum(1.0 - s, eps)
+                zl = xk / rem
+                lp = (
+                    lp
+                    + jnp.log(jnp.maximum(zl, eps))
+                    + jnp.log(jnp.maximum(1.0 - zl, eps))
+                    + jnp.log(rem)
+                )
+            x_ref[k, :] = xk[0, :]
+            s = s + xk
+        x_ref[K - 1, :] = jnp.clip(1.0 - s, 0.0, 1.0)[0, :]
+        ld_ref[0, :] = lp[0, :]  # inverse logdet = -forward logdet = +lp
+
+    x_out, ld_out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((K, Bp), dtype),
+            jax.ShapeDtypeStruct((1, Bp), dtype),
+        ),
+        grid=(Bp // _LANES,),
+        in_specs=[
+            pl.BlockSpec((Km1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((K, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(yt)
+    return x_out.T[:B], ld_out[0, :B]
+
+
 def simplex_forward_logdet_pallas(x, *, interpret: bool = False):
     """x: (B, K) -> (y: (B, K-1), logdet: (B,)) fused single pass,
     matching SimplexBijector.forward / .forward_log_det_jacobian."""
