@@ -36,7 +36,9 @@ def _model():
     )
 
 
-def _time(fn, *args, n_iter=50, warmup=3):
+def _time(fn, *args, n_iter=200, warmup=10):
+    # generous warmup: the first dispatches after compile are slower through
+    # the device tunnel; we report steady-state throughput
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()

@@ -1,0 +1,87 @@
+"""Regressions from the round-1 code review: traced-parameter supports,
+quantile bracket expansion, affine algebra completeness, out-of-support
+densities."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import stats as ss
+
+import tpu_bijectors as tb
+from tpu_bijectors import dists
+
+
+def test_bounded_kernel_support_with_array_params():
+    """Biweight/Triweight/SymTriangular/Semicircle/Cosine/Epanechnikov with
+    array parameters must report the true (array-valued) bounds, not [0,1]."""
+    d = dists.Biweight(jnp.asarray(2.0), 1.0)
+    s = d.support
+    assert s.lower_finite and s.upper_finite
+    np.testing.assert_allclose(float(s.lower), 1.0)
+    np.testing.assert_allclose(float(s.upper), 3.0)
+    # the link now lands in-support and the density is finite
+    x = tb.invlink(d, jnp.asarray(0.0, jnp.float64))
+    assert 1.0 < float(x) < 3.0
+    assert np.isfinite(float(d.logpdf(x)))
+    sc = dists.Semicircle(jnp.asarray(2.0)).support
+    np.testing.assert_allclose(float(sc.lower), -2.0)
+
+
+def test_affine_support_with_array_base_bounds():
+    """Affine over a base with finite ARRAY bounds maps them elementwise."""
+    d = dists.Pareto(1.0, jnp.asarray(2.0)) + 1.0  # support [3, inf)
+    s = d.support
+    assert s.lower_finite and not s.upper_finite
+    np.testing.assert_allclose(float(s.lower), 3.0)
+    x = tb.invlink(d, jnp.asarray(0.5, jnp.float64))
+    assert float(x) > 3.0
+    assert np.isfinite(float(d.logpdf(x)))
+
+
+def test_default_quantile_far_bracket():
+    """Support far from the +-1 seed bracket must still be reached by the
+    geometric expansion (review: [100, inf) was silently truncated at 65)."""
+    d = dists.Exponential(1.0) + 100.0  # support [100, inf)
+    for q in (0.1, 0.5, 0.9):
+        expect = 100.0 + ss.expon.ppf(q)
+        got = float(dists.Distribution.quantile(d, jnp.asarray(q, jnp.float64)))
+        np.testing.assert_allclose(got, expect, rtol=1e-9)
+    du = (dists.Exponential(1.0) * -1.0) - 100.0  # support (-inf, -100]
+    got = float(dists.Distribution.quantile(du, jnp.asarray(0.5, jnp.float64)))
+    np.testing.assert_allclose(got, -100.0 - ss.expon.ppf(0.5), rtol=1e-9)
+
+
+def test_affine_quantile_traced_negative_scale():
+    d = dists.Affine(dists.Normal(0.0, 1.0), 0.0, jnp.asarray(-2.0))
+    got = float(d.quantile(jnp.asarray(0.9, jnp.float64)))
+    np.testing.assert_allclose(got, -2.0 * ss.norm.ppf(0.1), rtol=1e-9)
+
+
+def test_rsub():
+    d = 2.0 - dists.Normal(0.0, 1.0)  # N(2, 1)
+    np.testing.assert_allclose(
+        float(d.logpdf(jnp.asarray(2.0, jnp.float64))), ss.norm.logpdf(0.0), rtol=1e-12
+    )
+
+
+def test_betabinomial_out_of_support_is_neg_inf():
+    d = dists.BetaBinomial(5, 2.0, 2.0)
+    assert float(d.logpdf(jnp.asarray(7.0, jnp.float64))) == -math.inf
+    assert float(d.logpdf(jnp.asarray(-1.0, jnp.float64))) == -math.inf
+    assert np.isfinite(float(d.logpdf(jnp.asarray(3.0, jnp.float64))))
+
+
+def test_studentized_range_traced_k_raises():
+    import pytest
+
+    with pytest.raises(ValueError):
+        dists.StudentizedRange(2.0, jnp.asarray(5.0)).sample(jax.random.PRNGKey(0))
+
+
+def test_gev_traced_params_raise_not_wrong_link():
+    import pytest
+
+    with pytest.raises(ValueError):
+        dists.GeneralizedExtremeValue(jnp.asarray(0.0), 1.0, 0.3).support

@@ -66,8 +66,11 @@ class Affine(Distribution):
 
     def quantile(self, q):
         s = self.scale_static
-        if s is not None and s < 0:
-            q = 1.0 - q
+        if s is not None:
+            if s < 0:
+                q = 1.0 - q
+        else:
+            q = jnp.where(jnp.asarray(self.scale) > 0, q, 1.0 - q)
         return self.loc + self.scale * self.base.quantile(q)
 
     @property
@@ -83,12 +86,13 @@ class Affine(Distribution):
                 return bs
             raise ValueError("Affine with traced loc/scale over bounded support")
 
-        def _map(v):
-            return l + s * v if isinstance(v, (int, float)) and math.isfinite(v) else (
-                math.inf if (v == math.inf) == (s > 0) else -math.inf
-            )
+        def _map(v, finite):
+            if not finite:
+                # v is +-inf; the image side depends on the sign of s
+                return math.inf if (v == math.inf) == (s > 0) else -math.inf
+            return l + s * v  # python float or finite array bound
 
-        lo, hi = _map(bs.lower), _map(bs.upper)
+        lo, hi = _map(bs.lower, bs.lower_finite), _map(bs.upper, bs.upper_finite)
         lf, uf = bs.lower_finite, bs.upper_finite
         if s < 0:
             lo, hi = hi, lo

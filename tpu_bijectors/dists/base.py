@@ -163,6 +163,12 @@ class Distribution:
         s = self.support
         lo = jnp.full(jnp.shape(q), s.lower if s.lower_finite else -1.0, dtype)
         hi = jnp.full(jnp.shape(q), s.upper if s.upper_finite else 1.0, dtype)
+        # an infinite side must start its expansion beyond the finite side
+        # (e.g. support [100, inf): hi=1 would never bracket the quantile)
+        if s.lower_finite and not s.upper_finite:
+            hi = jnp.maximum(hi, lo + 1.0)
+        if s.upper_finite and not s.lower_finite:
+            lo = jnp.minimum(lo, hi - 1.0)
         if not s.lower_finite or not s.upper_finite:
             # geometric bracket expansion on the unbounded side(s)
             def expand(_, lohi):
@@ -198,6 +204,9 @@ class Distribution:
 
     def __sub__(self, c):
         return self + (-c)
+
+    def __rsub__(self, c):
+        return (-self) + c
 
     def __mul__(self, c):
         from .affine import affine

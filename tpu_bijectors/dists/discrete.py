@@ -57,11 +57,10 @@ class BetaBinomial(Distribution):
         b = jnp.asarray(self.b, dtype)
         x = jnp.asarray(x, dtype)
         n = float(self.n)
-        return (
-            _log_binom(n, x)
-            + jsp.betaln(x + a, n - x + b)
-            - jsp.betaln(a, b)
-        )
+        valid = (x >= 0) & (x <= n)
+        xc = jnp.clip(x, 0.0, n)  # avoid -inf + inf = NaN outside support
+        lp = _log_binom(n, xc) + jsp.betaln(xc + a, n - xc + b) - jsp.betaln(a, b)
+        return jnp.where(valid, lp, -jnp.inf)
 
     def sample(self, key, sample_shape=()):
         kp, kb = jax.random.split(key)

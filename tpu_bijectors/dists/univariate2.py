@@ -220,10 +220,7 @@ class Semicircle(Distribution):
 
     @property
     def support(self):
-        r = self.radius if isinstance(self.radius, (int, float)) else None
-        if r is not None:
-            return Support("interval", -r, r, True, True)
-        return Support("interval", self.radius, self.radius, True, True)
+        return Support("interval", -self.radius, self.radius, True, True)
 
 
 @pytree_dataclass
@@ -262,9 +259,7 @@ class Cosine(Distribution):
 
     @property
     def support(self):
-        if isinstance(self.mu, (int, float)) and isinstance(self.s, (int, float)):
-            return Support("interval", self.mu - self.s, self.mu + self.s, True, True)
-        return unit_interval()
+        return Support("interval", self.mu - self.s, self.mu + self.s, True, True)
 
 
 @pytree_dataclass
@@ -287,9 +282,7 @@ class Epanechnikov(Distribution):
 
     @property
     def support(self):
-        if isinstance(self.mu, (int, float)) and isinstance(self.s, (int, float)):
-            return Support("interval", self.mu - self.s, self.mu + self.s, True, True)
-        return unit_interval()
+        return Support("interval", self.mu - self.s, self.mu + self.s, True, True)
 
 
 @pytree_dataclass
@@ -323,8 +316,7 @@ class GeneralizedPareto(Distribution):
 
     @property
     def support(self):
-        lo = self.mu if isinstance(self.mu, (int, float)) else 0.0
-        return Support("interval", lo, math.inf, True, False)
+        return Support("interval", self.mu, math.inf, True, False)
 
 
 @pytree_dataclass
@@ -358,7 +350,10 @@ class GeneralizedExtremeValue(Distribution):
                 return Support("interval", self.mu - self.sigma / self.xi, math.inf, True, False)
             if self.xi < 0:
                 return Support("interval", -math.inf, self.mu - self.sigma / self.xi, False, True)
-        return real_line()
+            return real_line()  # xi == 0: Gumbel limit
+        # the bounded side depends on sign(xi), which is undecidable for
+        # traced parameters — refuse rather than return a wrong link
+        raise ValueError("GeneralizedExtremeValue.support needs static mu/sigma/xi")
 
 
 @pytree_dataclass

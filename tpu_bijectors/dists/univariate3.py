@@ -180,9 +180,8 @@ class NormalCanon(Distribution):
 
 
 def _bounded_kernel_support(mu, s):
-    if isinstance(mu, (int, float)) and isinstance(s, (int, float)):
-        return Support("interval", mu - s, mu + s, True, True)
-    return unit_interval()
+    # bounds may be python floats (static) or arrays (traced) — both finite
+    return Support("interval", mu - s, mu + s, True, True)
 
 
 @pytree_dataclass
@@ -755,7 +754,9 @@ class StudentizedRange(Distribution):
         shape = tuple(sample_shape) + self.batch_shape
         dtype = jnp.result_type(self.nu, self.k, float)
         nu = jnp.asarray(self.nu, dtype)
-        n_k = int(self.k) if isinstance(self.k, (int, float)) else 2
+        if not isinstance(self.k, (int, float)):
+            raise ValueError("StudentizedRange.sample needs a static k")
+        n_k = int(self.k)
         z = jax.random.normal(kz, shape + (n_k,), dtype)
         rng = jnp.max(z, -1) - jnp.min(z, -1)
         v = 2.0 * jax.random.gamma(kc, 0.5 * nu, shape, dtype)

@@ -27,17 +27,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_LANES = 128
+from .layout import LANES as _LANES, pad_to as _pad_to, padded_batch as _padded_batch
+
 LOG2 = math.log(2.0)
-
-
-def _pad_to(x, n, axis):
-    pad = n - x.shape[axis]
-    if pad <= 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
 
 
 def lkj_inverse_pallas(y, K: int, *, interpret: bool = False):
@@ -52,7 +44,7 @@ def lkj_inverse_pallas(y, K: int, *, interpret: bool = False):
     dtype = jnp.result_type(y, float)
     y = y.astype(dtype)
 
-    Bp = ((B + _LANES - 1) // _LANES) * _LANES
+    Bp = _padded_batch(B)
     yt = _pad_to(y, Bp, 0).T  # (P, Bp)
 
     # VecCorr diag coefficients (bijectors/corr.py): [0, K-2, K-3, ..., 0]

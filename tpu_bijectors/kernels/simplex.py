@@ -23,17 +23,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils import _eps
 
-_LANES = 128
-_MAX_UNROLL = 128  # static-unroll threshold over K
-
-
-def _pad_to(x, n, axis):
-    pad = n - x.shape[axis]
-    if pad <= 0:
-        return x
-    widths = [(0, 0)] * x.ndim
-    widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
+from .layout import LANES as _LANES, pad_to as _pad_to, padded_batch as _padded_batch
 
 
 def simplex_inverse_pallas(y, *, interpret: bool = False):
@@ -46,7 +36,7 @@ def simplex_inverse_pallas(y, *, interpret: bool = False):
     eps = _eps(dtype)
     log_coeffs = np.log(np.arange(K - 1, 0, -1)).astype(dtype)
 
-    Bp = ((B + _LANES - 1) // _LANES) * _LANES
+    Bp = _padded_batch(B)
     yt = _pad_to(y, Bp, 0).T  # (K-1, Bp)
 
     def kernel(y_ref, x_ref):
@@ -88,7 +78,7 @@ def simplex_inverse_logdet_pallas(y, *, interpret: bool = False):
     eps = _eps(dtype)
     log_coeffs = np.log(np.arange(K - 1, 0, -1)).astype(dtype)
 
-    Bp = ((B + _LANES - 1) // _LANES) * _LANES
+    Bp = _padded_batch(B)
     yt = _pad_to(y, Bp, 0).T  # (K-1, Bp)
 
     def kernel(y_ref, x_ref, ld_ref):
@@ -145,7 +135,7 @@ def simplex_forward_logdet_pallas(x, *, interpret: bool = False):
     eps = _eps(dtype)
     log_coeffs = np.log(np.arange(K - 1, 0, -1)).astype(dtype)
 
-    Bp = ((B + _LANES - 1) // _LANES) * _LANES
+    Bp = _padded_batch(B)
     xt = _pad_to(x, Bp, 0).T  # (K, Bp); pad rows are zeros -> harmless
 
     def kernel(x_ref, y_ref, ld_ref):
