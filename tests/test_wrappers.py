@@ -170,3 +170,34 @@ def test_product_distribution_bijector(key):
     td = tb.transformed(d)
     lp = td.logpdf(v)
     assert np.isfinite(float(lp))
+
+
+def test_classic_functional_interface():
+    """compat.py: the reference's exported function names map 1:1
+    (src/Bijectors.jl:49-87 export list)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import tpu_bijectors as tb
+    from tpu_bijectors import dists
+
+    b = tb.bijector(dists.LogNormal())
+    x = jnp.asarray(2.718281828459045, jnp.float64)
+    y = tb.transform(b, x)
+    y2, ld = tb.with_logabsdet_jacobian(b, x)
+    np.testing.assert_allclose(float(y), float(y2))
+    np.testing.assert_allclose(float(tb.logabsdetjac(b, x)), float(ld))
+    np.testing.assert_allclose(
+        float(tb.logabsdetjacinv(b, y)), -float(ld), rtol=1e-12
+    )
+    assert tb.isinvertible(b)
+    assert tb.isclosedform(tb.inverse(b))
+    import jax
+
+    pl = tb.PlanarLayer.init(jax.random.PRNGKey(0), 3, jnp.float64)
+    assert not tb.isclosedform(tb.inverse(pl))
+    assert tb.output_size(tb.SimplexBijector(), (5,)) == (4,)
+    # columnwise: per-trailing-vector application
+    cb = tb.columnwise(tb.SimplexBijector())
+    xs = dists.Dirichlet(jnp.ones(4)).sample(jax.random.PRNGKey(1), (6,))
+    ys, lds = cb.forward_and_log_det(xs)
+    assert ys.shape == (6, 3) and lds.shape == ()

@@ -41,6 +41,17 @@ from .bijectors.product import NamedCoupling, NamedTransform, ProductBijector
 from .bijectors.reshape import Permute, Reshape
 from .bijectors.simplex import SimplexBijector
 from .bijectors.stacked import Stacked
+from .compat import (
+    columnwise,
+    isclosedform,
+    isinvertible,
+    logabsdetjac,
+    logabsdetjacinv,
+    output_size,
+    transform,
+    with_logabsdet_jacobian,
+)
+from .flows import InvertibleBatchNorm, PlanarLayer, RadialLayer, RationalQuadraticSpline
 from .registry import bijector, invlink, link, logpdf_with_trans, register_bijector
 from .transformed import OrderedDistribution, TransformedDistribution, ordered, transformed
 from .tree import pytree_dataclass
@@ -64,6 +75,20 @@ __all__ = [
     "inverse",
     "elementwise",
     "pytree_dataclass",
+    # classic functional interface (compat.py)
+    "transform",
+    "with_logabsdet_jacobian",
+    "logabsdetjac",
+    "logabsdetjacinv",
+    "isinvertible",
+    "isclosedform",
+    "output_size",
+    "columnwise",
+    # flow layers (top-level like the reference's export list)
+    "PlanarLayer",
+    "RadialLayer",
+    "InvertibleBatchNorm",
+    "RationalQuadraticSpline",
     # scalar bijectors
     "Exp",
     "Log",
