@@ -40,25 +40,21 @@ def _derivs(raw):
 
 
 def _search_bins(knots, v):
-    """0-based bin index of v in knots (clipped inside)."""
+    """0-based bin index of v in knots (clipped inside).
+
+    Branch-free comparison count instead of searchsorted: knots broadcast
+    against v over ANY leading layout — per-event rows (d, K+1) as well as
+    per-sample conditioner-generated knots (..., K+1) from a Coupling layer.
+    K is small, so the (..., K+1) comparison sweep is one fused VPU op.
+    """
     K = knots.shape[-1] - 1  # number of bins
-    if knots.ndim == 1:
-        idx = jnp.searchsorted(knots, v, side="right") - 1
-    else:
-        # per-row knots: vmap over the event dim (static shape)
-        idx = jax.vmap(
-            lambda kn, x: jnp.searchsorted(kn, x, side="right") - 1,
-            in_axes=(0, -1),
-            out_axes=-1,
-        )(knots, v)
+    idx = jnp.sum(v[..., None] >= knots, axis=-1) - 1
     return jnp.clip(idx, 0, K - 1)
 
 
 def _gather(knots, idx):
-    if knots.ndim == 1:
-        return knots[idx]
-    # knots: (d, K+1); idx: (..., d) -> out[..., i] = knots[i, idx[..., i]]
-    b = jnp.broadcast_to(knots, idx.shape[:-1] + knots.shape)
+    # knots: (..., K+1) broadcastable against idx (...,); out[...] = knots[..., idx]
+    b = jnp.broadcast_to(knots, jnp.broadcast_shapes(idx.shape, knots.shape[:-1]) + knots.shape[-1:])
     return jnp.take_along_axis(b, idx[..., None], axis=-1)[..., 0]
 
 
