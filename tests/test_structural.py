@@ -128,3 +128,30 @@ def test_coupling_batched_scale(rng):
     x_rt, ld_inv = b.inverse_and_log_det(y)
     np.testing.assert_allclose(np.asarray(x_rt), np.asarray(x), atol=1e-10)
     np.testing.assert_allclose(np.asarray(ld_inv), -np.asarray(ld), atol=1e-10)
+
+
+def test_permute_constructor_forms(rng):
+    """All reference constructor forms agree (test/bijectors/permute.jl):
+    index vector == permutation matrix == pairs mapping."""
+    import pytest
+    from tpu_bijectors import Permute, inverse
+
+    b2 = Permute((1, 0))
+    b1 = Permute.from_matrix([[0, 1], [1, 0]])
+    b3 = Permute.from_pairs(2, {1: 0, 0: 1})
+    assert b1.perm == b2.perm == b3.perm
+    x = jnp.asarray([1.0, 2.0])
+    for b in (b1, b2, b3):
+        np.testing.assert_array_equal(np.asarray(inverse(b).forward(b.forward(x))), np.asarray(x))
+
+    # one fixed entry
+    c2 = Permute((1, 0, 2))
+    c1 = Permute.from_matrix([[0, 1, 0], [1, 0, 0], [0, 0, 1]])
+    c3 = Permute.from_pairs(3, {1: 0, 0: 1})
+    assert c1.perm == c2.perm == c3.perm
+
+    # non-injective maps must fail (permute.jl:8-10)
+    with pytest.raises(ValueError):
+        Permute.from_pairs(2, {1: 0, 0: 0})
+    with pytest.raises(ValueError):
+        Permute.from_matrix([[1, 1], [0, 0]])

@@ -75,6 +75,34 @@ class Permute(Bijector):
             raise ValueError(f"not a permutation: {perm}")
         object.__setattr__(self, "perm", perm)
 
+    # the reference's other constructor forms (permute.jl:84-153)
+
+    @classmethod
+    def from_matrix(cls, A) -> "Permute":
+        """From a 0/1 permutation matrix: y = A @ x."""
+        A = np.asarray(A)
+        n = A.shape[0]
+        if A.shape != (n, n) or not np.array_equal(A @ A.T, np.eye(n)):
+            raise ValueError("not a permutation matrix")
+        # y[i] = x[j] where A[i, j] == 1
+        return cls(tuple(int(np.argmax(A[i])) for i in range(n)))
+
+    @classmethod
+    def from_pairs(cls, n: int, mapping) -> "Permute":
+        """From src->dst pairs, unmentioned indices fixed: Permute(2, {0: 1, 1: 0})
+        (the reference's `Permute(2, 1 => 2, 2 => 1)` form, 0-based here)."""
+        mapping = dict(mapping)
+        srcs, dsts = list(mapping.keys()), list(mapping.values())
+        if len(set(srcs)) != len(srcs) or len(set(dsts)) != len(dsts) or set(
+            srcs
+        ) != set(dsts):
+            raise ValueError(f"non-bijective index mapping: {mapping}")
+        # y[dst] = x[src]  =>  perm[dst] = src
+        perm = list(range(n))
+        for s, t in mapping.items():
+            perm[int(t)] = int(s)
+        return cls(tuple(perm))
+
     @property
     def _inv_perm(self):
         inv = np.argsort(np.asarray(self.perm))

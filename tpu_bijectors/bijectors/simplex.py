@@ -57,6 +57,10 @@ class SimplexBijector(Bijector):
         return shape[:-1] + (shape[-1] + 1,)
 
     def forward_and_log_det(self, x):
+        # (B, K) f32 TPU batches take the fused single-pass kernel; note the
+        # profitability check looks at the OUTPUT length K-1
+        if x.ndim == 2 and _pallas_profitable(x[..., :-1]):
+            return _simplex_forward_logdet_pallas_diffable(x)
         return self.forward(x), self.forward_log_det_jacobian(x)
 
     def forward(self, x):
@@ -117,6 +121,26 @@ def _simplex_inverse_pallas_jvp(primals, tangents):
     (y,) = primals
     (dy,) = tangents
     return jax.jvp(_simplex_inverse, (y,), (dy,))
+
+
+@jax.custom_jvp
+def _simplex_forward_logdet_pallas_diffable(x):
+    """Fused Pallas (y, ld_fwd) primal; tangents via the jnp composition."""
+    from ..kernels.simplex import simplex_forward_logdet_pallas
+
+    return simplex_forward_logdet_pallas(x)
+
+
+def _simplex_forward_logdet_jnp(x):
+    b = SimplexBijector()
+    return b.forward(x), b.forward_log_det_jacobian(x)
+
+
+@_simplex_forward_logdet_pallas_diffable.defjvp
+def _simplex_forward_logdet_pallas_jvp(primals, tangents):
+    (x,) = primals
+    (dx,) = tangents
+    return jax.jvp(_simplex_forward_logdet_jnp, (x,), (dx,))
 
 
 @jax.custom_jvp
