@@ -113,6 +113,7 @@ def _discretes():
         dists.PoissonBinomial(e([0.2, 0.5, 0.3])),
         dists.Skellam(2.0, 3.0),
         dists.Soliton(100, 60, 0.2),
+        dists.Multinomial(10, e([0.2, 0.5, 0.3])),
     ]
 
 
@@ -124,6 +125,7 @@ def _multivariates():
         dists.MvLogNormal(jnp.zeros(3), jnp.ones(3)),
         dists.MvLogitNormal(jnp.zeros(3), jnp.eye(3, dtype=jnp.float64)),
         dists.MvStudentT(4.0, jnp.zeros(3), jnp.eye(3, dtype=jnp.float64)),
+        dists.MvNormalCanon(e([1.0, 2.0, 3.0]), e([[4.0, -2.0, -1.0], [-2.0, 5.0, -1.0], [-1.0, -1.0, 6.0]])),
         dists.JointOrderStatistics(dists.Normal(), 4),
         dists.OrderStatistic(dists.Normal(), 5, 2),
     ]
@@ -138,6 +140,12 @@ def _matrix_dists():
         dists.Wishart(6.0, jnp.eye(3, dtype=jnp.float64)),
         dists.InverseWishart(6.0, jnp.eye(3, dtype=jnp.float64)),
         dists.MatrixNormal(jnp.zeros((2, 3)), jnp.eye(2, dtype=jnp.float64), jnp.eye(3, dtype=jnp.float64)),
+        dists.MatrixTDist(
+            5.0,
+            jnp.asarray([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]], jnp.float64),
+            jnp.asarray([[1.0, 0.5], [0.5, 1.0]], jnp.float64),
+            jnp.asarray([[1.0, 0.3, 0.2], [0.3, 1.0, 0.4], [0.2, 0.4, 1.0]], jnp.float64),
+        ),
     ]
 
 

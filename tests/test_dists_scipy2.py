@@ -185,3 +185,69 @@ def test_affine_sampling_moments(key):
     s = np.asarray(d.sample(key, (100_000,)))
     np.testing.assert_allclose(s.mean(), -1.0, atol=0.02)
     assert np.all(s <= 1.0)
+
+
+def test_mvnormalcanon_vs_scipy(key):
+    h = np.asarray([1.0, 2.0, 3.0])
+    J = np.asarray([[4.0, -2.0, -1.0], [-2.0, 5.0, -1.0], [-1.0, -1.0, 6.0]])
+    d = dists.MvNormalCanon(jnp.asarray(h), jnp.asarray(J))
+    mu = np.linalg.solve(J, h)
+    cov = np.linalg.inv(J)
+    x = np.asarray([0.3, 0.1, 1.0])
+    np.testing.assert_allclose(
+        float(d.logpdf(jnp.asarray(x, jnp.float64))),
+        ss.multivariate_normal.logpdf(x, mu, cov),
+        rtol=1e-10,
+    )
+    s = np.asarray(d.sample(key, (40_000,)))
+    np.testing.assert_allclose(s.mean(0), mu, atol=0.02)
+    np.testing.assert_allclose(np.cov(s.T), cov, atol=0.02)
+
+
+def test_multinomial_vs_scipy(key):
+    p = np.asarray([0.2, 0.5, 0.3])
+    d = dists.Multinomial(10, jnp.asarray(p))
+    for x in ([2, 5, 3], [0, 10, 0], [10, 0, 0]):
+        np.testing.assert_allclose(
+            float(d.logpdf(jnp.asarray(x, jnp.float64))),
+            ss.multinomial.logpmf(x, 10, p),
+            rtol=1e-10,
+        )
+    # invalid count total
+    assert float(d.logpdf(jnp.asarray([1.0, 1.0, 1.0]))) == -np.inf
+    s = np.asarray(d.sample(key, (40_000,)))
+    assert np.all(s.sum(-1) == 10)
+    np.testing.assert_allclose(s.mean(0), 10 * p, atol=0.05)
+
+
+def test_matrix_tdist():
+    """No scipy analogue: validate against (a) the 1x1 reduction to a scaled
+    StudentT and (b) construction moments (E[X]=M, cov(vec X) =
+    Sigma (x) Omega / (nu - 2))."""
+    # (a) 1x1 reduction
+    nu, s2, w = 5.0, 2.0, 3.0
+    d1 = dists.MatrixTDist(nu, jnp.zeros((1, 1), jnp.float64),
+                           jnp.asarray([[s2]], jnp.float64), jnp.asarray([[w]], jnp.float64))
+    scale = np.sqrt(s2 * w / nu)
+    for x in (-1.0, 0.3, 2.0):
+        np.testing.assert_allclose(
+            float(d1.logpdf(jnp.asarray([[x]], jnp.float64))),
+            ss.t.logpdf(x, nu, scale=scale),
+            rtol=1e-10,
+        )
+    # (b) moments of a 2x3 matrix-t
+    M = jnp.asarray([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]], jnp.float64)
+    Sig = jnp.asarray([[1.0, 0.5], [0.5, 1.0]], jnp.float64)
+    Om = jnp.asarray([[1.0, 0.3, 0.2], [0.3, 1.0, 0.4], [0.2, 0.4, 1.5]], jnp.float64)
+    d = dists.MatrixTDist(6.0, M, Sig, Om)
+    import jax
+
+    X = np.asarray(d.sample(jax.random.PRNGKey(3), (120_000,)))
+    np.testing.assert_allclose(X.mean(0), np.asarray(M), atol=0.03)
+    V = np.cov(X.reshape(-1, 6).T)  # vec by rows: X[i,j] -> index 3i+j
+    # cov(X_ij, X_kl) = Sig_ik * Om_jl / (nu - 2) with nu_gn = df + ... for the
+    # IW(nu+n-1) mixing: E[S] = Sig / (nu + n - 1 - n - 1) = Sig/(nu - 2)
+    expect = np.kron(np.asarray(Sig), np.asarray(Om)) / (6.0 - 2.0)
+    np.testing.assert_allclose(V, expect, atol=0.06)
+    lp = np.asarray(d.logpdf(jnp.asarray(X[:100])))
+    assert np.all(np.isfinite(lp))

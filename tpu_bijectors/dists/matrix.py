@@ -324,3 +324,80 @@ class InverseWishart(Distribution):
     @property
     def support(self):
         return POSITIVE_DEFINITE
+
+
+@pytree_dataclass(meta_fields=())
+class MatrixTDist(Distribution):
+    """Matrix t-distribution MT(nu, M, Sigma, Omega) (Gupta & Nagar thm 4.2.1;
+    reference test matrix row test/vector/matrix.jl:9). M: (n, p); Sigma:
+    (n, n) row scale; Omega: (p, p) column scale. Arises as X | S ~
+    MN(M, S, Omega) with S ~ InverseWishart(nu + n - 1, Sigma); identity/ravel
+    link (real-matrix support).
+    """
+
+    df: jax.Array | float
+    loc: jax.Array  # (n, p)
+    row_scale: jax.Array  # (n, n) SPD
+    col_scale: jax.Array  # (p, p) SPD
+
+    event_ndims = 2
+
+    @property
+    def event_shape(self):
+        return jnp.shape(self.loc)[-2:]
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.loc)[:-2]
+
+    def logpdf(self, X):
+        dtype = jnp.result_type(X, float)
+        n, p = (int(s) for s in self.event_shape)
+        v = jnp.asarray(self.df, dtype)
+        Ls = cholesky_lower(jnp.asarray(self.row_scale, dtype))
+        Lo = cholesky_lower(jnp.asarray(self.col_scale, dtype))
+        D = X - self.loc
+        # A = Ls^{-1} D Lo^{-T}: |I + Sigma^{-1} D Omega^{-1} D'| = |I + A A'|
+        batch = jnp.shape(D)[:-2]
+        Ls_b = jnp.broadcast_to(Ls, batch + (n, n))
+        Lo_b = jnp.broadcast_to(Lo, batch + (p, p))
+        A = jax.scipy.linalg.solve_triangular(Ls_b, D, lower=True)
+        A = jnp.swapaxes(
+            jax.scipy.linalg.solve_triangular(Lo_b, jnp.swapaxes(A, -1, -2), lower=True),
+            -1,
+            -2,
+        )
+        G = jnp.eye(n, dtype=dtype) + A @ jnp.swapaxes(A, -1, -2)
+        Lg = cholesky_lower(G)
+        logdet_G = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lg, axis1=-2, axis2=-1)), -1)
+        logdet_S = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Ls, axis1=-2, axis2=-1)), -1)
+        logdet_O = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lo, axis1=-2, axis2=-1)), -1)
+        a = 0.5 * (v + n + p - 1.0)
+        b = 0.5 * (v + n - 1.0)
+        return (
+            _mv_lgamma(a, n)
+            - _mv_lgamma(b, n)
+            - 0.5 * n * p * LOGPI
+            - 0.5 * p * logdet_S
+            - 0.5 * n * logdet_O
+            - a * logdet_G
+        )
+
+    def sample(self, key, sample_shape=()):
+        dtype = jnp.result_type(self.df, self.loc, float)
+        n, p = (int(s) for s in self.event_shape)
+        ks, kz = jax.random.split(key)
+        v = jnp.asarray(self.df, dtype)
+        S = InverseWishart(v + n - 1.0, jnp.asarray(self.row_scale, dtype)).sample(
+            ks, sample_shape
+        )
+        Lsamp = cholesky_lower(S)
+        Lo = cholesky_lower(jnp.asarray(self.col_scale, dtype))
+        Z = jax.random.normal(kz, tuple(sample_shape) + self.batch_shape + (n, p), dtype)
+        return self.loc + Lsamp @ Z @ jnp.swapaxes(Lo, -1, -2)
+
+    @property
+    def support(self):
+        from .base import Support
+
+        return Support("real_matrix")

@@ -256,3 +256,108 @@ class MvStudentT(Distribution):
     @property
     def support(self):
         return REAL_VECTOR
+
+
+@pytree_dataclass
+class MvNormalCanon(Distribution):
+    """Canonical (precision) parametrization: potential h, precision J;
+    mean = J^{-1} h (reference test matrix row, test/vector/multivariate.jl:4)."""
+
+    h: jax.Array  # (d,)
+    prec: jax.Array  # (d, d) SPD
+
+    event_ndims = 1
+
+    @property
+    def event_shape(self):
+        return (jnp.shape(self.h)[-1],)
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.h)[:-1]
+
+    def _chol(self):
+        from ..utils import cholesky_lower
+
+        return cholesky_lower(jnp.asarray(self.prec))
+
+    def logpdf(self, x):
+        dtype = jnp.result_type(x, float)
+        d = jnp.shape(self.h)[-1]
+        L = self._chol().astype(dtype)  # J = L L'
+        mu = jax.scipy.linalg.cho_solve((L, True), jnp.asarray(self.h, dtype))
+        r = x - mu
+        # r' J r = ||L' r||^2
+        z = jnp.einsum("...ji,...j->...i", L, r)
+        halflogdet = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1)
+        return -0.5 * (jnp.sum(z * z, -1) + d * LOG2PI) + halflogdet
+
+    def sample(self, key, sample_shape=()):
+        dtype = jnp.result_type(self.h, self.prec, float)
+        d = jnp.shape(self.h)[-1]
+        L = self._chol().astype(dtype)
+        mu = jax.scipy.linalg.cho_solve((L, True), jnp.asarray(self.h, dtype))
+        shape = tuple(sample_shape) + self.batch_shape + (d,)
+        eps = jax.random.normal(key, shape, dtype)
+        # x = mu + L'^{-1} eps  has covariance J^{-1}
+        Lt = jnp.broadcast_to(jnp.swapaxes(L, -1, -2), shape[:-1] + (d, d))
+        z = jax.scipy.linalg.solve_triangular(Lt, eps[..., None], lower=False)[..., 0]
+        return mu + z
+
+    @property
+    def support(self):
+        return REAL_VECTOR
+
+
+@pytree_dataclass(meta_fields=("n",))
+class Multinomial(Distribution):
+    """Multinomial(n, p) — discrete simplex counts; identity link
+    (reference test/vector/multivariate.jl:2)."""
+
+    n: int
+    p: jax.Array  # (K,)
+
+    event_ndims = 1
+
+    @property
+    def event_shape(self):
+        return (jnp.shape(self.p)[-1],)
+
+    @property
+    def batch_shape(self):
+        return jnp.shape(self.p)[:-1]
+
+    def logpdf(self, x):
+        dtype = jnp.result_type(x, float)
+        x = jnp.asarray(x, dtype)
+        p = jnp.asarray(self.p, dtype)
+        lp = (
+            jsp.gammaln(self.n + 1.0)
+            - jnp.sum(jsp.gammaln(x + 1.0), -1)
+            + jnp.sum(x * jnp.log(p), -1)
+        )
+        valid = jnp.sum(x, -1) == self.n
+        return jnp.where(valid, lp, -jnp.inf)
+
+    def sample(self, key, sample_shape=()):
+        # sequential conditional binomials over the (static) K categories
+        K = int(jnp.shape(self.p)[-1])
+        shape = tuple(sample_shape) + self.batch_shape
+        p = jnp.asarray(self.p)
+        rest = jnp.cumsum(p[..., ::-1], -1)[..., ::-1]  # tail sums
+        keys = jax.random.split(key, K - 1)
+        counts = []
+        remaining = jnp.full(shape, self.n, jnp.int32)
+        for k in range(K - 1):
+            frac = jnp.clip(p[..., k] / jnp.maximum(rest[..., k], 1e-30), 0.0, 1.0)
+            c = jax.random.binomial(keys[k], remaining, frac).astype(jnp.int32)
+            counts.append(c)
+            remaining = remaining - c
+        counts.append(remaining)
+        return jnp.stack(counts, axis=-1)
+
+    @property
+    def support(self):
+        from .base import DISCRETE
+
+        return DISCRETE
