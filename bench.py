@@ -53,7 +53,7 @@ def main():
     logp = jax.jit(jax.vmap(model.logdensity_fn()))
     u = model.unconstrainer()
 
-    batch = 8192
+    batch = 131072  # large enough to amortize per-dispatch latency (serving regime)
     dim = model.dim()
     key = jax.random.PRNGKey(0)
     v = 0.5 * jax.random.normal(key, (batch, dim))
@@ -73,7 +73,7 @@ def main():
     t_naive = _time(naive, v, n_iter=10)
 
     out = {
-        "metric": "hierarchical transform+logdetJ evals/s/chip (batch=8192, dim=%d)" % dim,
+        "metric": "hierarchical transform+logdetJ evals/s/chip (batch=%d, dim=%d)" % (batch, dim),
         "value": round(evals_per_s, 1),
         "unit": "evals/s/chip",
         "vs_baseline": round(t_naive / t_fused, 3),
