@@ -106,3 +106,35 @@ def test_ordered_lognormal_decreasing_branch(key):
     x = jnp.asarray([0.5, 1.0, 2.0])
     y = b.forward(x)
     np.testing.assert_allclose(np.asarray(b.inverse(y)), np.asarray(x), atol=1e-9)
+
+
+def test_simplex_inverse_associative_scan_matches_sequential(rng):
+    """The log-depth associative-scan inverse (dispatched for K >= 64) must
+    match the sequential lax.scan recurrence."""
+    from tpu_bijectors.bijectors.simplex import (
+        _simplex_inverse,
+        _simplex_inverse_parallel,
+    )
+
+    for K in (8, 64, 300, 1001):
+        y = jnp.asarray(rng.standard_normal((7, K - 1)) * 1.5)
+        xs = _simplex_inverse(y)
+        xp = _simplex_inverse_parallel(y)
+        np.testing.assert_allclose(np.asarray(xp), np.asarray(xs), atol=1e-12,
+                                   err_msg=f"K={K}")
+        np.testing.assert_allclose(np.asarray(jnp.sum(xp, -1)), 1.0, atol=1e-9)
+    # extreme inputs: both paths must stay on the simplex and finite
+    y_big = jnp.asarray(rng.standard_normal((5, 99)) * 1e10)
+    xp = _simplex_inverse_parallel(y_big)
+    assert bool(jnp.all(jnp.isfinite(xp)))
+    np.testing.assert_allclose(np.asarray(jnp.sum(xp, -1)), 1.0, atol=1e-6)
+
+
+def test_large_simplex_roundtrip_through_bijector(rng):
+    """SimplexBijector end-to-end at K=500 (assoc-scan path) round-trips."""
+    b = tb.SimplexBijector()
+    y = jnp.asarray(rng.standard_normal((4, 499)))
+    x, ld = b.inverse_and_log_det(y)
+    y_rt, ld_f = b.forward_and_log_det(x)
+    np.testing.assert_allclose(np.asarray(y_rt), np.asarray(y), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld_f), -np.asarray(ld), rtol=1e-9)
