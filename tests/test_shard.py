@@ -123,3 +123,50 @@ def test_resume_reproduces(key):
     np.testing.assert_allclose(
         np.asarray(samples_full[50:]), np.asarray(samples_b), atol=1e-12
     )
+
+
+def test_param_parallel_from_linked_matches_unsharded(rng):
+    """Parameter-axis sharding (the SP analogue, SURVEY.md §2.2): sharded
+    from_linked_vec == unsharded, logdet psum'd once."""
+    from tpu_bijectors.shard import (
+        make_mesh,
+        param_parallel_from_linked,
+        param_parallel_logdensity,
+        shard_params,
+    )
+    from tpu_bijectors.vectorize import unconstrain
+
+    d = dists.IIDProduct(dists.Beta(2.0, 3.0), 512)
+    u = unconstrain(d)
+    mesh = make_mesh("param")
+    v = jnp.asarray(rng.standard_normal((4, u.linked_vec_length)))
+    v_sh = shard_params(mesh, v)
+
+    fn = jax.jit(param_parallel_from_linked(u, mesh))
+    x_sh, ld_sh = fn(v_sh)
+    x_ref, ld_ref = u.from_linked_vec(v)
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ld_sh), np.asarray(ld_ref), rtol=1e-12)
+
+    logp = jax.jit(param_parallel_logdensity(d, mesh))
+    got = logp(v_sh)
+    _, ref = u.from_linked_vec_with_logpdf(v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10)
+    # grads flow through the sharded program (the HMC requirement)
+    g = jax.jit(jax.grad(lambda v: jnp.sum(logp(v))))(v_sh)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_param_parallel_simplex_blocks(rng):
+    """Entangled blocks (IID Dirichlet) shard too: each device owns whole
+    simplices; only the scalar density crosses the mesh."""
+    from tpu_bijectors.shard import make_mesh, param_parallel_logdensity, shard_params
+    from tpu_bijectors.vectorize import unconstrain
+
+    d = dists.IIDProduct(dists.Dirichlet(jnp.ones(5)), 64)
+    u = unconstrain(d)
+    mesh = make_mesh("param")
+    v = jnp.asarray(rng.standard_normal((3, u.linked_vec_length)))
+    got = jax.jit(param_parallel_logdensity(u, mesh))(shard_params(mesh, v))
+    _, ref = u.from_linked_vec_with_logpdf(v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10)

@@ -9,6 +9,11 @@ from .chain_parallel import (
     shard_chains,
 )
 from .checkpoint import load_sampler_state, save_sampler_state
+from .param_parallel import (
+    param_parallel_from_linked,
+    param_parallel_logdensity,
+    shard_params,
+)
 
 __all__ = [
     "make_mesh",
@@ -16,6 +21,9 @@ __all__ = [
     "shard_chains",
     "chain_parallel_nuts",
     "chain_parallel_smc",
+    "shard_params",
+    "param_parallel_from_linked",
+    "param_parallel_logdensity",
     "save_sampler_state",
     "load_sampler_state",
 ]
