@@ -138,3 +138,26 @@ def test_large_simplex_roundtrip_through_bijector(rng):
     y_rt, ld_f = b.forward_and_log_det(x)
     np.testing.assert_allclose(np.asarray(y_rt), np.asarray(y), atol=1e-6)
     np.testing.assert_allclose(np.asarray(ld_f), -np.asarray(ld), rtol=1e-9)
+
+
+def test_simplex_jacobian_oracles(rng):
+    """Hand-derived dense Jacobians: J_link(x) @ J_invlink(y) == I (the
+    reference's golden test, test/legacy_interface.jl:299-312) and both match
+    jax.jacfwd of our kernels."""
+    from tpu_bijectors.testing.oracles import (
+        simplex_invlink_jacobian,
+        simplex_link_jacobian,
+    )
+
+    b = tb.SimplexBijector()
+    for K in (3, 5, 9):
+        x = rng.dirichlet(np.ones(K))
+        y = np.asarray(b.forward(jnp.asarray(x)))
+        Jf = simplex_link_jacobian(x)       # (K-1, K)
+        Ji = simplex_invlink_jacobian(y)    # (K, K-1)
+        np.testing.assert_allclose(Jf @ Ji, np.eye(K - 1), atol=1e-8)
+        # oracle vs AD of the actual kernels
+        J_ad = np.asarray(jax.jacfwd(b.forward)(jnp.asarray(x)))
+        np.testing.assert_allclose(J_ad, Jf, rtol=1e-7, atol=1e-9)
+        Ji_ad = np.asarray(jax.jacfwd(b.inverse)(jnp.asarray(y)))
+        np.testing.assert_allclose(Ji_ad, Ji, rtol=1e-6, atol=1e-9)
