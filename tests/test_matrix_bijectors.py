@@ -124,3 +124,32 @@ def test_corr_batched(key):
     y, ld = b.forward_and_log_det(X)
     assert y.shape == (6, 3) and ld.shape == (6,)
     np.testing.assert_allclose(np.asarray(b.inverse(y)), np.asarray(X), atol=1e-8)
+
+
+def test_corr_d1_edge_and_transformed_shapes(key):
+    """Reference corr.jl tests d in [1,2,5]: d=1 gives an EMPTY packed vector
+    (logdet 0), and transformed(LKJ) has the packed multivariate shape while
+    pushing an MvNormal through the inverse gives a matrix distribution
+    (test/bijectors/corr.jl:5-42)."""
+    b = tb.VecCorrBijector()
+    x = jnp.ones((1, 1), jnp.float64)
+    y, ld = b.forward_and_log_det(x)
+    assert y.shape == (0,) and float(ld) == 0.0
+    xi, ldi = b.inverse_and_log_det(y)
+    np.testing.assert_allclose(np.asarray(xi), [[1.0]])
+    assert float(ldi) == 0.0
+
+    td = tb.transformed(dists.LKJ(5, 1.0))
+    assert td.event_shape == (10,)
+    yv = td.sample(key)
+    assert yv.shape == (10,)
+    assert np.all(np.isfinite(np.asarray(td.logpdf(yv))))
+
+    tdu = tb.transformed(
+        dists.MvNormalDiag(jnp.zeros(10, jnp.float64), jnp.ones(10, jnp.float64)),
+        tb.inverse(tb.VecCorrBijector()),
+    )
+    assert tdu.event_shape == (5, 5)
+    s = tdu.sample(key)
+    np.testing.assert_allclose(np.asarray(jnp.diagonal(s)), 1.0, atol=1e-12)
+    assert np.all(np.isfinite(np.asarray(tdu.logpdf(s))))
