@@ -88,3 +88,16 @@ def test_lkj_pallas_grad_routes_through_jnp(rng):
     # grad of the pallas-wrapped fn never executes the kernel (jvp rule)
     g_pal = jax.grad(lambda y: jnp.sum(_vec_corr_inverse_all_pallas(y, 4)[1]))(y)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref), rtol=1e-12)
+
+
+@pytest.mark.parametrize("B,K", [(16, 3), (130, 8), (64, 12)])
+def test_pd_inverse_pallas_close(B, K, rng):
+    from tpu_bijectors.bijectors.pd import _pd_inverse_all_jnp
+    from tpu_bijectors.kernels.pd import pd_inverse_pallas
+
+    y = jnp.asarray(0.4 * rng.standard_normal((B, K * (K + 1) // 2)), jnp.float32)
+    X_ref, lj_ref, L_ref = _pd_inverse_all_jnp(y)
+    X_pal, lj_pal, L_pal = pd_inverse_pallas(y, K, interpret=True)
+    np.testing.assert_allclose(np.asarray(L_pal), np.asarray(L_ref), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(X_pal), np.asarray(X_ref), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(lj_pal), np.asarray(lj_ref), atol=3e-5, rtol=2e-5)

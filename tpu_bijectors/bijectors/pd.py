@@ -99,9 +99,57 @@ class PDVecBijector(Bijector):
         """(X, logJ, L): also exposes the lower Cholesky factor L of X —
         Wishart-family densities fuse on it (logdet X = 2 sum log L_ii,
         trace terms via triangular solves) instead of re-decomposing X."""
-        Y = vec_to_tril(y)
-        L = set_diag(Y, jnp.exp(jnp.diagonal(Y, axis1=-2, axis2=-1)))
-        return pd_from_lower(L), -_pd_logdet_from_chol(L), L
+        if _pd_pallas_profitable(y):
+            K = triu_dim_from_length(y.shape[-1])
+            return _pd_inverse_all_pallas(y, K)
+        return _pd_inverse_all_jnp(y)
+
+
+def _pd_inverse_all_jnp(y):
+    Y = vec_to_tril(y)
+    L = set_diag(Y, jnp.exp(jnp.diagonal(Y, axis1=-2, axis2=-1)))
+    return pd_from_lower(L), -_pd_logdet_from_chol(L), L
+
+
+def _pd_pallas_profitable(y) -> bool:
+    """Trace-time dispatch — same rules as the LKJ kernel (kernels/pd.py)."""
+    import jax
+
+    try:
+        from .. import kernels
+
+        if not kernels.enabled():
+            return False
+        K = triu_dim_from_length(y.shape[-1])
+        return (
+            jax.default_backend() == "tpu"
+            and y.ndim == 2
+            and K <= 16
+            and y.shape[0] >= 1024
+            and jnp.result_type(y, float) == jnp.float32
+        )
+    except Exception:
+        return False
+
+
+from functools import partial as _partial
+
+import jax as _jax
+
+
+@_partial(_jax.custom_jvp, nondiff_argnums=(1,))
+def _pd_inverse_all_pallas(y, K):
+    """Pallas primal; derivatives route through the jnp path (identical math)."""
+    from ..kernels.pd import pd_inverse_pallas
+
+    return pd_inverse_pallas(y, K)
+
+
+@_pd_inverse_all_pallas.defjvp
+def _pd_inverse_all_pallas_jvp(K, primals, tangents):
+    (y,) = primals
+    (dy,) = tangents
+    return _jax.jvp(_pd_inverse_all_jnp, (y,), (dy,))
 
 
 @pytree_dataclass

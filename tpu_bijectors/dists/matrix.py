@@ -96,7 +96,7 @@ class LKJ(Distribution):
         eta = jnp.asarray(self.eta, dtype)
         return (eta - 1.0) * logdet - _lkj_log_normalizer(self.dim, eta, dtype)
 
-    def logpdf_from_factor(self, log_diag_w):
+    def logpdf_from_factor(self, log_diag_w, x=None):
         """Density from the log-diagonal of the upper Cholesky factor W of
         X = W'W (which the VecCorrBijector inverse computes anyway):
         logdet X = 2 sum log W_jj. Fuses the NUTS hot path — no
@@ -222,11 +222,12 @@ class Wishart(Distribution):
             - _mv_lgamma(0.5 * v, K)
         )
 
-    def logpdf_from_factor(self, L):
+    def logpdf_from_factor(self, L, x=None):
         """Density from the lower Cholesky factor L of X = LL' (the factor the
-        PDVecBijector inverse computes anyway): logdet X = 2 sum log L_ii and
-        tr(S^-1 X) = ||solve_tri(chol(S), L)||_F^2 — one batched triangular
-        solve instead of an LU solve + slogdet per sample."""
+        PDVecBijector inverse computes anyway): logdet X = 2 sum log L_ii.
+        The trace term uses the caller-provided X when available:
+        tr(S^-1 X) = sum(S^-1 * X) with ONE unbatched K x K solve for S^-1
+        (S is a distribution parameter) — no per-sample triangular solve."""
         dtype = jnp.result_type(L, float)
         K = jnp.shape(self.scale)[-1]
         v = jnp.asarray(self.df, dtype)
@@ -234,9 +235,13 @@ class Wishart(Distribution):
         Sc = cholesky_lower(S)
         logdetX = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1)
         logdetS = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Sc, axis1=-2, axis2=-1)), -1)
-        Sc_b = jnp.broadcast_to(Sc, jnp.shape(L)[:-2] + jnp.shape(Sc)[-2:])
-        A = jax.scipy.linalg.solve_triangular(Sc_b, L, lower=True)
-        tr = jnp.sum(A * A, axis=(-2, -1))
+        if x is not None:
+            Sinv = jax.scipy.linalg.cho_solve((Sc, True), jnp.eye(K, dtype=dtype))
+            tr = jnp.sum(Sinv * x, axis=(-2, -1))
+        else:
+            Sc_b = jnp.broadcast_to(Sc, jnp.shape(L)[:-2] + jnp.shape(Sc)[-2:])
+            A = jax.scipy.linalg.solve_triangular(Sc_b, L, lower=True)
+            tr = jnp.sum(A * A, axis=(-2, -1))
         return (
             0.5 * (v - K - 1.0) * logdetX
             - 0.5 * tr
@@ -291,7 +296,7 @@ class InverseWishart(Distribution):
             - _mv_lgamma(0.5 * v, K)
         )
 
-    def logpdf_from_factor(self, L):
+    def logpdf_from_factor(self, L, x=None):
         """Density from the lower Cholesky factor L of X = LL':
         tr(Psi X^-1) = ||solve_tri(L, chol(Psi))||_F^2."""
         dtype = jnp.result_type(L, float)

@@ -23,6 +23,7 @@ from .simplex import (  # noqa: E402
     simplex_inverse_pallas,
 )
 from .lkj import lkj_inverse_pallas  # noqa: E402
+from .pd import pd_inverse_pallas  # noqa: E402
 
 __all__ = [
     "enable",
@@ -31,4 +32,5 @@ __all__ = [
     "simplex_inverse_logdet_pallas",
     "simplex_forward_logdet_pallas",
     "lkj_inverse_pallas",
+    "pd_inverse_pallas",
 ]

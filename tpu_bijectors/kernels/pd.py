@@ -1,0 +1,89 @@
+"""Fused Pallas TPU kernel for the PD-matrix inverse link.
+
+From the packed vector y (length K(K+1)/2, row-major lower triangle —
+reference pd.jl:36-43 element order): reconstruct the lower Cholesky factor
+L (exp on the diagonal), X = LL', and the inverse-link log-det
+sum_i (K+1-i) y_ii + K log 2 (pd.jl:23-27) — one kernel, batch on lanes
+(see kernels/lkj.py for why this beats the lane-padded XLA layout at
+small K).
+
+Outputs (X, logJ, L); L feeds the Wishart-family density fusions
+(logdet from its diagonal; InverseWishart's trace solve).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .layout import LANES as _LANES, pad_to as _pad_to, padded_batch as _padded_batch
+
+LOG2 = math.log(2.0)
+
+
+def pd_inverse_pallas(y, K: int, *, interpret: bool = False):
+    """y: (B, K(K+1)/2) -> (X: (B,K,K), logJ: (B,), L: (B,K,K))."""
+    B, P = y.shape
+    assert P == K * (K + 1) // 2
+    dtype = jnp.result_type(y, float)
+    y = y.astype(dtype)
+
+    Bp = _padded_batch(B)
+    yt = _pad_to(y, Bp, 0).T  # (P, Bp)
+
+    def kernel(y_ref, x_ref, lj_ref, l_ref, l_s):
+        zero = jnp.zeros((1, _LANES), dtype)
+        logJ = zero
+        for r in range(K):
+            base = r * (r + 1) // 2
+            for c in range(K):
+                if c < r:
+                    row = y_ref[base + c, :]
+                elif c == r:
+                    yd = y_ref[base + r, :].reshape(1, _LANES)
+                    row = jnp.exp(yd)[0, :]
+                    # logJ += (K + 1 - r) * y_rr  (0-based r)
+                    logJ = logJ + (K + 1.0 - r) * yd
+                else:
+                    row = jnp.zeros((_LANES,), dtype)
+                l_s[r * K + c, :] = row
+                l_ref[r * K + c, :] = row
+        lj_ref[0, :] = (logJ + K * LOG2)[0, :]
+        # X = L L': X[a,b] = sum_{k<=min(a,b)} L[a,k] L[b,k]
+        for a in range(K):
+            for b in range(a, K):
+                acc = zero
+                for k in range(a + 1):
+                    acc = acc + (
+                        l_s[a * K + k, :] * l_s[b * K + k, :]
+                    ).reshape(1, _LANES)
+                x_ref[a * K + b, :] = acc[0, :]
+                if b != a:
+                    x_ref[b * K + a, :] = acc[0, :]
+
+    X_flat, logJ, L_flat = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((K * K, Bp), dtype),
+            jax.ShapeDtypeStruct((1, Bp), dtype),
+            jax.ShapeDtypeStruct((K * K, Bp), dtype),
+        ),
+        grid=(Bp // _LANES,),
+        in_specs=[
+            pl.BlockSpec((P, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((K * K, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K * K, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((K * K, _LANES), dtype)],
+        interpret=interpret,
+    )(yt)
+    X = jnp.moveaxis(X_flat.reshape(K, K, Bp)[..., :B], -1, 0)
+    L = jnp.moveaxis(L_flat.reshape(K, K, Bp)[..., :B], -1, 0)
+    return X, logJ[0, :B], L
