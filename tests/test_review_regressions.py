@@ -85,3 +85,54 @@ def test_gev_traced_params_raise_not_wrong_link():
 
     with pytest.raises(ValueError):
         dists.GeneralizedExtremeValue(jnp.asarray(0.0), 1.0, 0.3).support
+
+
+def test_multinomial_zero_probability_category():
+    """0 * log(0) must contribute 0, not NaN (review round 2)."""
+    from scipy import stats as ss2
+
+    d = dists.Multinomial(10, jnp.asarray([0.5, 0.5, 0.0]))
+    got = float(d.logpdf(jnp.asarray([5.0, 5.0, 0.0], jnp.float64)))
+    np.testing.assert_allclose(got, ss2.multinomial.logpmf([5, 5, 0], 10, [0.5, 0.5, 0.0]), rtol=1e-10)
+
+
+def test_permute_from_matrix_rejects_signed_orthogonal():
+    import pytest
+
+    with pytest.raises(ValueError):
+        tb.Permute.from_matrix([[0, -1], [-1, 0]])
+
+
+def test_isclosedform_recurses_through_composition():
+    pl = tb.PlanarLayer.init(jax.random.PRNGKey(0), 3, jnp.float64)
+    assert not tb.isclosedform(tb.Chain((tb.inverse(pl),)))
+    assert not tb.isclosedform(tb.Block(tb.inverse(pl), 1))
+    assert tb.isclosedform(tb.Chain((tb.Exp(), tb.Shift(1.0))))
+
+
+def test_logpdf_from_factor_single_arg_protocol_still_works():
+    """Duck-typed fusion must tolerate the older 1-arg implementor."""
+    from tpu_bijectors.vectorize import unconstrain
+
+    class OldStyleLKJ(dists.LKJ):
+        def logpdf_from_factor(self, log_diag_w):  # old signature
+            return dists.LKJ.logpdf_from_factor(self, log_diag_w, None)
+
+    d = OldStyleLKJ(4, 2.0)
+    u = unconstrain(d)
+    v = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (8, u.linked_vec_length), jnp.float64)
+    x, lpld = u.from_linked_vec_with_logpdf(v)
+    xr, ld = u.from_linked_vec(v)
+    np.testing.assert_allclose(np.asarray(lpld), np.asarray(d.logpdf(xr) + ld), rtol=1e-10)
+
+
+def test_assoc_scan_simplex_extreme_sum_invariant():
+    """Clipped prefix sums keep the parallel path near the simplex even at
+    extreme f32 inputs (review round 2)."""
+    y = jnp.asarray(40.0 * np.random.default_rng(0).standard_normal((8, 255)), jnp.float32)
+    from tpu_bijectors.bijectors.simplex import _simplex_inverse_parallel
+
+    x = _simplex_inverse_parallel(y)
+    assert bool(jnp.all(jnp.isfinite(x)))
+    assert bool(jnp.all(x >= 0))
+    np.testing.assert_allclose(np.asarray(jnp.sum(x, -1)), 1.0, atol=2e-5)

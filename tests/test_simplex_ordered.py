@@ -109,8 +109,9 @@ def test_ordered_lognormal_decreasing_branch(key):
 
 
 def test_simplex_inverse_associative_scan_matches_sequential(rng):
-    """The log-depth associative-scan inverse (dispatched for K >= 64) must
-    match the sequential lax.scan recurrence."""
+    """The log-depth associative-scan inverse (dispatched for K >= 128, see
+    _ASSOC_SCAN_MIN_K; exercised directly here) must match the sequential
+    lax.scan recurrence."""
     from tpu_bijectors.bijectors.simplex import (
         _simplex_inverse,
         _simplex_inverse_parallel,

@@ -25,6 +25,8 @@ triangle (matching `update_triu_from_vec`, src/utils.jl:77-85).
 
 from __future__ import annotations
 
+from functools import partial as _partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -302,11 +304,7 @@ def _lkj_pallas_profitable(y) -> bool:
         return False
 
 
-from jax import custom_jvp as _custom_jvp
-from functools import partial as _partial
-
-
-@_partial(_custom_jvp, nondiff_argnums=(1,))
+@_partial(jax.custom_jvp, nondiff_argnums=(1,))
 def _vec_corr_inverse_all_pallas(y, K):
     """Pallas primal; derivatives route through the jnp path (identical math)."""
     from ..kernels.lkj import lkj_inverse_pallas

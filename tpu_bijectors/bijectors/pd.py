@@ -15,7 +15,9 @@ TPU-native counterpart of /root/reference/src/bijectors/pd.jl.
 from __future__ import annotations
 
 import math
+from functools import partial as _partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -113,8 +115,6 @@ def _pd_inverse_all_jnp(y):
 
 def _pd_pallas_profitable(y) -> bool:
     """Trace-time dispatch — same rules as the LKJ kernel (kernels/pd.py)."""
-    import jax
-
     try:
         from .. import kernels
 
@@ -132,12 +132,7 @@ def _pd_pallas_profitable(y) -> bool:
         return False
 
 
-from functools import partial as _partial
-
-import jax as _jax
-
-
-@_partial(_jax.custom_jvp, nondiff_argnums=(1,))
+@_partial(jax.custom_jvp, nondiff_argnums=(1,))
 def _pd_inverse_all_pallas(y, K):
     """Pallas primal; derivatives route through the jnp path (identical math)."""
     from ..kernels.pd import pd_inverse_pallas
@@ -149,7 +144,7 @@ def _pd_inverse_all_pallas(y, K):
 def _pd_inverse_all_pallas_jvp(K, primals, tangents):
     (y,) = primals
     (dy,) = tangents
-    return _jax.jvp(_pd_inverse_all_jnp, (y,), (dy,))
+    return jax.jvp(_pd_inverse_all_jnp, (y,), (dy,))
 
 
 @pytree_dataclass

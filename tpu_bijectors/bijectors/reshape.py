@@ -82,7 +82,11 @@ class Permute(Bijector):
         """From a 0/1 permutation matrix: y = A @ x."""
         A = np.asarray(A)
         n = A.shape[0]
-        if A.shape != (n, n) or not np.array_equal(A @ A.T, np.eye(n)):
+        if (
+            A.shape != (n, n)
+            or not np.all((A == 0) | (A == 1))
+            or not np.array_equal(A @ A.T, np.eye(n))
+        ):
             raise ValueError("not a permutation matrix")
         # y[i] = x[j] where A[i, j] == 1
         return cls(tuple(int(np.argmax(A[i])) for i in range(n)))

@@ -263,9 +263,14 @@ def _simplex_inverse_parallel(y):
         return fa * ga, ga * fb + gb
 
     A, B = jax.lax.associative_scan(compose, (a, b), axis=-1)
-    # s_k for k = 0..K-2 (prefix sums BEFORE step k); s_{K-1} closes the stick
-    s = jnp.concatenate([jnp.zeros_like(B[..., :1]), B[..., :-1]], axis=-1)
-    s_last = B[..., -1]
+    # s_k for k = 0..K-2 (prefix sums BEFORE step k); s_{K-1} closes the stick.
+    # The sequential path's per-step x-clamps keep its running sum in [0, 1];
+    # clipping the scanned prefix recovers that invariant at extreme inputs
+    # (the scan itself must stay clamp-free to remain associative).
+    s = jnp.clip(
+        jnp.concatenate([jnp.zeros_like(B[..., :1]), B[..., :-1]], axis=-1), 0.0, 1.0
+    )
+    s_last = jnp.clip(B[..., -1], 0.0, 1.0)
 
     x_first = clamp((z - eps) / (1 - 2 * eps), 0.0, 1.0)
     x_rest = clamp(((1 + eps) - s) / (1 - 2 * eps) * z - eps, 0.0, 1.0)

@@ -40,10 +40,18 @@ def isinvertible(b) -> bool:
 
 
 def isclosedform(b) -> bool:
-    """reference `isclosedform` (src/interface.jl:231): False only for
-    iterative inverses (Invert(PlanarLayer))."""
+    """reference `isclosedform` (src/interface.jl:231): False only when an
+    iterative inverse (Invert(PlanarLayer)) appears anywhere in the
+    transform — recursing through compositions/wrappers like the reference's
+    conjunctive ComposedFunction rule (src/bijectors/composed.jl:1-2)."""
+    from .bijectors.base import Block, Chain
+
     if isinstance(b, Invert):
         return bool(getattr(b.bijector, "closed_form_inverse", True))
+    if isinstance(b, Chain):
+        return all(isclosedform(t) for t in b.transforms)
+    if isinstance(b, Block):
+        return isclosedform(b.bijector)
     return True
 
 

@@ -334,7 +334,7 @@ class Multinomial(Distribution):
         lp = (
             jsp.gammaln(self.n + 1.0)
             - jnp.sum(jsp.gammaln(x + 1.0), -1)
-            + jnp.sum(x * jnp.log(p), -1)
+            + jnp.sum(jsp.xlogy(x, p), -1)  # 0*log(0) = 0 for empty categories
         )
         valid = jnp.sum(x, -1) == self.n
         return jnp.where(valid, lp, -jnp.inf)

@@ -164,7 +164,11 @@ class LeafUnconstrainer(Unconstrainer):
         ):
             y = _unravel_event(v, self.linked_shape)
             x, ld, factor = b.inverse_and_log_det_with_factor(y)
-            lp = d.logpdf_from_factor(factor, x)
+            try:
+                lp = d.logpdf_from_factor(factor, x)
+            except TypeError:
+                # older single-argument protocol implementors
+                lp = d.logpdf_from_factor(factor)
             extra = len(self.event_shape) - int(b.event_ndims_in)
             if extra > 0:
                 ld = jnp.sum(ld, axis=tuple(range(-extra, 0)))
