@@ -251,3 +251,31 @@ def test_matrix_tdist():
     np.testing.assert_allclose(V, expect, atol=0.06)
     lp = np.asarray(d.logpdf(jnp.asarray(X[:100])))
     assert np.all(np.isfinite(lp))
+
+
+def test_heterogeneous_mixture(key):
+    """Reference heterogeneous mixtures (test/vector/univariate.jl:96-99):
+    Normal+Exponential and Gamma+Exponential unions."""
+    d = dists.HeterogeneousMixture(
+        (dists.Normal(0.0, 1.0), dists.Exponential(1.0)),
+        jnp.log(jnp.asarray([0.4, 0.6])),
+    )
+    for x in (0.5, 2.0):
+        expect = np.logaddexp(
+            np.log(0.4) + ss.norm.logpdf(x), np.log(0.6) + ss.expon.logpdf(x)
+        )
+        np.testing.assert_allclose(
+            float(d.logpdf(jnp.asarray(x, jnp.float64))), expect, rtol=1e-10
+        )
+    # support hull: (-inf, inf) -> identity link
+    assert not d.support.lower_finite and not d.support.upper_finite
+    s = np.asarray(d.sample(key, (50_000,)))
+    np.testing.assert_allclose(s.mean(), 0.6 * 1.0, atol=0.02)
+
+    d2 = dists.HeterogeneousMixture(
+        (dists.Gamma(2.0, 1.0), dists.Exponential(3.0)),
+        jnp.log(jnp.asarray([0.5, 0.5])),
+    )
+    assert d2.support.lower_finite and d2.support.lower == 0.0
+    from tpu_bijectors.testing import test_all as sweep
+    sweep(d2)

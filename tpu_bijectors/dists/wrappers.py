@@ -240,3 +240,57 @@ class MatrixNormal(Distribution):
     @property
     def support(self):
         return Support("real_matrix")
+
+
+@pytree_dataclass
+class HeterogeneousMixture(Distribution):
+    """Finite mixture of DIFFERENT scalar families (the reference's
+    heterogeneous MixtureModel rows, test/vector/univariate.jl:96-99):
+    components is a tuple of scalar-event distributions, log_weights (K,).
+
+    logpdf = logsumexp_k [log w_k + logpdf_k(x)] with the component loop
+    unrolled at trace time (K is structural)."""
+
+    components: tuple
+    log_weights: jax.Array
+
+    def __post_init__(self):
+        for c in self.components:
+            if c.event_ndims != 0:
+                raise ValueError("HeterogeneousMixture needs scalar-event components")
+
+    def logpdf(self, x):
+        lw = jax.nn.log_softmax(jnp.asarray(self.log_weights))
+        lps = jnp.stack([c.logpdf(x) for c in self.components], axis=-1)
+        return jsp.logsumexp(lw + lps, axis=-1)
+
+    def sample(self, key, sample_shape=()):
+        kc, ks = jax.random.split(key)
+        shape = tuple(sample_shape)
+        comp = jax.random.categorical(kc, jnp.asarray(self.log_weights), shape=shape)
+        draws = jnp.stack(
+            [c.sample(k, shape) for c, k in zip(self.components, jax.random.split(ks, len(self.components)))],
+            axis=-1,
+        )
+        return jnp.take_along_axis(draws, comp[..., None], axis=-1)[..., 0]
+
+    @property
+    def support(self):
+        # hull of the component supports (reference: minimum/maximum of the
+        # mixture = extrema over components)
+        import math as _math
+
+        los, his, lfs, ufs = [], [], [], []
+        for c in self.components:
+            s = c.support
+            if s.kind != "interval":
+                raise ValueError("mixture components must have interval support")
+            los.append(s.lower if s.lower_finite else -_math.inf)
+            his.append(s.upper if s.upper_finite else _math.inf)
+            lfs.append(s.lower_finite)
+            ufs.append(s.upper_finite)
+        lo = min(los) if all(lfs) else -_math.inf
+        hi = max(his) if all(ufs) else _math.inf
+        return Support(
+            "interval", lo, hi, all(lfs) and _math.isfinite(lo), all(ufs) and _math.isfinite(hi)
+        )
