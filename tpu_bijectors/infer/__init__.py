@@ -7,6 +7,9 @@ from .adapt import (
     build_schedule,
     stepsize_init,
     stepsize_update,
+    welford_cov_init,
+    welford_cov_update_batch,
+    welford_covariance,
     welford_init,
     welford_update_batch,
     welford_variance,
@@ -47,6 +50,9 @@ __all__ = [
     "stepsize_update",
     "StepSizeAdaptState",
     "welford_init",
+    "welford_cov_init",
+    "welford_cov_update_batch",
+    "welford_covariance",
     "welford_update_batch",
     "welford_variance",
     "WelfordState",

@@ -117,6 +117,47 @@ def welford_variance(s: WelfordState, regularize: bool = True):
 
 
 # ---------------------------------------------------------------------------
+# Welford accumulator for the DENSE mass matrix (Stan's dense_e metric)
+# ---------------------------------------------------------------------------
+
+
+def welford_cov_init(dim: int, dtype=jnp.float64) -> WelfordState:
+    """Same WelfordState shape with an (dim, dim) m2 (outer-product sums)."""
+    return WelfordState(
+        jnp.asarray(0.0, dtype), jnp.zeros(dim, dtype), jnp.zeros((dim, dim), dtype)
+    )
+
+
+def welford_cov_update_batch(s: WelfordState, xs, axis_name: str | None = None):
+    """Fold a (chains, dim) batch into the covariance accumulator (Chan et al.
+    pairwise combine), cross-device via pmean/psum like the diagonal version."""
+    n_local = xs.shape[0]
+    mean_b = jnp.mean(xs, axis=0)
+    c = xs - mean_b
+    m2_b = c.T @ c
+    n = jnp.asarray(float(n_local), s.mean.dtype)
+    if axis_name is not None:
+        n_dev = jax.lax.psum(1, axis_name)
+        mean_b = jax.lax.pmean(mean_b, axis_name)
+        m2_b = jax.lax.psum(m2_b, axis_name)
+        n = n * n_dev
+    count = s.count + n
+    delta = mean_b - s.mean
+    mean = s.mean + delta * (n / count)
+    m2 = s.m2 + m2_b + jnp.outer(delta, delta) * (s.count * n / count)
+    return WelfordState(count, mean, m2)
+
+
+def welford_covariance(s: WelfordState, regularize: bool = True):
+    cov = s.m2 / jnp.maximum(s.count - 1.0, 1.0)
+    if regularize:
+        w = s.count / (s.count + 5.0)
+        dim = s.mean.shape[-1]
+        cov = w * cov + (1.0 - w) * 1e-3 * jnp.eye(dim, dtype=cov.dtype)
+    return cov
+
+
+# ---------------------------------------------------------------------------
 # Stan-style adaptation schedule (init buffer / doubling windows / term buffer)
 # ---------------------------------------------------------------------------
 

@@ -46,17 +46,35 @@ class IntegratorState(NamedTuple):
     grad: jax.Array  # d logp / d q
 
 
+def apply_inv_mass(inv_mass, p):
+    """M^{-1} p for a diagonal (dim,) or dense symmetric (dim, dim) metric;
+    `p` may carry leading batch axes (rows)."""
+    if inv_mass.ndim == 1:
+        return p * inv_mass
+    return p @ inv_mass  # symmetric: rows @ M^{-1}
+
+
+def sample_momentum(key, q, inv_mass):
+    """p ~ N(0, M) with M = inv(inv_mass): diagonal or dense metric."""
+    z = jax.random.normal(key, q.shape, q.dtype)
+    if inv_mass.ndim == 1:
+        return z / jnp.sqrt(inv_mass)
+    # inv_mass = Sigma = L L'  =>  p = L^{-T} z has cov (L L')^{-1} = M
+    L = jnp.linalg.cholesky(inv_mass.astype(q.dtype))
+    return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+
+
 def leapfrog(logp_and_grad, state: IntegratorState, eps, inv_mass):
     q, p, _, grad = state
     p_half = p + 0.5 * eps * grad
-    q_new = q + eps * inv_mass * p_half
+    q_new = q + eps * apply_inv_mass(inv_mass, p_half)
     logp_new, grad_new = logp_and_grad(q_new)
     p_new = p_half + 0.5 * eps * grad_new
     return IntegratorState(q_new, p_new, logp_new, grad_new)
 
 
 def kinetic(p, inv_mass):
-    return 0.5 * jnp.sum(p * p * inv_mass, axis=-1)
+    return 0.5 * jnp.sum(p * apply_inv_mass(inv_mass, p), axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -73,10 +91,10 @@ class NutsInfo(NamedTuple):
 
 
 def _uturn(q_left, p_left, q_right, p_right, inv_mass):
-    """Generalized U-turn criterion for a diagonal metric."""
+    """Generalized U-turn criterion (diagonal or dense metric)."""
     dq = q_right - q_left
-    return (jnp.dot(dq, inv_mass * p_left) < 0) | (
-        jnp.dot(dq, inv_mass * p_right) < 0
+    return (jnp.dot(dq, apply_inv_mass(inv_mass, p_left)) < 0) | (
+        jnp.dot(dq, apply_inv_mass(inv_mass, p_right)) < 0
     )
 
 
@@ -162,8 +180,8 @@ def _build_subtree(
         tz1 = _trailing_zeros(n + 1, max_depth)
         kmask = (slots >= 1) & (slots <= tz1)
         dq = new_state.q[None, :] - ck_q
-        t1 = jnp.sum(dq * (inv_mass * ck_p), axis=-1) < 0
-        t2 = jnp.sum(dq * (inv_mass * new_state.p)[None, :], axis=-1) < 0
+        t1 = jnp.sum(dq * apply_inv_mass(inv_mass, ck_p), axis=-1) < 0
+        t2 = jnp.sum(dq * apply_inv_mass(inv_mass, new_state.p)[None, :], axis=-1) < 0
         turning_now = jnp.any(kmask & (t1 | t2))
 
         return (
@@ -211,7 +229,7 @@ def nuts_kernel(logdensity_fn, max_depth: int = 10):
         dtype = q.dtype
         dim = q.shape[-1]
         k_mom, k_loop = jax.random.split(key)
-        p0 = jax.random.normal(k_mom, q.shape, dtype) / jnp.sqrt(inv_mass)
+        p0 = sample_momentum(k_mom, q, inv_mass)
         energy0 = -logp + kinetic(p0, inv_mass)
         state0 = IntegratorState(q, p0, logp, grad)
 
@@ -301,7 +319,7 @@ def hmc_kernel(logdensity_fn, n_leapfrog: int = 32, jitter: float = 0.2):
         dtype = q.dtype
         k_mom, k_acc, k_jit = jax.random.split(key, 3)
         eps = eps * (1.0 + jitter * (2.0 * jax.random.uniform(k_jit, dtype=dtype) - 1.0))
-        p0 = jax.random.normal(k_mom, q.shape, dtype) / jnp.sqrt(inv_mass)
+        p0 = sample_momentum(k_mom, q, inv_mass)
         energy0 = -logp + kinetic(p0, inv_mass)
         state = IntegratorState(q, p0, logp, grad)
 

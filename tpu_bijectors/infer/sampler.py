@@ -22,6 +22,9 @@ from .adapt import (
     build_schedule,
     stepsize_init,
     stepsize_update,
+    welford_cov_init,
+    welford_cov_update_batch,
+    welford_covariance,
     welford_init,
     welford_update_batch,
     welford_variance,
@@ -50,20 +53,29 @@ class RunStats(NamedTuple):
     tree_depth: jax.Array
 
 
-def init_sampler(logdensity_fn, key, q0, eps0: float = 0.1) -> SamplerState:
-    """q0: (chains, dim) initial positions."""
+def init_sampler(logdensity_fn, key, q0, eps0: float = 0.1, metric: str = "diag") -> SamplerState:
+    """q0: (chains, dim) initial positions. metric: 'diag' (Welford variance)
+    or 'dense' (full covariance, Stan's dense_e)."""
     dtype = q0.dtype
     logp, grad = jax.vmap(jax.value_and_grad(logdensity_fn))(q0)
     dim = q0.shape[-1]
+    if metric == "diag":
+        inv_mass = jnp.ones(dim, dtype)
+        wf = welford_init(dim, dtype)
+    elif metric == "dense":
+        inv_mass = jnp.eye(dim, dtype=dtype)
+        wf = welford_cov_init(dim, dtype)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     return SamplerState(
         key=key,
         q=q0,
         logp=logp,
         grad=grad,
         eps=jnp.asarray(eps0, dtype),
-        inv_mass=jnp.ones(dim, dtype),
+        inv_mass=inv_mass,
         ss=stepsize_init(eps0, dtype),
-        welford=welford_init(dim, dtype),
+        welford=wf,
         iteration=jnp.asarray(0, jnp.int32),
     )
 
@@ -81,6 +93,7 @@ def warmup_and_sample(
     eps0: float = 0.1,
     axis_name: str | None = None,
     thin: int = 1,
+    metric: str = "diag",
 ):
     """Run windowed-adaptation warmup then sampling.
 
@@ -97,8 +110,14 @@ def warmup_and_sample(
         raise ValueError(kernel)
     vkernel = jax.vmap(step_kernel, in_axes=(0, 0, 0, 0, None, None))
 
-    state = init_sampler(logdensity_fn, key, q0, eps0)
+    state = init_sampler(logdensity_fn, key, q0, eps0, metric=metric)
     window_id, window_end = build_schedule(n_warmup)
+    dense = metric == "dense"
+    wf_update = welford_cov_update_batch if dense else welford_update_batch
+    wf_estimate = welford_covariance if dense else welford_variance
+    wf_fresh = (
+        (lambda d, dt: welford_cov_init(d, dt)) if dense else (lambda d, dt: welford_init(d, dt))
+    )
 
     def mean_over_chains(x):
         m = jnp.mean(x)
@@ -119,16 +138,16 @@ def warmup_and_sample(
         eps = jnp.exp(ss.log_eps)
         # mass: Welford inside mass windows; refresh + reset at window ends
         in_window = wid >= 0
-        wf_new = welford_update_batch(state.welford, q, axis_name=axis_name)
+        wf_new = wf_update(state.welford, q, axis_name=axis_name)
         wf = jax.tree_util.tree_map(
             lambda a, b: jnp.where(in_window, a, b), wf_new, state.welford
         )
-        var = welford_variance(wf)
+        var = wf_estimate(wf)
         refresh = wend & (wf.count > 2)
         inv_mass = jnp.where(refresh, var, state.inv_mass)
         wf = jax.tree_util.tree_map(
             lambda a, b: jnp.where(refresh, a, b),
-            welford_init(state.q.shape[-1], state.q.dtype),
+            wf_fresh(state.q.shape[-1], state.q.dtype),
             wf,
         )
         # restart step-size adaptation after a metric refresh (Stan behavior)
