@@ -50,7 +50,9 @@ def _time(fn, *args, n_iter=200, warmup=10):
 
 def main():
     model = _model()
-    logp = jax.jit(jax.vmap(model.logdensity_fn()))
+    # direct batched evaluation: the trace sees (batch, dim), so the Pallas
+    # batch-on-lanes kernels dispatch (a per-example vmap would hide them)
+    logp = jax.jit(model.batched_logdensity_fn())
     u = model.unconstrainer()
 
     batch = 131072  # large enough to amortize per-dispatch latency (serving regime)

@@ -77,3 +77,25 @@ def test_model_logdensity_uses_fused_path():
     np.testing.assert_allclose(
         float(model.logdensity_fn()(v)), float(ref), rtol=1e-10
     )
+
+
+def test_batched_logdensity_matches_vmapped():
+    """Model.batched_logdensity_fn == vmap(logdensity_fn) exactly (f64)."""
+    from tpu_bijectors.infer import Model
+
+    model = Model(
+        priors=dists.NamedProduct.of(
+            mu=dists.IIDProduct(dists.Normal(0.0, 2.0), 4),
+            w=dists.Dirichlet(jnp.ones(5)),
+            c=dists.LKJ(3, 2.0),
+        ),
+        loglik=lambda x: 0.1 * jnp.sum(x["mu"]) + 0.01 * jnp.trace(x["c"]),
+    )
+    v = 0.4 * jax.random.normal(jax.random.PRNGKey(7), (32, model.dim()), jnp.float64)
+    a = jax.vmap(model.logdensity_fn())(v)
+    b = model.batched_logdensity_fn()(v)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-12)
+    # single-example call also works (no batch axis)
+    np.testing.assert_allclose(
+        float(model.batched_logdensity_fn()(v[0])), float(a[0]), rtol=1e-12
+    )

@@ -53,6 +53,25 @@ class Model:
 
         return logdensity
 
+    def batched_logdensity_fn(self):
+        """Like logdensity_fn but evaluated DIRECTLY on (batch, dim) arrays
+        instead of per-example under vmap. Semantically identical (the
+        vectorize layer broadcasts); operationally different on TPU: the
+        trace sees the real batch, so the Pallas batch-on-lanes kernels
+        dispatch. Use for batched density evaluation (ELBO Monte-Carlo
+        samples, SMC weights, serving); the per-chain NUTS kernel keeps the
+        vmapped scalar form."""
+        u = self.unconstrainer()
+        loglik = self.loglik
+
+        def logdensity(v):
+            x, lp = u.from_linked_vec_with_logpdf(v)
+            if loglik is not None:
+                lp = lp + jax.vmap(loglik)(x) if v.ndim > 1 else lp + loglik(x)
+            return lp
+
+        return logdensity
+
     def constrain(self, v):
         """Flat unconstrained vector(s) -> sample pytree."""
         return self.unconstrainer().from_linked_vec(v)[0]
