@@ -111,14 +111,16 @@ def fit_advi(
         q = MeanFieldGaussian.init(dim, dtype)
     opt = optimizer or optax.adam(learning_rate)
 
+    from .model import as_batched
+
+    blogp = as_batched(logdensity_fn)
+
     def neg_elbo(q, key):
         if isinstance(q, FlowPosterior):
             v, logq = q.sample_with_logq(key, n_mc, dim)
-            lp = jax.vmap(logdensity_fn)(v)
-            return -jnp.mean(lp - logq)
+            return -jnp.mean(blogp(v) - logq)
         v = q.sample(key, n_mc)
-        lp = jax.vmap(logdensity_fn)(v)
-        return -(jnp.mean(lp) + q.entropy())
+        return -(jnp.mean(blogp(v)) + q.entropy())
 
     opt_state = opt.init(q)
 

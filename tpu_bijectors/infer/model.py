@@ -80,3 +80,25 @@ class Model:
         return scale * jax.random.normal(
             key, (n_chains, self.dim()), jnp.result_type(float)
         )
+
+
+def as_batched(logdensity_fn):
+    """Wrap a log-density so it evaluates whole (batch, dim) arrays at once
+    when it can (trace-time probe), falling back to `jax.vmap` otherwise.
+
+    Batch-capable densities (e.g. Model.batched_logdensity_fn) let the
+    Pallas batch-on-lanes kernels dispatch; per-example functions are
+    vmapped as before. Used by the ADVI/SMC engines."""
+
+    def batched(v):
+        if v.ndim == 1:
+            return logdensity_fn(v)
+        try:
+            out = logdensity_fn(v)
+            if jnp.shape(out) == v.shape[:-1]:
+                return out
+        except Exception:
+            pass
+        return jax.vmap(logdensity_fn)(v)
+
+    return batched

@@ -97,8 +97,11 @@ def run_smc(
     n, dim = particles0.shape
     dtype = particles0.dtype
 
-    lp0 = jax.vmap(log_prior_fn)(particles0)
-    ll0 = jax.vmap(log_lik_fn)(particles0)
+    from .model import as_batched
+
+    blp, bll = as_batched(log_prior_fn), as_batched(log_lik_fn)
+    lp0 = blp(particles0)
+    ll0 = bll(particles0)
 
     def tempered_logp(beta):
         def f(v):
@@ -154,8 +157,8 @@ def run_smc(
         idx = systematic_resample(k_res, inc)
         particles = state.particles[idx]
         particles = mutate(k_mut, particles, new_beta)
-        lp = jax.vmap(log_prior_fn)(particles)
-        ll = jax.vmap(log_lik_fn)(particles)
+        lp = blp(particles)
+        ll = bll(particles)
         return SMCState(k, particles, lp, ll, new_beta, log_ev, state.stage + 1)
 
     def cond(state: SMCState):
