@@ -99,3 +99,28 @@ def test_batched_logdensity_matches_vmapped():
     np.testing.assert_allclose(
         float(model.batched_logdensity_fn()(v[0])), float(a[0]), rtol=1e-12
     )
+
+
+def test_linked_logdensity_matches_full_path():
+    """logdensity-only path (no x materialization) == full fused path (f64),
+    incl. the VecCorr factor-only route and nested products."""
+    cases = [
+        dists.LKJ(6, 2.0),
+        dists.Dirichlet(jnp.ones(5)),
+        dists.NamedProduct.of(
+            c=dists.LKJ(4, 1.5),
+            w=dists.Dirichlet(jnp.ones(4)),
+            s=dists.IIDProduct(dists.LogNormal(), 3),
+        ),
+        dists.IIDProduct(dists.Wishart(7.0, jnp.eye(3, dtype=jnp.float64)), 2),
+    ]
+    for d in cases:
+        u = unconstrain(d)
+        v = 0.4 * jax.random.normal(jax.random.PRNGKey(5), (16, u.linked_vec_length), jnp.float64)
+        ref = u.from_linked_vec_with_logpdf(v)[1]
+        got = u.linked_logdensity(v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-12,
+                                   err_msg=type(d).__name__)
+        g1 = jax.grad(lambda v: jnp.sum(u.linked_logdensity(v)))(v)
+        g2 = jax.grad(lambda v: jnp.sum(u.from_linked_vec_with_logpdf(v)[1]))(v)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-10)

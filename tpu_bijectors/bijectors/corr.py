@@ -265,6 +265,44 @@ class VecCorrBijector(Bijector):
     def inverse_log_det_jacobian(self, y):
         return _logabsdetjac_inv_corr_vec(y)
 
+    def inverse_log_det_and_factor_only(self, y):
+        """(logJ, log_diag_W) without materializing X — the logdensity-only
+        hot path (Model with no likelihood over the corr block, ADVI ELBOs):
+        skips the X = W'W triple product entirely."""
+        if _lkj_pallas_profitable(y):
+            K = triu1_dim_from_length(y.shape[-1])
+            return _vec_corr_logdet_pallas(y, K)
+        return _vec_corr_logdet_jnp(y)
+
+
+def _vec_corr_logdet_jnp(y):
+    """(logJ, log_diag_W) — X never formed (XLA DCEs the unused W entries)."""
+    K = triu1_dim_from_length(y.shape[-1])
+    Y = vec_to_triu(y, k=1, n=K)
+    W, logJ = _inv_link_chol_lkj(Y)
+    coeff = jnp.concatenate(
+        [
+            jnp.zeros((1,), W.dtype),
+            jnp.asarray(np.maximum(np.arange(K - 2, -1, -1), 0), dtype=W.dtype),
+        ]
+    )
+    log_diag = jnp.log(jnp.diagonal(W, axis1=-2, axis2=-1))
+    return logJ + jnp.sum(coeff * log_diag, axis=-1), log_diag
+
+
+@_partial(jax.custom_jvp, nondiff_argnums=(1,))
+def _vec_corr_logdet_pallas(y, K):
+    from ..kernels.lkj import lkj_logdet_pallas
+
+    return lkj_logdet_pallas(y, K)
+
+
+@_vec_corr_logdet_pallas.defjvp
+def _vec_corr_logdet_pallas_jvp(K, primals, tangents):
+    (y,) = primals
+    (dy,) = tangents
+    return jax.jvp(_vec_corr_logdet_jnp, (y,), (dy,))
+
 
 def _vec_corr_inverse_all_jnp(y):
     """(X, logJ, log_diag_W) via the masked-cumsum jnp path."""

@@ -64,11 +64,14 @@ class Model:
         u = self.unconstrainer()
         loglik = self.loglik
 
+        if loglik is None:
+            # prior-only density: leaves that don't need the constrained
+            # sample (LKJ) skip materializing it (logdensity-only kernels)
+            return u.linked_logdensity
+
         def logdensity(v):
             x, lp = u.from_linked_vec_with_logpdf(v)
-            if loglik is not None:
-                lp = lp + jax.vmap(loglik)(x) if v.ndim > 1 else lp + loglik(x)
-            return lp
+            return lp + (jax.vmap(loglik)(x) if v.ndim > 1 else loglik(x))
 
         return logdensity
 

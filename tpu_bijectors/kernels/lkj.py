@@ -32,6 +32,58 @@ from .layout import LANES as _LANES, pad_to as _pad_to, padded_batch as _padded_
 LOG2 = math.log(2.0)
 
 
+def lkj_logdet_pallas(y, K: int, *, interpret: bool = False):
+    """Logdensity-only variant: (logJ, log_diag_W) WITHOUT materializing
+    X = W'W — the LKJ density needs only the factor diagonal, and when the
+    caller drops x the X triple-product and its HBM write are pure waste
+    (XLA would DCE them in the jnp path; a kernel cannot be DCE'd into)."""
+    B, P = y.shape
+    assert P == K * (K - 1) // 2
+    dtype = jnp.result_type(y, float)
+    y = y.astype(dtype)
+    Bp = _padded_batch(B)
+    yt = _pad_to(y, Bp, 0).T
+
+    coeff = np.concatenate([[0.0], np.maximum(np.arange(K - 2, -1, -1), 0)]).astype(
+        dtype
+    )
+
+    def kernel(y_ref, lj_ref, ldw_ref):
+        zero = jnp.zeros((1, _LANES), dtype)
+        logJ = zero
+        ldw_ref[0, :] = zero[0, :]
+        for j in range(1, K):
+            lr = zero
+            base = j * (j - 1) // 2
+            for i in range(j):
+                yv = y_ref[base + i, :].reshape(1, _LANES)
+                a = jnp.abs(yv)
+                lc = a + jax.nn.softplus(-2.0 * a) - LOG2
+                lr = lr - lc
+                logJ = logJ + lr
+            ldw_ref[j, :] = lr[0, :]
+            logJ = logJ + lr * (1.0 + coeff[j])
+        lj_ref[0, :] = logJ[0, :]
+
+    logJ, log_diag = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, Bp), dtype),
+            jax.ShapeDtypeStruct((K, Bp), dtype),
+        ),
+        grid=(Bp // _LANES,),
+        in_specs=[
+            pl.BlockSpec((P, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(yt)
+    return logJ[0, :B], log_diag.T[:B]
+
+
 def lkj_inverse_pallas(y, K: int, *, interpret: bool = False):
     """y: (B, K(K-1)/2) -> (X: (B, K, K), logJ: (B,), log_diag_W: (B, K)).
 

@@ -92,6 +92,13 @@ class Unconstrainer:
         override the generic path and never re-decompose x."""
         raise NotImplementedError
 
+    def linked_logdensity(self, v):
+        """logpdf(d, x) + logdetJ WITHOUT returning x — leaves whose density
+        doesn't need the constrained sample (LKJ: only the factor diagonal)
+        skip materializing it entirely (the Pallas kernels can't be DCE'd
+        into like the jnp path can)."""
+        return self.from_linked_vec_with_logpdf(v)[1]
+
 
 @pytree_dataclass(meta_fields=("event_shape", "linked_shape", "chol_pack", "entangled"))
 class LeafUnconstrainer(Unconstrainer):
@@ -176,6 +183,23 @@ class LeafUnconstrainer(Unconstrainer):
         x, ld = self.from_linked_vec(v)
         return x, d.logpdf(x) + ld
 
+    def linked_logdensity(self, v):
+        b, d = self.link, self.dist
+        if hasattr(b, "inverse_log_det_and_factor_only") and hasattr(
+            d, "logpdf_from_factor"
+        ):
+            y = _unravel_event(v, self.linked_shape)
+            ld, factor = b.inverse_log_det_and_factor_only(y)
+            extra = len(self.event_shape) - int(b.event_ndims_in)
+            if extra > 0:
+                ld = jnp.sum(ld, axis=tuple(range(-extra, 0)))
+            try:
+                lp = d.logpdf_from_factor(factor, None)
+            except TypeError:
+                lp = d.logpdf_from_factor(factor)
+            return lp + ld
+        return self.from_linked_vec_with_logpdf(v)[1]
+
 
 def _to_lower(x, dist):
     mode = getattr(dist, "mode", "L")
@@ -227,6 +251,10 @@ class IIDUnconstrainer(Unconstrainer):
         vi = jnp.reshape(v, v.shape[:-1] + (self.n, self.inner.linked_vec_length))
         x, lpld = self.inner.from_linked_vec_with_logpdf(vi)
         return x, jnp.sum(lpld, axis=-1)
+
+    def linked_logdensity(self, v):
+        vi = jnp.reshape(v, v.shape[:-1] + (self.n, self.inner.linked_vec_length))
+        return jnp.sum(self.inner.linked_logdensity(vi), axis=-1)
 
     def optic_vec(self):
         out = []
@@ -317,6 +345,13 @@ class TreeUnconstrainer(Unconstrainer):
             parts.append(xi)
             acc = a if acc is None else acc + a
         return self._rebuild(parts), acc
+
+    def linked_logdensity(self, v):
+        acc = None
+        for c, (s, l) in zip(self.children, self.linked_offsets):
+            a = c.linked_logdensity(v[..., s : s + l])
+            acc = a if acc is None else acc + a
+        return acc
 
     def optic_vec(self):
         out = []
