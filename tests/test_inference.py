@@ -266,3 +266,43 @@ def test_nuts_dense_metric_correlated_gaussian(key):
     assert im.shape == (2, 2)
     np.testing.assert_allclose(im, np.asarray(cov), atol=0.25)
     assert np.asarray(stats.diverging).sum() == 0
+
+
+def test_nuts_batched_kernel_matches_moments(key):
+    """The natively-batched NUTS kernel (hmc_batched.py) recovers the same
+    posteriors as the vmapped per-chain kernel: conjugate Beta-Binomial +
+    a correlated Gaussian."""
+    a, b, n_trials, heads = 2.0, 2.0, 50, 17
+    model = Model(
+        priors=dists.NamedProduct.of(p=dists.Beta(a, b)),
+        loglik=lambda x: heads * jnp.log(x["p"]) + (n_trials - heads) * jnp.log1p(-x["p"]),
+    )
+    logp_b = model.batched_logdensity_fn()
+    q0 = model.init_positions(jax.random.PRNGKey(31), 16)
+    samples, state, stats = jax.jit(
+        lambda k, q: warmup_and_sample(
+            logp_b, k, q, n_warmup=400, n_samples=600, kernel="nuts_batched"
+        )
+    )(key, q0)
+    p = np.asarray(model.constrain(samples.reshape(-1, 1))["p"]).ravel()
+    a_post, b_post = a + heads, b + n_trials - heads
+    exact_mean = a_post / (a_post + b_post)
+    exact_var = a_post * b_post / ((a_post + b_post) ** 2 * (a_post + b_post + 1))
+    np.testing.assert_allclose(p.mean(), exact_mean, atol=5 * np.sqrt(exact_var / 1000))
+    np.testing.assert_allclose(p.var(), exact_var, rtol=0.3)
+    assert np.asarray(stats.diverging).sum() == 0
+
+    # correlated Gaussian, dense metric, batched kernel
+    rho = 0.9
+    cov = jnp.asarray([[1.0, rho], [rho, 1.0]], jnp.float64)
+    prec = jnp.linalg.inv(cov)
+    logp2 = lambda v: -0.5 * jnp.sum((v @ prec) * v, -1) if v.ndim > 1 else -0.5 * v @ prec @ v
+    q0 = 0.1 * jax.random.normal(jax.random.PRNGKey(32), (16, 2), jnp.float64)
+    samples, _, stats = jax.jit(
+        lambda k, q: warmup_and_sample(
+            logp2, k, q, n_warmup=400, n_samples=600, kernel="nuts_batched",
+            metric="dense",
+        )
+    )(key, q0)
+    s = np.asarray(samples).reshape(-1, 2)
+    np.testing.assert_allclose(np.cov(s.T), np.asarray(cov), atol=0.12)

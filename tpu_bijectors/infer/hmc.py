@@ -61,7 +61,8 @@ def sample_momentum(key, q, inv_mass):
         return z / jnp.sqrt(inv_mass)
     # inv_mass = Sigma = L L'  =>  p = L^{-T} z has cov (L L')^{-1} = M
     L = jnp.linalg.cholesky(inv_mass.astype(q.dtype))
-    return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+    Lt = jnp.broadcast_to(L.T, z.shape[:-1] + L.shape)
+    return jax.scipy.linalg.solve_triangular(Lt, z[..., None], lower=False)[..., 0]
 
 
 def leapfrog(logp_and_grad, state: IntegratorState, eps, inv_mass):

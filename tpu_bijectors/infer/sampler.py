@@ -53,11 +53,19 @@ class RunStats(NamedTuple):
     tree_depth: jax.Array
 
 
-def init_sampler(logdensity_fn, key, q0, eps0: float = 0.1, metric: str = "diag") -> SamplerState:
+def init_sampler(
+    logdensity_fn, key, q0, eps0: float = 0.1, metric: str = "diag",
+    batched: bool = False,
+) -> SamplerState:
     """q0: (chains, dim) initial positions. metric: 'diag' (Welford variance)
-    or 'dense' (full covariance, Stan's dense_e)."""
+    or 'dense' (full covariance, Stan's dense_e). batched: logdensity_fn maps
+    (chains, dim) -> (chains,) directly."""
     dtype = q0.dtype
-    logp, grad = jax.vmap(jax.value_and_grad(logdensity_fn))(q0)
+    if batched:
+        logp, vjp = jax.vjp(logdensity_fn, q0)
+        (grad,) = vjp(jnp.ones_like(logp))
+    else:
+        logp, grad = jax.vmap(jax.value_and_grad(logdensity_fn))(q0)
     dim = q0.shape[-1]
     if metric == "diag":
         inv_mass = jnp.ones(dim, dtype)
@@ -104,13 +112,26 @@ def warmup_and_sample(
     """
     if kernel == "nuts":
         step_kernel = nuts_kernel(logdensity_fn, max_depth=max_depth)
+    elif kernel == "nuts_batched":
+        # natively multi-chain: logdensity_fn must map (chains, dim) -> (chains,)
+        # (e.g. Model.batched_logdensity_fn) — Pallas kernels + one-backward
+        # VJP engage in the leapfrog (see hmc_batched.py)
+        from .hmc_batched import nuts_kernel_batched
+
+        step_kernel = nuts_kernel_batched(logdensity_fn, max_depth=max_depth)
     elif kernel == "hmc":
         step_kernel = hmc_kernel(logdensity_fn, n_leapfrog=n_leapfrog)
     else:
         raise ValueError(kernel)
-    vkernel = jax.vmap(step_kernel, in_axes=(0, 0, 0, 0, None, None))
+    if kernel == "nuts_batched":
+        vkernel = lambda keys, q, lp, g, eps, im: step_kernel(keys[0], q, lp, g, eps, im)
+    else:
+        vkernel = jax.vmap(step_kernel, in_axes=(0, 0, 0, 0, None, None))
 
-    state = init_sampler(logdensity_fn, key, q0, eps0, metric=metric)
+    state = init_sampler(
+        logdensity_fn, key, q0, eps0, metric=metric,
+        batched=(kernel == "nuts_batched"),
+    )
     window_id, window_end = build_schedule(n_warmup)
     dense = metric == "dense"
     wf_update = welford_cov_update_batch if dense else welford_update_batch
