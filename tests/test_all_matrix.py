@@ -93,6 +93,8 @@ def _univariates():
         dists.Mixture(dists.Normal(e([-2.0, 0.0, 3.0]), e([1.2, 1.0, 2.5])), jnp.log(e([0.2, 0.5, 0.3]))),
         dists.Mixture(dists.Normal(e([0.0]), e([1.0])), jnp.log(e([1.0]))),
         dists.Mixture(dists.Beta(e([2.0, 5.0]), e([2.0, 1.0])), jnp.log(e([0.5, 0.5]))),
+        dists.HeterogeneousMixture((dists.Normal(0.0, 1.0), dists.Exponential(1.0)), jnp.log(e([0.4, 0.6]))),
+        dists.HeterogeneousMixture((dists.Gamma(2.0, 1.0), dists.Exponential(3.0)), jnp.log(e([0.5, 0.5]))),
     ]
 
 

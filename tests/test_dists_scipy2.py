@@ -279,3 +279,26 @@ def test_heterogeneous_mixture(key):
     assert d2.support.lower_finite and d2.support.lower == 0.0
     from tpu_bijectors.testing import test_all as sweep
     sweep(d2)
+
+
+def test_heterogeneous_mixture_out_of_component_support():
+    """Component densities outside their own support must contribute zero
+    mass, not garbage (review round 3: Exponential at x<0 used to dominate)."""
+    d = dists.HeterogeneousMixture(
+        (dists.Normal(0.0, 1.0), dists.Exponential(1.0)),
+        jnp.log(jnp.asarray([0.4, 0.6])),
+    )
+    x = jnp.asarray(-2.0, jnp.float64)
+    np.testing.assert_allclose(
+        float(d.logpdf(x)), np.log(0.4) + ss.norm.logpdf(-2.0), rtol=1e-10
+    )
+    g = jax.grad(lambda x: d.logpdf(x))(x)
+    assert np.isfinite(float(g))
+    # Gamma component outside support: finite density from the Normal only
+    d2 = dists.HeterogeneousMixture(
+        (dists.Gamma(2.0, 1.0), dists.Normal(0.0, 2.0)),
+        jnp.log(jnp.asarray([0.5, 0.5])),
+    )
+    lp = float(d2.logpdf(jnp.asarray(-1.0, jnp.float64)))
+    np.testing.assert_allclose(lp, np.log(0.5) + ss.norm.logpdf(-1.0, 0, 2.0), rtol=1e-10)
+    assert np.isfinite(float(jax.grad(lambda x: d2.logpdf(x))(jnp.asarray(-1.0, jnp.float64))))

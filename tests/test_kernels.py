@@ -101,3 +101,16 @@ def test_pd_inverse_pallas_close(B, K, rng):
     np.testing.assert_allclose(np.asarray(L_pal), np.asarray(L_ref), atol=2e-6)
     np.testing.assert_allclose(np.asarray(X_pal), np.asarray(X_ref), atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(lj_pal), np.asarray(lj_ref), atol=3e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("B,K", [(16, 3), (130, 8)])
+def test_lkj_logdet_pallas_close(B, K, rng):
+    """logdensity-only LKJ kernel == the full kernel's (logJ, log_diag)."""
+    from tpu_bijectors.bijectors.corr import _vec_corr_logdet_jnp
+    from tpu_bijectors.kernels.lkj import lkj_logdet_pallas
+
+    y = jnp.asarray(0.5 * rng.standard_normal((B, K * (K - 1) // 2)), jnp.float32)
+    lj_ref, ldw_ref = _vec_corr_logdet_jnp(y)
+    lj_pal, ldw_pal = lkj_logdet_pallas(y, K, interpret=True)
+    np.testing.assert_allclose(np.asarray(lj_pal), np.asarray(lj_ref), atol=3e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(ldw_pal), np.asarray(ldw_ref), atol=3e-5, rtol=2e-5)

@@ -259,10 +259,29 @@ class HeterogeneousMixture(Distribution):
             if c.event_ndims != 0:
                 raise ValueError("HeterogeneousMixture needs scalar-event components")
 
+    @staticmethod
+    def _interior_point(s):
+        if s.lower_finite and s.upper_finite:
+            return 0.5 * (s.lower + s.upper)
+        if s.lower_finite:
+            return s.lower + 1.0
+        if s.upper_finite:
+            return s.upper - 1.0
+        return 0.0
+
     def logpdf(self, x):
         lw = jax.nn.log_softmax(jnp.asarray(self.log_weights))
-        lps = jnp.stack([c.logpdf(x) for c in self.components], axis=-1)
-        return jsp.logsumexp(lw + lps, axis=-1)
+        # components contribute ZERO density outside their own support — the
+        # mixture's support hull is wider than each component's, so an
+        # unmasked Exponential.logpdf at x<0 would contribute garbage.
+        # Double-where: evaluate each component at an interior point where
+        # masked so out-of-support NaNs never reach forward OR backward pass.
+        parts = []
+        for c in self.components:
+            ok = c.in_support(x)
+            x_safe = jnp.where(ok, x, self._interior_point(c.support))
+            parts.append(jnp.where(ok, c.logpdf(x_safe), -jnp.inf))
+        return jsp.logsumexp(lw + jnp.stack(parts, axis=-1), axis=-1)
 
     def sample(self, key, sample_shape=()):
         kc, ks = jax.random.split(key)

@@ -100,8 +100,8 @@ def _uturn(q_left, p_left, q_right, p_right, inv_mass):
 
 
 class _TreeState(NamedTuple):
-    # trajectory edges
-    left: IntegratorState
+    # trajectory edge (the new outermost state; the inner edge of a subtree
+    # equals the old tree edge, so only `right` is needed)
     right: IntegratorState
     # progressive multinomial proposal
     prop_q: jax.Array
@@ -144,7 +144,7 @@ def _build_subtree(
     )
 
     def body(carry):
-        (n, state, leftmost, prop_q, prop_logp, prop_grad, log_w, turning,
+        (n, state, prop_q, prop_logp, prop_grad, log_w, turning,
          diverging, sum_acc, ck_q, ck_p, k) = carry
 
         new_state = leapfrog(logp_and_grad, state, direction * eps, inv_mass)
@@ -164,11 +164,6 @@ def _build_subtree(
         prop_logp = jnp.where(take, new_state.logp, prop_logp)
         prop_grad = jnp.where(take, new_state.grad, prop_grad)
 
-        # track the subtree's leftmost (first) leaf
-        leftmost = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(n == 0, b, a), leftmost, new_state
-        )
-
         # checkpoint writes: slots [0 .. tz(n)] <- new_state (n=0 -> all)
         tz = jnp.where(n == 0, max_depth, _trailing_zeros(jnp.maximum(n, 1), max_depth))
         slots = jnp.arange(max_depth + 1)
@@ -186,27 +181,26 @@ def _build_subtree(
         turning_now = jnp.any(kmask & (t1 | t2))
 
         return (
-            n + 1, new_state, leftmost, prop_q, prop_logp, prop_grad, log_w_new,
+            n + 1, new_state, prop_q, prop_logp, prop_grad, log_w_new,
             turning | turning_now, diverging | div,
             sum_acc + acc, ck_q, ck_p, k,
         )
 
     def cond(carry):
-        n, _, _, _, _, _, _, turning, diverging, _, _, _, _ = carry
+        n, _, _, _, _, _, turning, diverging, _, _, _, _ = carry
         return (n < n_leaves) & ~turning & ~diverging
 
     init = (
-        jnp.asarray(0, jnp.int32), edge, edge,
+        jnp.asarray(0, jnp.int32), edge,
         init_prop[0], init_prop[1], init_prop[2], init_prop[3],
         jnp.asarray(False), jnp.asarray(False),
         jnp.asarray(0.0, dtype),
         ckpt_q, ckpt_p, key,
     )
-    (n, last, leftmost, prop_q, prop_logp, prop_grad, log_w, turning,
+    (n, last, prop_q, prop_logp, prop_grad, log_w, turning,
      diverging, sum_acc, _, _, _) = jax.lax.while_loop(cond, body, init)
 
     return _TreeState(
-        left=leftmost,
         right=last,
         prop_q=prop_q,
         prop_logp=prop_logp,

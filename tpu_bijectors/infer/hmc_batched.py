@@ -85,7 +85,6 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10):
             init = (
                 jnp.asarray(0, jnp.int32),
                 (edge_q, edge_p, edge_lp, edge_g),  # running state
-                (edge_q, edge_p, edge_lp, edge_g),  # leftmost (set at n=0)
                 jnp.zeros((C, dim), dtype),  # prop_q
                 jnp.full((C,), -jnp.inf, dtype),  # prop_logp
                 jnp.zeros((C, dim), dtype),  # prop_grad
@@ -101,11 +100,11 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10):
 
             def cond(carry):
                 n = carry[0]
-                turning, diverging = carry[7], carry[8]
+                turning, diverging = carry[6], carry[7]
                 return (n < n_leaves) & jnp.any(~(turning | diverging))
 
             def body(carry):
-                (n, state, leftmost, prop_q, prop_logp, prop_grad, log_w,
+                (n, state, prop_q, prop_logp, prop_grad, log_w,
                  turning, diverging, sum_acc, n_steps, ck_q, ck_p, k) = carry
                 sq, sp, slp, sg = state
                 active = ~(turning | diverging)  # (C,)
@@ -135,14 +134,6 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10):
                 prop_logp = jnp.where(take, nlp, prop_logp)
                 prop_grad = jnp.where(take[:, None], ng, prop_grad)
 
-                first = (n == 0) & active
-                leftmost = (
-                    jnp.where(first[:, None], nq, leftmost[0]),
-                    jnp.where(first[:, None], np_, leftmost[1]),
-                    jnp.where(first, nlp, leftmost[2]),
-                    jnp.where(first[:, None], ng, leftmost[3]),
-                )
-
                 tz = jnp.where(
                     n == 0, max_depth, _trailing_zeros(jnp.maximum(n, 1), max_depth)
                 )
@@ -160,7 +151,6 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10):
                 return (
                     n + 1,
                     (nq, np_, nlp, ng),
-                    leftmost,
                     prop_q, prop_logp, prop_grad, log_w_new,
                     turning | turning_now, diverging | div,
                     sum_acc + acc,
@@ -168,12 +158,12 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10):
                     ck_q, ck_p, k,
                 )
 
-            (n, state, leftmost, prop_q, prop_logp, prop_grad, log_w,
+            (n, state, prop_q, prop_logp, prop_grad, log_w,
              turning, diverging, sum_acc, n_steps, _, _, _) = jax.lax.while_loop(
                 cond, body, init
             )
             return (
-                leftmost, state, prop_q, prop_logp, prop_grad, log_w,
+                state, prop_q, prop_logp, prop_grad, log_w,
                 turning, diverging, sum_acc, n_steps,
             )
 
@@ -184,7 +174,7 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10):
 
         def outer_body(carry):
             (j, left, right, prop_q, prop_logp, prop_grad, log_w,
-             turning, diverging, sum_acc, n_steps, k) = carry
+             turning, diverging, sum_acc, n_steps, depth_pc, k) = carry
             active = ~(turning | diverging)
             am = active[:, None]
             k, k_dir, k_sub, k_merge = jax.random.split(k, 4)
@@ -195,7 +185,7 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10):
                 for a, r, l in zip(right, right, left)
             )
             direction = jnp.where(go_right, 1.0, -1.0).astype(dtype)
-            (sub_left, sub_right, s_prop_q, s_prop_logp, s_prop_grad, s_log_w,
+            (sub_right, s_prop_q, s_prop_logp, s_prop_grad, s_log_w,
              s_turning, s_diverging, s_sum_acc, s_n_steps) = build_subtree(
                 edge[0], edge[1], edge[2], edge[3], direction, j, k_sub
             )
@@ -240,6 +230,7 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10):
                 turning, diverging,
                 sum_acc + jnp.where(active, s_sum_acc, 0.0),
                 n_steps + jnp.where(active, s_n_steps, 0),
+                depth_pc + active.astype(jnp.int32),
                 k,
             )
 
@@ -248,10 +239,13 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10):
             jnp.asarray(0, jnp.int32), state0, state0,
             q, logp, grad, jnp.zeros((C,), dtype),
             jnp.zeros((C,), bool), jnp.zeros((C,), bool),
-            jnp.zeros((C,), dtype), jnp.zeros((C,), jnp.int32), k_loop,
+            jnp.zeros((C,), dtype), jnp.zeros((C,), jnp.int32),
+            jnp.zeros((C,), jnp.int32), k_loop,
         )
-        (depth, _, _, prop_q, prop_logp, prop_grad, _, _, diverging,
-         sum_acc, n_steps, _) = jax.lax.while_loop(outer_cond, outer_body, init)
+        (_, _, _, prop_q, prop_logp, prop_grad, _, _, diverging,
+         sum_acc, n_steps, depth_pc, _) = jax.lax.while_loop(
+            outer_cond, outer_body, init
+        )
 
         accept_prob = sum_acc / jnp.maximum(n_steps, 1)
         info = NutsInfo(
@@ -259,7 +253,7 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10):
             diverging=diverging,
             n_steps=n_steps,
             energy=energy0,
-            tree_depth=jnp.full((C,), depth, jnp.int32),
+            tree_depth=depth_pc,
         )
         return prop_q, prop_logp, prop_grad, info
 

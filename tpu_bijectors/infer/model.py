@@ -67,12 +67,17 @@ class Model:
         if loglik is None:
             # prior-only density: leaves that don't need the constrained
             # sample (LKJ) skip materializing it (logdensity-only kernels)
-            return u.linked_logdensity
+            def prior_logdensity(v):
+                return u.linked_logdensity(v)
+
+            prior_logdensity.batch_capable = True
+            return prior_logdensity
 
         def logdensity(v):
             x, lp = u.from_linked_vec_with_logpdf(v)
             return lp + (jax.vmap(loglik)(x) if v.ndim > 1 else loglik(x))
 
+        logdensity.batch_capable = True  # consumed by as_batched
         return logdensity
 
     def constrain(self, v):
@@ -87,21 +92,23 @@ class Model:
 
 def as_batched(logdensity_fn):
     """Wrap a log-density so it evaluates whole (batch, dim) arrays at once
-    when it can (trace-time probe), falling back to `jax.vmap` otherwise.
+    when it DECLARES batch support (`fn.batch_capable = True`, as
+    Model.batched_logdensity_fn does), falling back to `jax.vmap` otherwise.
 
-    Batch-capable densities (e.g. Model.batched_logdensity_fn) let the
-    Pallas batch-on-lanes kernels dispatch; per-example functions are
-    vmapped as before. Used by the ADVI/SMC engines."""
+    Opt-in by attribute rather than a shape probe: a per-example density
+    whose reductions happen to broadcast back to (batch,) would pass a shape
+    check while silently mixing samples' likelihoods. Used by the ADVI/SMC
+    engines."""
+    if getattr(logdensity_fn, "batch_capable", False):
 
-    def batched(v):
+        def batched(v):
+            return logdensity_fn(v)
+
+        return batched
+
+    def vmapped(v):
         if v.ndim == 1:
             return logdensity_fn(v)
-        try:
-            out = logdensity_fn(v)
-            if jnp.shape(out) == v.shape[:-1]:
-                return out
-        except Exception:
-            pass
         return jax.vmap(logdensity_fn)(v)
 
-    return batched
+    return vmapped

@@ -40,7 +40,7 @@ class SamplerState(NamedTuple):
     logp: jax.Array  # (chains,)
     grad: jax.Array  # (chains, dim)
     eps: jax.Array  # scalar step size (shared across chains)
-    inv_mass: jax.Array  # (dim,) diagonal inverse mass
+    inv_mass: jax.Array  # (dim,) diagonal or (dim, dim) dense inverse mass
     ss: StepSizeAdaptState
     welford: WelfordState
     iteration: jax.Array
