@@ -170,3 +170,28 @@ def test_param_parallel_simplex_blocks(rng):
     got = jax.jit(param_parallel_logdensity(u, mesh))(shard_params(mesh, v))
     _, ref = u.from_linked_vec_with_logpdf(v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10)
+
+
+def test_chain_parallel_with_batched_kernel(rng):
+    """chain_parallel_nuts composes with kernel='nuts_batched': each device's
+    chain block evaluates its log-density as one batch inside shard_map."""
+    from tpu_bijectors.infer import Model
+    from tpu_bijectors.shard import chain_parallel_nuts, make_mesh, shard_chains
+
+    model = Model(
+        priors=dists.NamedProduct.of(
+            w=dists.Dirichlet(jnp.ones(4)), s=dists.LogNormal()
+        ),
+        loglik=None,
+    )
+    mesh = make_mesh("chain")
+    n_chains = 4 * mesh.devices.size
+    q0 = shard_chains(mesh, model.init_positions(jax.random.PRNGKey(40), n_chains, 0.5))
+    samples, state, stats = chain_parallel_nuts(
+        model.batched_logdensity_fn(), mesh, jax.random.PRNGKey(41), q0,
+        n_warmup=150, n_samples=200, kernel="nuts_batched",
+    )
+    x = model.constrain(samples.reshape(-1, model.dim()))
+    w = np.asarray(x["w"])
+    np.testing.assert_allclose(w.sum(-1), 1.0, atol=1e-6)
+    np.testing.assert_allclose(w.mean(0), 0.25, atol=0.05)
