@@ -50,9 +50,16 @@ def _time(fn, *args, n_iter=200, warmup=10):
 
 def main():
     model = _model()
-    # direct batched evaluation: the trace sees (batch, dim), so the Pallas
-    # batch-on-lanes kernels dispatch (a per-example vmap would hide them)
-    logp = jax.jit(model.batched_logdensity_fn())
+    # Params ride as jit ARGUMENTS (standard JAX style): capturing device
+    # arrays as closure constants forces a device->host transfer at trace
+    # time, and on this tunnel any transfer drops every later dispatch into
+    # a ~0.6 ms slow mode (12x). Arg-passing keeps dispatches fast.
+    from tpu_bijectors.vectorize import unconstrain
+
+    @jax.jit
+    def logp(v, priors):
+        return unconstrain(priors).linked_logdensity(v)
+
     u = model.unconstrainer()
 
     batch = 131072  # large enough to amortize per-dispatch latency (serving regime)
@@ -61,18 +68,23 @@ def main():
     v = 0.5 * jax.random.normal(key, (batch, dim))
 
     # fused batched path
-    t_fused = _time(logp, v)
+    t_fused = _time(logp, v, model.priors)
     evals_per_s = batch / t_fused
 
     # naive baseline: per-sample evaluation via vmap over a python-composed,
     # non-shared computation (separate from_linked + separate logdet pass)
-    def naive_one(vi):
-        x, _ = u.from_linked_vec(vi)
-        _, ld = u.to_linked_vec(x)  # recompute logdet the long way round
-        return model.priors.logpdf(x) - ld
+    @jax.jit
+    def naive(v, priors):
+        un = unconstrain(priors)
 
-    naive = jax.jit(jax.vmap(naive_one))
-    t_naive = _time(naive, v, n_iter=10)
+        def naive_one(vi):
+            x, _ = un.from_linked_vec(vi)
+            _, ld = un.to_linked_vec(x)  # recompute logdet the long way round
+            return priors.logpdf(x) - ld
+
+        return jax.vmap(naive_one)(v)
+
+    t_naive = _time(naive, v, model.priors)
 
     out = {
         "metric": "hierarchical transform+logdetJ evals/s/chip (batch=%d, dim=%d)" % (batch, dim),

@@ -124,3 +124,14 @@ def test_linked_logdensity_matches_full_path():
         g1 = jax.grad(lambda v: jnp.sum(u.linked_logdensity(v)))(v)
         g2 = jax.grad(lambda v: jnp.sum(u.from_linked_vec_with_logpdf(v)[1]))(v)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-10)
+
+
+def test_dirichlet_fused_hook_declines_on_cpu():
+    """On CPU the Dirichlet leaf-fusion hook declines (Pallas-only) and the
+    generic path is used; results are the definition regardless."""
+    d = dists.Dirichlet(jnp.asarray([2.0, 3.0, 4.0], jnp.float64))
+    u = unconstrain(d)
+    v = 0.5 * jax.random.normal(jax.random.PRNGKey(9), (8, 2), jnp.float64)
+    x, lpld = u.from_linked_vec_with_logpdf(v)
+    xr, ld = u.from_linked_vec(v)
+    np.testing.assert_allclose(np.asarray(lpld), np.asarray(d.logpdf(xr) + ld), rtol=1e-12)

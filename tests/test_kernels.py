@@ -114,3 +114,17 @@ def test_lkj_logdet_pallas_close(B, K, rng):
     lj_pal, ldw_pal = lkj_logdet_pallas(y, K, interpret=True)
     np.testing.assert_allclose(np.asarray(lj_pal), np.asarray(lj_ref), atol=3e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(ldw_pal), np.asarray(ldw_ref), atol=3e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("B,K", [(16, 4), (130, 16)])
+def test_simplex_wlog_pallas_close(B, K, rng):
+    from tpu_bijectors.bijectors.simplex import _simplex_inverse_logdet_wlog_jnp
+    from tpu_bijectors.kernels.simplex import simplex_inverse_logdet_wlog_pallas
+
+    y = jnp.asarray(rng.standard_normal((B, K - 1)), jnp.float32)
+    am1 = jnp.asarray(rng.standard_normal(K), jnp.float32)
+    x_r, ld_r, wl_r = _simplex_inverse_logdet_wlog_jnp(y, am1)
+    x_p, ld_p, wl_p = simplex_inverse_logdet_wlog_pallas(y, am1, interpret=True)
+    assert bool(jnp.all(x_r == x_p))
+    np.testing.assert_allclose(np.asarray(ld_p), np.asarray(ld_r), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(wl_p), np.asarray(wl_r), atol=3e-5, rtol=1e-5)

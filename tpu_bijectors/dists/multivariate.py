@@ -41,6 +41,32 @@ class Dirichlet(Distribution):
         lognorm = jnp.sum(jsp.gammaln(a), -1) - jsp.gammaln(jnp.sum(a, -1))
         return jnp.sum((a - 1.0) * jnp.log(x), -1) - lognorm
 
+    def fused_linked_logdensity(self, bijector, y):
+        """Leaf-fusion hook (vectorize.core): when the link is the simplex
+        bijector on a Pallas-eligible batch, the density's weighted log term
+        is accumulated inside the inverse kernel — XLA's minor-axis weighted
+        reduce is pathologically slow on TPU (see kernels/simplex.py).
+        Returns (x, logpdf + logdetJ) or None to decline."""
+        from ..bijectors.simplex import (
+            SimplexBijector,
+            _pallas_profitable,
+            simplex_inverse_logdet_wlog,
+        )
+
+        if type(bijector) is not SimplexBijector or not _pallas_profitable(y):
+            return None
+        if isinstance(self.alpha, jax.core.Tracer):
+            return None  # weights must be concrete to bake into the kernel
+        import math as _math
+
+        import numpy as np
+
+        a_np = np.asarray(jax.device_get(self.alpha), np.float64)
+        am1 = tuple(float(v) for v in a_np - 1.0)
+        x, ld, wlog = simplex_inverse_logdet_wlog(y, am1)
+        lognorm = float(sum(_math.lgamma(v) for v in a_np) - _math.lgamma(a_np.sum()))
+        return x, wlog - lognorm + ld
+
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape
         dtype = jnp.result_type(self.alpha, float)

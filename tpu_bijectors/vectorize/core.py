@@ -166,6 +166,12 @@ class LeafUnconstrainer(Unconstrainer):
 
     def from_linked_vec_with_logpdf(self, v):
         b, d = self.link, self.dist
+        hook = getattr(d, "fused_linked_logdensity", None)
+        if hook is not None:
+            y = _unravel_event(v, self.linked_shape)
+            out = hook(b, y)
+            if out is not None:
+                return out
         if hasattr(b, "inverse_and_log_det_with_factor") and hasattr(
             d, "logpdf_from_factor"
         ):
@@ -185,6 +191,12 @@ class LeafUnconstrainer(Unconstrainer):
 
     def linked_logdensity(self, v):
         b, d = self.link, self.dist
+        hook = getattr(d, "fused_linked_logdensity", None)
+        if hook is not None:
+            y = _unravel_event(v, self.linked_shape)
+            out = hook(b, y)
+            if out is not None:
+                return out[1]
         if hasattr(b, "inverse_log_det_and_factor_only") and hasattr(
             d, "logpdf_from_factor"
         ):
