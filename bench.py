@@ -60,8 +60,6 @@ def main():
     def logp(v, priors):
         return unconstrain(priors).linked_logdensity(v)
 
-    u = model.unconstrainer()
-
     batch = 131072  # large enough to amortize per-dispatch latency (serving regime)
     dim = model.dim()
     key = jax.random.PRNGKey(0)
@@ -84,7 +82,7 @@ def main():
 
         return jax.vmap(naive_one)(v)
 
-    t_naive = _time(naive, v, model.priors)
+    t_naive = _time(naive, v, model.priors, n_iter=50)
 
     out = {
         "metric": "hierarchical transform+logdetJ evals/s/chip (batch=%d, dim=%d)" % (batch, dim),

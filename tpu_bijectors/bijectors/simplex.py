@@ -29,6 +29,8 @@ from __future__ import annotations
 
 import math
 
+from functools import partial as _partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -128,25 +130,20 @@ def _simplex_inverse_pallas_jvp(primals, tangents):
     return jax.jvp(_simplex_inverse, (y,), (dy,))
 
 
-from functools import partial as _partial
-
-
 @_partial(jax.custom_jvp, nondiff_argnums=(1,))
 def simplex_inverse_logdet_wlog(y, am1_tuple):
     """(x, ld_inv, sum_k am1[k] log x_k) with STATIC weights (a hashable
-    tuple — they bake into the Pallas kernel as compile-time constants; see
-    kernels/simplex.py for why runtime weight delivery is ~30x slower).
+    tuple — they bake into the Pallas kernel as compile-time constants).
     Tangents via the jnp composition."""
     from ..kernels.simplex import simplex_inverse_logdet_wlog_pallas
-
-    import numpy as np
 
     return simplex_inverse_logdet_wlog_pallas(y, np.asarray(am1_tuple))
 
 
 def _simplex_inverse_logdet_wlog_jnp(y, am1):
     x, ld = _simplex_inverse_logdet_jnp(y)
-    return x, ld, jnp.sum(jnp.asarray(am1) * jnp.log(x), axis=-1)
+    w = jnp.asarray(am1, x.dtype)  # match the primal dtype (f32 on TPU)
+    return x, ld, jnp.sum(w * jnp.log(x), axis=-1)
 
 
 @simplex_inverse_logdet_wlog.defjvp

@@ -66,87 +66,33 @@ def simplex_inverse_pallas(y, *, interpret: bool = False):
     return out.T[:B]
 
 
-def simplex_inverse_logdet_pallas(y, *, interpret: bool = False):
-    """y: (B, K-1) -> (x: (B, K), ld_inv: (B,)) in ONE pass: the inverse
-    recurrence and the inverse log-det (= -forward logdet at the
-    reconstructed x, same eps algebra as
-    SimplexBijector.forward_log_det_jacobian) share the running sum."""
+def _simplex_fused_pallas(y, am1=None, *, want_x=True, interpret=False):
+    """Single fused inverse pass; optional extras selected at TRACE time:
+
+      * am1 (K,) CONCRETE weights -> also accumulate wlog = sum am1_k log x_k
+        (the Dirichlet data term; weights bake in as compile-time constants)
+      * want_x=False -> skip writing the (K, B) x output entirely (a kernel
+        cannot be DCE'd into; logdensity-only callers save the HBM write)
+
+    Returns (x_or_None, ld_inv, wlog_or_None). The eps algebra lives ONCE
+    here for all variants (CLAUDE.md: reference numerics are load-bearing).
+    """
     B, Km1 = y.shape
     K = Km1 + 1
     dtype = jnp.result_type(y, float)
     y = y.astype(dtype)
+    am1_c = None if am1 is None else np.asarray(jax.device_get(am1), dtype)
     eps = _eps(dtype)
     log_coeffs = np.log(np.arange(K - 1, 0, -1)).astype(dtype)
 
     Bp = _padded_batch(B)
     yt = _pad_to(y, Bp, 0).T  # (K-1, Bp)
 
-    def kernel(y_ref, x_ref, ld_ref):
-        s = jnp.zeros((1, _LANES), dtype)
-        lp = jnp.zeros((1, _LANES), dtype)
-        for k in range(K - 1):
-            z = jax.nn.sigmoid(y_ref[k, :] - log_coeffs[k]).reshape(1, _LANES)
-            if k == 0:
-                xk = jnp.clip((z - eps) / (1 - 2 * eps), 0.0, 1.0)
-                zl = xk
-                lp = lp + jnp.log(jnp.maximum(zl, eps)) + jnp.log(
-                    jnp.maximum(1.0 - zl, eps)
-                )
-            else:
-                xk = jnp.clip(((1 + eps) - s) / (1 - 2 * eps) * z - eps, 0.0, 1.0)
-                rem = jnp.maximum(1.0 - s, eps)
-                zl = xk / rem
-                lp = (
-                    lp
-                    + jnp.log(jnp.maximum(zl, eps))
-                    + jnp.log(jnp.maximum(1.0 - zl, eps))
-                    + jnp.log(rem)
-                )
-            x_ref[k, :] = xk[0, :]
-            s = s + xk
-        x_ref[K - 1, :] = jnp.clip(1.0 - s, 0.0, 1.0)[0, :]
-        ld_ref[0, :] = lp[0, :]  # inverse logdet = -forward logdet = +lp
-
-    x_out, ld_out = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((K, Bp), dtype),
-            jax.ShapeDtypeStruct((1, Bp), dtype),
-        ),
-        grid=(Bp // _LANES,),
-        in_specs=[
-            pl.BlockSpec((Km1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
-        ],
-        out_specs=(
-            pl.BlockSpec((K, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ),
-        interpret=interpret,
-    )(yt)
-    return x_out.T[:B], ld_out[0, :B]
-
-
-def simplex_inverse_logdet_wlog_pallas(y, am1, *, interpret: bool = False):
-    """y: (B, K-1), am1: (K,) CONCRETE weights ->
-    (x: (B, K), ld_inv: (B,), wlog: (B,)) where wlog = sum_k am1[k] log(x_k)
-    — the Dirichlet density's data term fused into the inverse pass.
-
-    The weights are baked in as COMPILE-TIME constants (hence the concrete-
-    weights requirement; callers with traced alpha use the jnp path, which
-    XLA fuses equally well). One pass instead of inverse + separate logpdf;
-    numerics identical to Dirichlet.logpdf over the reconstructed x."""
-    B, Km1 = y.shape
-    K = Km1 + 1
-    dtype = jnp.result_type(y, float)
-    y = y.astype(dtype)
-    am1_c = np.asarray(jax.device_get(am1), dtype)  # must be concrete
-    eps = _eps(dtype)
-    log_coeffs = np.log(np.arange(K - 1, 0, -1)).astype(dtype)
-
-    Bp = _padded_batch(B)
-    yt = _pad_to(y, Bp, 0).T  # (K-1, Bp)
-
-    def kernel(y_ref, x_ref, ld_ref, wl_ref):
+    def kernel(y_ref, *out_refs):
+        refs = list(out_refs)
+        x_ref = refs.pop(0) if want_x else None
+        ld_ref = refs.pop(0)
+        wl_ref = refs.pop(0) if am1_c is not None else None
         s = jnp.zeros((1, _LANES), dtype)
         lp = jnp.zeros((1, _LANES), dtype)
         wl = jnp.zeros((1, _LANES), dtype)
@@ -168,34 +114,64 @@ def simplex_inverse_logdet_wlog_pallas(y, am1, *, interpret: bool = False):
                     + jnp.log(jnp.maximum(1.0 - zl, eps))
                     + jnp.log(rem)
                 )
-            x_ref[k, :] = xk[0, :]
-            wl = wl + am1_c[k] * jnp.log(xk)
+            if want_x:
+                x_ref[k, :] = xk[0, :]
+            if am1_c is not None:
+                wl = wl + am1_c[k] * jnp.log(xk)
             s = s + xk
         x_last = jnp.clip(1.0 - s, 0.0, 1.0)
-        x_ref[K - 1, :] = x_last[0, :]
-        wl = wl + am1_c[K - 1] * jnp.log(x_last)
-        ld_ref[0, :] = lp[0, :]
-        wl_ref[0, :] = wl[0, :]
+        if want_x:
+            x_ref[K - 1, :] = x_last[0, :]
+        if am1_c is not None:
+            wl = wl + am1_c[K - 1] * jnp.log(x_last)
+            wl_ref[0, :] = wl[0, :]
+        ld_ref[0, :] = lp[0, :]  # inverse logdet = -forward logdet
 
-    x_out, ld_out, wl_out = pl.pallas_call(
+    out_shape, out_specs = [], []
+    if want_x:
+        out_shape.append(jax.ShapeDtypeStruct((K, Bp), dtype))
+        out_specs.append(
+            pl.BlockSpec((K, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+    out_shape.append(jax.ShapeDtypeStruct((1, Bp), dtype))
+    out_specs.append(
+        pl.BlockSpec((1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+    )
+    if am1_c is not None:
+        out_shape.append(jax.ShapeDtypeStruct((1, Bp), dtype))
+        out_specs.append(
+            pl.BlockSpec((1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+
+    outs = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((K, Bp), dtype),
-            jax.ShapeDtypeStruct((1, Bp), dtype),
-            jax.ShapeDtypeStruct((1, Bp), dtype),
-        ),
+        out_shape=tuple(out_shape),
         grid=(Bp // _LANES,),
         in_specs=[
-            pl.BlockSpec((Km1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Km1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
         ],
-        out_specs=(
-            pl.BlockSpec((K, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ),
+        out_specs=tuple(out_specs),
         interpret=interpret,
     )(yt)
-    return x_out.T[:B], ld_out[0, :B], wl_out[0, :B]
+    outs = list(outs)
+    x = outs.pop(0).T[:B] if want_x else None
+    ld = outs.pop(0)[0, :B]
+    wlog = outs.pop(0)[0, :B] if am1_c is not None else None
+    return x, ld, wlog
+
+
+def simplex_inverse_logdet_pallas(y, *, interpret: bool = False):
+    """y: (B, K-1) -> (x: (B, K), ld_inv: (B,)) in ONE pass."""
+    x, ld, _ = _simplex_fused_pallas(y, interpret=interpret)
+    return x, ld
+
+
+def simplex_inverse_logdet_wlog_pallas(
+    y, am1, *, want_x: bool = True, interpret: bool = False
+):
+    """y: (B, K-1), am1: (K,) CONCRETE -> (x, ld_inv, wlog) with
+    wlog = sum_k am1[k] log(x_k); x is None when want_x=False."""
+    return _simplex_fused_pallas(y, am1, want_x=want_x, interpret=interpret)
 
 
 def simplex_forward_logdet_pallas(x, *, interpret: bool = False):
