@@ -236,7 +236,7 @@ class Distribution:
                 ok = jnp.all(ok, axis=tuple(range(-n, 0)))
             return ok
         if s.kind == "simplex":
-            return (jnp.abs(jnp.sum(x, -1) - 1.0) < 1e-6) & jnp.all(
+            return (jnp.abs(jnp.sum(x, -1) - 1.0) < jnp.maximum(atol, 1e-6)) & jnp.all(
                 x >= -atol, axis=-1
             )
         if s.kind == "pd":
@@ -245,7 +245,9 @@ class Distribution:
         if s.kind == "corr":
             eig = jnp.linalg.eigvalsh(0.5 * (x + jnp.swapaxes(x, -1, -2)))
             diag_ok = jnp.all(
-                jnp.abs(jnp.diagonal(x, axis1=-2, axis2=-1) - 1.0) < 1e-6, axis=-1
+                jnp.abs(jnp.diagonal(x, axis1=-2, axis2=-1) - 1.0)
+                < jnp.maximum(atol, 1e-6),
+                axis=-1,
             )
             return jnp.all(eig > -atol, axis=-1) & diag_ok
         if s.kind == "chol_corr":

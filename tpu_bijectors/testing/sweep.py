@@ -86,7 +86,10 @@ def _free_chart(u: Unconstrainer, x):
     return None
 
 
-def _check_in_support(u: Unconstrainer, x, atol=1e-6):
+def _check_in_support(u: Unconstrainer, x, atol=None):
+    if atol is None:
+        dt = jax.tree_util.tree_leaves(x)[0].dtype
+        atol = max(1e-6, 2e3 * float(jnp.finfo(dt).eps))  # ~2.4e-4 in f32
     if isinstance(u, LeafUnconstrainer):
         ok = u.dist.in_support(x, atol)
         return bool(jnp.all(ok))
@@ -227,8 +230,8 @@ def test_all(
         np.testing.assert_allclose(
             float(lp - ld),
             float(logpdf_with_trans(d, x, True)),
-            atol=1e-8,
-            rtol=1e-8,
+            atol=ld_tol,
+            rtol=ld_tol,
         )
 
     return True

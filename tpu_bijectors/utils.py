@@ -167,25 +167,42 @@ def upper_triangular(A):
 
 
 def pd_from_lower(L):
-    """L @ L^T with L forced lower-triangular (src/utils.jl:14-17)."""
+    """L @ L^T with L forced lower-triangular (src/utils.jl:14-17).
+
+    precision=HIGHEST: TPU f32 matmuls default to bf16-precision inputs,
+    which injects ~1e-3 relative error into the reconstructed matrix and
+    breaks logdet round-trips (measured on-device); these products are
+    load-bearing for the transform math."""
     L = jnp.tril(L)
-    return L @ jnp.swapaxes(L, -1, -2)
+    return jax.lax.dot_general(
+        L, jnp.swapaxes(L, -1, -2),
+        ((( L.ndim - 1,), (L.ndim - 2,)), (tuple(range(L.ndim - 2)),) * 2),
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def pd_from_upper(U):
-    """U^T @ U with U forced upper-triangular (src/utils.jl:18-21)."""
+    """U^T @ U with U forced upper-triangular (src/utils.jl:18-21);
+    HIGHEST precision (see pd_from_lower)."""
     U = jnp.triu(U)
-    return jnp.swapaxes(U, -1, -2) @ U
+    Ut = jnp.swapaxes(U, -1, -2)
+    return jax.lax.dot_general(
+        Ut, U,
+        (((Ut.ndim - 1,), (U.ndim - 2,)), (tuple(range(U.ndim - 2)),) * 2),
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def cholesky_lower(X):
     """Lower Cholesky factor of a (batched) symmetric PD matrix.
 
     Reference `cholesky_lower` (src/utils.jl:37) symmetrizes via Hermitian;
-    we symmetrize explicitly so gradients are symmetric too.
-    """
+    we symmetrize explicitly so gradients are symmetric too. The blocked
+    TPU cholesky's inner dots run at HIGHEST precision (f32 default is
+    bf16-precision on the MXU — ~1e-3 error otherwise)."""
     Xs = 0.5 * (X + jnp.swapaxes(X, -1, -2))
-    return jnp.linalg.cholesky(Xs)
+    with jax.default_matmul_precision("highest"):
+        return jnp.linalg.cholesky(Xs)
 
 
 def cholesky_upper(X):
