@@ -110,7 +110,9 @@ class LKJ(Distribution):
         dtype = jnp.result_type(self.eta, float)
         shape = tuple(sample_shape) + self.batch_shape
         U = _sample_lkj_chol_upper(key, self.dim, self.eta, shape, dtype)
-        return jnp.swapaxes(U, -1, -2) @ U
+        # HIGHEST precision: bf16-default matmul would leave the diagonal
+        # ~1e-3 off 1.0, outside the correlation support tolerance
+        return jnp.matmul(jnp.swapaxes(U, -1, -2), U, precision=jax.lax.Precision.HIGHEST)
 
     @property
     def support(self):
@@ -186,7 +188,7 @@ def _bartlett_chol(key, df, S_chol, K: int, shape, dtype):
     n = jax.random.normal(kn, tuple(shape) + (K, K), dtype)
     low = jnp.asarray(np.tril(np.ones((K, K)), -1), dtype)
     A = n * low + c[..., None] * jnp.eye(K, dtype=dtype)
-    return jnp.einsum("...ij,...jk->...ik", S_chol, A)
+    return jnp.einsum("...ij,...jk->...ik", S_chol, A, precision=jax.lax.Precision.HIGHEST)
 
 
 @pytree_dataclass(meta_fields=())
@@ -256,7 +258,7 @@ class Wishart(Distribution):
         shape = tuple(sample_shape) + self.batch_shape
         Sc = cholesky_lower(jnp.asarray(self.scale, dtype))
         L = _bartlett_chol(key, self.df, Sc, K, shape, dtype)
-        return L @ jnp.swapaxes(L, -1, -2)
+        return jnp.matmul(L, jnp.swapaxes(L, -1, -2), precision=jax.lax.Precision.HIGHEST)
 
     @property
     def support(self):
@@ -323,7 +325,7 @@ class InverseWishart(Distribution):
         shape = tuple(sample_shape) + self.batch_shape
         Pinv_chol = cholesky_lower(jnp.linalg.inv(jnp.asarray(self.psi, dtype)))
         L = _bartlett_chol(key, self.df, Pinv_chol, K, shape, dtype)
-        W = L @ jnp.swapaxes(L, -1, -2)
+        W = jnp.matmul(L, jnp.swapaxes(L, -1, -2), precision=jax.lax.Precision.HIGHEST)
         return jnp.linalg.inv(W)
 
     @property
@@ -372,7 +374,7 @@ class MatrixTDist(Distribution):
             -1,
             -2,
         )
-        G = jnp.eye(n, dtype=dtype) + A @ jnp.swapaxes(A, -1, -2)
+        G = jnp.eye(n, dtype=dtype) + jnp.matmul(A, jnp.swapaxes(A, -1, -2), precision=jax.lax.Precision.HIGHEST)
         Lg = cholesky_lower(G)
         logdet_G = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lg, axis1=-2, axis2=-1)), -1)
         logdet_S = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Ls, axis1=-2, axis2=-1)), -1)
@@ -399,7 +401,8 @@ class MatrixTDist(Distribution):
         Lsamp = cholesky_lower(S)
         Lo = cholesky_lower(jnp.asarray(self.col_scale, dtype))
         Z = jax.random.normal(kz, tuple(sample_shape) + self.batch_shape + (n, p), dtype)
-        return self.loc + Lsamp @ Z @ jnp.swapaxes(Lo, -1, -2)
+        with jax.default_matmul_precision("highest"):
+            return self.loc + Lsamp @ Z @ jnp.swapaxes(Lo, -1, -2)
 
     @property
     def support(self):

@@ -173,9 +173,9 @@ class MvNormalTril(Distribution):
     def logpdf(self, x):
         L = jnp.tril(self.scale_tril)
         d = jnp.shape(self.loc)[-1]
-        z = jax.scipy.linalg.solve_triangular(L, (x - self.loc)[..., None], lower=True)[
-            ..., 0
-        ]
+        r = (x - self.loc)[..., None]
+        Lb = jnp.broadcast_to(L, r.shape[:-2] + L.shape[-2:])
+        z = jax.scipy.linalg.solve_triangular(Lb, r, lower=True)[..., 0]
         halflogdet = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1)
         return -0.5 * (jnp.sum(z * z, -1) + d * LOG2PI) - halflogdet
 
@@ -259,9 +259,9 @@ class MvStudentT(Distribution):
         d = jnp.shape(self.loc)[-1]
         v = jnp.asarray(self.df, jnp.result_type(x, float))
         L = jnp.tril(self.scale_tril)
-        z = jax.scipy.linalg.solve_triangular(L, (x - self.loc)[..., None], lower=True)[
-            ..., 0
-        ]
+        r = (x - self.loc)[..., None]
+        Lb = jnp.broadcast_to(L, r.shape[:-2] + L.shape[-2:])
+        z = jax.scipy.linalg.solve_triangular(Lb, r, lower=True)[..., 0]
         q = jnp.sum(z * z, -1)
         halflogdet = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1)
         return (

@@ -223,8 +223,11 @@ class MatrixNormal(Distribution):
         Lu = jnp.tril(self.row_chol)
         Lv = jnp.tril(self.col_chol)
         D = X - self.loc
-        A = jax.scipy.linalg.solve_triangular(Lu, D, lower=True)
-        B = jax.scipy.linalg.solve_triangular(Lv, jnp.swapaxes(A, -1, -2), lower=True)
+        Lu_b = jnp.broadcast_to(Lu, D.shape[:-2] + Lu.shape[-2:])
+        A = jax.scipy.linalg.solve_triangular(Lu_b, D, lower=True)
+        At = jnp.swapaxes(A, -1, -2)
+        Lv_b = jnp.broadcast_to(Lv, At.shape[:-2] + Lv.shape[-2:])
+        B = jax.scipy.linalg.solve_triangular(Lv_b, At, lower=True)
         quad = jnp.sum(B * B, axis=(-2, -1))
         logdet_u = jnp.sum(jnp.log(jnp.diagonal(Lu, axis1=-2, axis2=-1)), -1)
         logdet_v = jnp.sum(jnp.log(jnp.diagonal(Lv, axis1=-2, axis2=-1)), -1)
@@ -235,7 +238,8 @@ class MatrixNormal(Distribution):
         shape = tuple(sample_shape) + self.batch_shape + (n, p)
         dtype = jnp.result_type(self.loc, float)
         Z = jax.random.normal(key, shape, dtype)
-        return self.loc + jnp.tril(self.row_chol) @ Z @ jnp.tril(self.col_chol).T
+        with jax.default_matmul_precision("highest"):
+            return self.loc + jnp.tril(self.row_chol) @ Z @ jnp.tril(self.col_chol).T
 
     @property
     def support(self):

@@ -51,7 +51,9 @@ def apply_inv_mass(inv_mass, p):
     `p` may carry leading batch axes (rows)."""
     if inv_mass.ndim == 1:
         return p * inv_mass
-    return p @ inv_mass  # symmetric: rows @ M^{-1}
+    # HIGHEST precision: bf16-default matmul error breaks leapfrog
+    # reversibility under a dense metric
+    return jnp.matmul(p, inv_mass, precision=jax.lax.Precision.HIGHEST)
 
 
 def sample_momentum(key, q, inv_mass):
