@@ -136,3 +136,33 @@ def test_assoc_scan_simplex_extreme_sum_invariant():
     assert bool(jnp.all(jnp.isfinite(x)))
     assert bool(jnp.all(x >= 0))
     np.testing.assert_allclose(np.asarray(jnp.sum(x, -1)), 1.0, atol=2e-5)
+
+
+def test_batched_logpdf_with_unbatched_factors():
+    """Triangular-solve distributions must accept batched x with unbatched
+    factor parameters (round-5 review: broadcast the factor to the rhs)."""
+    rng = np.random.default_rng(0)
+    K = 4
+    A = np.tril(rng.standard_normal((K, K))) + np.eye(K) * 2.0
+    x = jnp.asarray(rng.standard_normal((16, K)), jnp.float64)
+    d = dists.MvNormalTril(jnp.zeros(K, jnp.float64), jnp.asarray(A, jnp.float64))
+    lp = d.logpdf(x)
+    assert lp.shape == (16,)
+    from scipy import stats as ss2
+
+    np.testing.assert_allclose(
+        np.asarray(lp), ss2.multivariate_normal.logpdf(np.asarray(x), np.zeros(K), A @ A.T),
+        rtol=1e-10,
+    )
+    dt = dists.MvStudentT(5.0, jnp.zeros(K, jnp.float64), jnp.asarray(A, jnp.float64))
+    assert dt.logpdf(x).shape == (16,)
+    dm = dists.MatrixNormal(
+        jnp.zeros((2, 3), jnp.float64), jnp.eye(2, dtype=jnp.float64), jnp.eye(3, dtype=jnp.float64)
+    )
+    Xs = jnp.asarray(rng.standard_normal((8, 2, 3)), jnp.float64)
+    assert dm.logpdf(Xs).shape == (8,)
+    b = tb.TriangularLinearMap(jnp.asarray(A, jnp.float64))
+    ys = jnp.asarray(rng.standard_normal((8, K)), jnp.float64)
+    np.testing.assert_allclose(
+        np.asarray(b.forward(b.inverse(ys))), np.asarray(ys), rtol=1e-10
+    )
