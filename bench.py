@@ -36,16 +36,21 @@ def _model():
     )
 
 
-def _time(fn, *args, n_iter=200, warmup=10):
-    # generous warmup: the first dispatches after compile are slower through
-    # the device tunnel; we report steady-state throughput
+def _time(fn, *args, n_iter=200, warmup=10, blocks=5):
+    # generous warmup (first post-compile dispatches are slower through the
+    # tunnel), then median over timing blocks to damp tunnel state noise
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n_iter
+    per = max(1, n_iter // blocks)
+    times = []
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        for _ in range(per):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / per)
+    times.sort()
+    return times[len(times) // 2]
 
 
 def main():
