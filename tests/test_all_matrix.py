@@ -141,6 +141,7 @@ def _matrix_dists():
         dists.LKJCholesky(3, 1.5, "U"),
         dists.Wishart(6.0, jnp.eye(3, dtype=jnp.float64)),
         dists.InverseWishart(6.0, jnp.eye(3, dtype=jnp.float64)),
+        dists.MatrixBeta(3, 6.0, 7.0),
         dists.MatrixNormal(jnp.zeros((2, 3)), jnp.eye(2, dtype=jnp.float64), jnp.eye(3, dtype=jnp.float64)),
         dists.MatrixTDist(
             5.0,

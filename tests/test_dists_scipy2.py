@@ -302,3 +302,36 @@ def test_heterogeneous_mixture_out_of_component_support():
     lp = float(d2.logpdf(jnp.asarray(-1.0, jnp.float64)))
     np.testing.assert_allclose(lp, np.log(0.5) + ss.norm.logpdf(-1.0, 0, 2.0), rtol=1e-10)
     assert np.isfinite(float(jax.grad(lambda x: d2.logpdf(x))(jnp.asarray(-1.0, jnp.float64))))
+
+
+def test_matrix_beta():
+    """No scipy analogue: (a) p=1 reduces to Beta(n1/2, n2/2); (b) sampler
+    mean E[U] = n1/(n1+n2) I; (c) logpdf_from_factor fusion matches logpdf
+    (reference registry row src/transformed_distribution.jl:138-139)."""
+    import jax
+
+    # (a) 1x1 reduction
+    n1, n2 = 5.0, 7.0
+    d1 = dists.MatrixBeta(1, n1, n2)
+    for u in (0.1, 0.5, 0.9):
+        np.testing.assert_allclose(
+            float(d1.logpdf(jnp.asarray([[u]], jnp.float64))),
+            ss.beta.logpdf(u, n1 / 2.0, n2 / 2.0),
+            rtol=1e-10,
+        )
+    # (b) sampler mean at p=3
+    d = dists.MatrixBeta(3, 6.0, 8.0)
+    U = np.asarray(d.sample(jax.random.PRNGKey(5), (40_000,)))
+    np.testing.assert_allclose(U.mean(0), 6.0 / 14.0 * np.eye(3), atol=0.01)
+    # every draw strictly inside (0, I)
+    ev = np.linalg.eigvalsh(U[:2000])
+    assert (ev > 0).all() and (ev < 1).all()
+    # (c) factor fusion
+    x = jnp.asarray(U[0], jnp.float64)
+    L = jnp.linalg.cholesky(x)
+    np.testing.assert_allclose(
+        float(d.logpdf_from_factor(L)), float(d.logpdf(x)), rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        float(d.logpdf_from_factor(L, x)), float(d.logpdf(x)), rtol=1e-9
+    )

@@ -97,6 +97,45 @@ def test_ordered_distribution(key):
     np.testing.assert_allclose(np.asarray(b.inverse(y)), np.asarray(x_sorted), atol=1e-10)
 
 
+def test_ordered_rejection_sampling_nonexchangeable(key):
+    """For a non-exchangeable base, OrderedDistribution.sample must be the
+    rejection sampler (reference ordered.jl:160-168), NOT a sort of the
+    draw — they are different distributions. Checked against a numpy
+    rejection oracle on a 2D anisotropic normal."""
+    loc = jnp.asarray([0.0, 1.5])
+    scale = jnp.asarray([1.0, 0.25])
+    od = tb.ordered(tb.dists.MvNormal(loc, scale_diag=scale))
+    n = 20000
+    xs = np.asarray(od.sample(key, (n,)))
+    assert np.isfinite(xs).all()
+    assert (xs[:, 1] >= xs[:, 0]).all()
+
+    # numpy rejection oracle
+    rng = np.random.default_rng(0)
+    draws = rng.normal(np.asarray(loc), np.asarray(scale), size=(4 * n, 2))
+    acc = draws[draws[:, 1] >= draws[:, 0]]
+    np.testing.assert_allclose(xs.mean(0), acc.mean(0), atol=0.02)
+    np.testing.assert_allclose(xs.std(0), acc.std(0), atol=0.02)
+
+    # and it must DIFFER from the sort-based (wrong) sampler on this base:
+    raw = np.asarray(tb.dists.MvNormal(loc, scale_diag=scale).sample(key, (n,)))
+    srt = np.sort(raw, axis=-1)
+    assert abs(srt[:, 0].mean() - acc[:, 0].mean()) > 0.03
+
+
+def test_ordered_iid_sort_fast_path_matches_rejection(key):
+    """For an exchangeable IID base, sorting IS the ordered restriction —
+    the fast path must agree with the rejection oracle in distribution."""
+    od = tb.ordered(tb.dists.IIDProduct(tb.dists.Normal(0.0, 1.0), 3))
+    n = 20000
+    xs = np.asarray(od.sample(key, (n,)))
+    assert (np.diff(xs, axis=-1) >= 0).all()
+    rng = np.random.default_rng(1)
+    draws = rng.normal(size=(10 * n, 3))
+    acc = draws[(np.diff(draws, axis=-1) >= 0).all(axis=-1)]
+    np.testing.assert_allclose(xs.mean(0), acc.mean(0), atol=0.03)
+
+
 def test_ordered_lognormal_decreasing_branch(key):
     """ordered() with a monotone-decreasing link uses the SignFlip sandwich
     (reference ordered.jl:138-140). Truncated upper-only is decreasing."""

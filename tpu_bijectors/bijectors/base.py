@@ -195,13 +195,32 @@ class Chain(Bijector):
                 flat.append(t)
         object.__setattr__(self, "transforms", tuple(flat))
 
+    def _propagate_event_ndims(self):
+        """Infer the chain's (event_ndims_in, event_ndims_out) by walking
+        members inner -> outer. A member needing more trailing event dims than
+        the current value carries pulls them from the batch (raising the
+        chain's input arity); a member needing fewer broadcasts over the rest.
+        This is what makes mixed-rank chains (scalar ∘ vector) well-defined —
+        the reference gets the same effect from Julia dispatch + its
+        sum-everything logabsdetjac (src/bijectors/composed.jl:4-14)."""
+        ndims_in = 0
+        cur_out = 0
+        for t in reversed(self.transforms):
+            need = int(t.event_ndims_in)
+            if need > cur_out:
+                ndims_in += need - cur_out
+                cur_out = int(t.event_ndims_out)
+            else:
+                cur_out = (cur_out - need) + int(t.event_ndims_out)
+        return ndims_in, cur_out
+
     @property
     def event_ndims_in(self):  # type: ignore[override]
-        return self.transforms[-1].event_ndims_in
+        return self._propagate_event_ndims()[0]
 
     @property
     def event_ndims_out(self):  # type: ignore[override]
-        return self.transforms[0].event_ndims_out
+        return self._propagate_event_ndims()[1]
 
     @property
     def closed_form_inverse(self):  # type: ignore[override]
@@ -233,10 +252,11 @@ class Chain(Bijector):
         return sign < 0
 
     def forward_and_log_det(self, x):
+        batch_ndim = _batch_ndim_of(x, self.event_ndims_in)
         logdet = None
         for t in reversed(self.transforms):
             x, ld = t.forward_and_log_det(x)
-            ld = _reduce_to_batch(ld, t)
+            ld = _reduce_to_batch(ld, batch_ndim)
             logdet = ld if logdet is None else logdet + ld
         return x, logdet
 
@@ -246,10 +266,11 @@ class Chain(Bijector):
         return x
 
     def inverse_and_log_det(self, y):
+        batch_ndim = _batch_ndim_of(y, self.event_ndims_out)
         logdet = None
         for t in self.transforms:
             y, ld = t.inverse_and_log_det(y)
-            ld = _reduce_to_batch_inv(ld, t)
+            ld = _reduce_to_batch(ld, batch_ndim)
             logdet = ld if logdet is None else logdet + ld
         return y, logdet
 
@@ -269,23 +290,47 @@ class Chain(Bijector):
         return shape
 
 
-def _reduce_to_batch(ld, t: Transform):
-    """Sum a (possibly elementwise) log-det down to batch shape.
+def _batch_ndim_of(x, event_ndims):
+    """Number of leading batch dims of the chain's input value. None when the
+    value is a pytree (UnconstrainerBijector-style members) — those chains
+    keep the legacy no-reduction behavior."""
+    try:
+        nd = jnp.ndim(x)
+    except TypeError:
+        return None
+    if nd < event_ndims:
+        raise ValueError(
+            "Chain input has %d dims but the composition needs %d event dims"
+            % (nd, event_ndims)
+        )
+    return nd - event_ndims
 
-    A scalar bijector inside a Chain over vector inputs produces an
-    elementwise log-det; neighbours may be vector bijectors producing
-    batch-shaped log-dets. We sum scalar bijectors' log-dets over the event
-    dims of the *chain's current value*, which for composition in a chain with
-    mixed event_ndims means: sum everything beyond what a downstream vector
-    bijector would keep. For simplicity and correctness we only auto-reduce
-    when the bijector is scalar (event_ndims 0) — chains mixing event ranks
-    should use Block explicitly. Here: leave as-is; Chain sums log-dets with
-    broadcasting, which is correct when all members share batch semantics.
-    """
+
+def _reduce_to_batch(ld, batch_ndim):
+    """Sum a member's log-det down to the chain's batch shape.
+
+    A scalar member applied to a vector-valued intermediate returns an
+    elementwise log-det (one extra trailing dim per value event dim); vector
+    members return batch-shaped log-dets already. Summing every trailing dim
+    beyond the chain's batch rank gives each member's total contribution with
+    the correct shape — the semantics of the reference's sum-everything
+    logabsdetjac under composition (src/bijectors/composed.jl:4-14), minus
+    the batch dims the reference doesn't have.
+
+    In an all-scalar chain batch_ndim == value ndim, so log-dets stay
+    elementwise (the documented L1 batch semantics)."""
+    if batch_ndim is None:
+        return ld
+    extra = jnp.ndim(ld) - batch_ndim
+    if extra > 0:
+        ld = jnp.sum(ld, axis=tuple(range(-extra, 0)))
+    elif extra < 0:
+        raise ValueError(
+            "Chain member produced a log-det with fewer dims (%d) than the "
+            "chain batch rank (%d) — a member is mis-declaring its "
+            "event_ndims" % (jnp.ndim(ld), batch_ndim)
+        )
     return ld
-
-
-_reduce_to_batch_inv = _reduce_to_batch
 
 
 @pytree_dataclass(meta_fields=("ndims",))

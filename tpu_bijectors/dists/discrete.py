@@ -40,6 +40,12 @@ class BernoulliLogit(Distribution):
         shape = tuple(sample_shape) + self.batch_shape
         return jax.random.bernoulli(key, jax.nn.sigmoid(jnp.asarray(self.logitp)), shape).astype(jnp.int32)
 
+    def cdf(self, x):
+        dtype = jnp.result_type(x, float)
+        p = jax.nn.sigmoid(jnp.asarray(self.logitp, dtype))
+        x = jnp.asarray(x, dtype)
+        return jnp.where(x < 0, 0.0, jnp.where(x < 1, 1.0 - p, 1.0))
+
     @property
     def support(self):
         return DISCRETE
@@ -69,6 +75,14 @@ class BetaBinomial(Distribution):
         p = jax.random.beta(kp, self.a, self.b, shape, dtype)
         return jax.random.binomial(kb, self.n, p, shape).astype(jnp.int32)
 
+    def cdf(self, x):
+        # static-n pmf sum: F(k) = sum_{j<=k} pmf(j)
+        dtype = jnp.result_type(x, float)
+        ks = jnp.arange(self.n + 1, dtype=dtype)
+        pmf = jnp.exp(self.logpdf(ks))
+        k = jnp.floor(jnp.asarray(x, dtype))
+        return jnp.sum(jnp.where(ks <= k[..., None], pmf, 0.0), axis=-1)
+
     @property
     def support(self):
         return DISCRETE
@@ -87,6 +101,10 @@ class Dirac(Distribution):
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape
         return jnp.broadcast_to(jnp.asarray(self.value), shape)
+
+    def cdf(self, x):
+        dtype = jnp.result_type(x, float)
+        return jnp.where(jnp.asarray(x, dtype) >= self.value, 1.0, 0.0)
 
     @property
     def support(self):
@@ -107,6 +125,11 @@ class DiscreteUniform(Distribution):
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape
         return jax.random.randint(key, shape, self.a, self.b + 1)
+
+    def cdf(self, x):
+        dtype = jnp.result_type(x, float)
+        k = jnp.floor(jnp.asarray(x, dtype))
+        return jnp.clip((k - self.a + 1.0) / (self.b - self.a + 1.0), 0.0, 1.0)
 
     @property
     def support(self):
@@ -133,6 +156,12 @@ class DiscreteNonParametric(Distribution):
         shape = tuple(sample_shape) + self.batch_shape
         idx = jax.random.categorical(key, jnp.log(jnp.asarray(self.ps)), shape=shape)
         return jnp.asarray(self.xs)[idx]
+
+    def cdf(self, x):
+        dtype = jnp.result_type(x, float)
+        x = jnp.asarray(x, dtype)
+        le = jnp.asarray(self.xs, dtype) <= x[..., None]
+        return jnp.sum(jnp.where(le, jnp.asarray(self.ps, dtype), 0.0), axis=-1)
 
     @property
     def support(self):

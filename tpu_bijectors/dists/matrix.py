@@ -333,6 +333,107 @@ class InverseWishart(Distribution):
         return POSITIVE_DEFINITE
 
 
+@pytree_dataclass(meta_fields=("p",))
+class MatrixBeta(Distribution):
+    """Matrix Beta distribution MatrixBeta(p, n1, n2) over p x p SPD matrices
+    U with I - U also SPD (Gupta & Nagar ch. 5).
+
+    Reference maps it to the PD link (src/transformed_distribution.jl:138-139
+    `bijector(::MatrixBeta) = PDVecBijector()`); our structural `pd` support
+    kind routes it identically. Like the reference, the link enforces only
+    U ≻ 0 — the density's logdet(I - U) term goes NaN/-Inf outside U ≺ I.
+
+      logpdf(U) = ((n1-p-1)/2) logdet U + ((n2-p-1)/2) logdet(I-U)
+                  - log B_p(n1/2, n2/2),
+      log B_p(a, b) = Γ_p(a) + Γ_p(b) - Γ_p(a+b)  (multivariate log-beta)
+
+    Sampling: S1 ~ Wishart(n1, I), S2 ~ Wishart(n2, I), S = S1 + S2,
+    L = chol(S), U = L^-1 S1 L^-T.
+    """
+
+    p: int
+    n1: jax.Array | float
+    n2: jax.Array | float
+
+    event_ndims = 2
+
+    @property
+    def event_shape(self):
+        return (self.p, self.p)
+
+    @property
+    def batch_shape(self):
+        return jnp.broadcast_shapes(jnp.shape(self.n1), jnp.shape(self.n2))
+
+    def _log_norm(self, dtype):
+        a = 0.5 * jnp.asarray(self.n1, dtype)
+        b = 0.5 * jnp.asarray(self.n2, dtype)
+        return _mv_lgamma(a, self.p) + _mv_lgamma(b, self.p) - _mv_lgamma(a + b, self.p)
+
+    def logpdf(self, U):
+        dtype = jnp.result_type(U, float)
+        p = self.p
+        n1 = jnp.asarray(self.n1, dtype)
+        n2 = jnp.asarray(self.n2, dtype)
+        eye = jnp.eye(p, dtype=dtype)
+        # Cholesky-based logdets (f32-TPU friendly; no LU)
+        logdetU = 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(cholesky_lower(U), axis1=-2, axis2=-1)), -1
+        )
+        logdetImU = 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(cholesky_lower(eye - U), axis1=-2, axis2=-1)), -1
+        )
+        return (
+            0.5 * (n1 - p - 1.0) * logdetU
+            + 0.5 * (n2 - p - 1.0) * logdetImU
+            - self._log_norm(dtype)
+        )
+
+    def logpdf_from_factor(self, L, x=None):
+        """Density from the lower Cholesky factor L of U = LL' (the factor
+        the PD inverse link computes anyway): logdet U is free; the
+        logdet(I-U) term reconstructs U from L when `x` is unavailable."""
+        dtype = jnp.result_type(L, float)
+        p = self.p
+        n1 = jnp.asarray(self.n1, dtype)
+        n2 = jnp.asarray(self.n2, dtype)
+        eye = jnp.eye(p, dtype=dtype)
+        logdetU = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1)
+        U = x if x is not None else jnp.matmul(
+            L, jnp.swapaxes(L, -1, -2), precision=jax.lax.Precision.HIGHEST
+        )
+        logdetImU = 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(cholesky_lower(eye - U), axis1=-2, axis2=-1)), -1
+        )
+        return (
+            0.5 * (n1 - p - 1.0) * logdetU
+            + 0.5 * (n2 - p - 1.0) * logdetImU
+            - self._log_norm(dtype)
+        )
+
+    def sample(self, key, sample_shape=()):
+        dtype = jnp.result_type(self.n1, self.n2, float)
+        p = self.p
+        shape = tuple(sample_shape) + self.batch_shape
+        k1, k2 = jax.random.split(key)
+        eye = jnp.eye(p, dtype=dtype)
+        L1 = _bartlett_chol(k1, self.n1, eye, p, shape, dtype)
+        L2 = _bartlett_chol(k2, self.n2, eye, p, shape, dtype)
+        S1 = jnp.matmul(L1, jnp.swapaxes(L1, -1, -2), precision=jax.lax.Precision.HIGHEST)
+        S2 = jnp.matmul(L2, jnp.swapaxes(L2, -1, -2), precision=jax.lax.Precision.HIGHEST)
+        L = cholesky_lower(S1 + S2)
+        A = jax.scipy.linalg.solve_triangular(L, S1, lower=True)
+        U = jax.scipy.linalg.solve_triangular(
+            L, jnp.swapaxes(A, -1, -2), lower=True
+        )
+        # symmetrize against fp drift
+        return 0.5 * (U + jnp.swapaxes(U, -1, -2))
+
+    @property
+    def support(self):
+        return POSITIVE_DEFINITE
+
+
 @pytree_dataclass(meta_fields=())
 class MatrixTDist(Distribution):
     """Matrix t-distribution MT(nu, M, Sigma, Omega) (Gupta & Nagar thm 4.2.1;

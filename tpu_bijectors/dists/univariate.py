@@ -157,6 +157,12 @@ class StudentT(Distribution):
         dtype = jnp.result_type(self.df, self.loc, self.scale, float)
         return self.loc + self.scale * jax.random.t(key, self.df, shape, dtype)
 
+    def cdf(self, x):
+        v = jnp.asarray(self.df, jnp.result_type(x, float))
+        z = (x - self.loc) / self.scale
+        ib = jsp.betainc(0.5 * v, 0.5, v / (v + z * z))
+        return jnp.where(z >= 0, 1.0 - 0.5 * ib, 0.5 * ib)
+
 
 @pytree_dataclass
 class Gumbel(Distribution):
@@ -299,6 +305,12 @@ class InverseGamma(Distribution):
         dtype = jnp.result_type(self.concentration, self.scale, float)
         return self.scale / jax.random.gamma(key, self.concentration, shape, dtype)
 
+    def cdf(self, x):
+        a = jnp.asarray(self.concentration, jnp.result_type(x, float))
+        b = jnp.asarray(self.scale, jnp.result_type(x, float))
+        xs = jnp.maximum(x, jnp.finfo(jnp.result_type(x, float)).tiny)
+        return jnp.where(x > 0, jsp.gammaincc(a, b / xs), 0.0)
+
     @property
     def support(self):
         return positive()
@@ -316,6 +328,10 @@ class Chisq(Distribution):
         shape = tuple(sample_shape) + self.batch_shape
         dtype = jnp.result_type(self.df, float)
         return 2.0 * jax.random.gamma(key, 0.5 * jnp.asarray(self.df, dtype), shape, dtype)
+
+    def cdf(self, x):
+        v = jnp.asarray(self.df, jnp.result_type(x, float))
+        return jsp.gammainc(0.5 * v, 0.5 * jnp.maximum(x, 0.0))
 
     @property
     def support(self):
@@ -340,6 +356,11 @@ class Chi(Distribution):
         dtype = jnp.result_type(self.df, float)
         g = jax.random.gamma(key, 0.5 * jnp.asarray(self.df, dtype), shape, dtype)
         return jnp.sqrt(2.0 * g)
+
+    def cdf(self, x):
+        v = jnp.asarray(self.df, jnp.result_type(x, float))
+        xc = jnp.maximum(x, 0.0)
+        return jsp.gammainc(0.5 * v, 0.5 * xc * xc)
 
     @property
     def support(self):
@@ -388,6 +409,11 @@ class Rayleigh(Distribution):
         u = jax.random.uniform(key, shape, dtype, minval=jnp.finfo(dtype).tiny)
         return self.scale * jnp.sqrt(-2.0 * jnp.log(u))
 
+    def cdf(self, x):
+        s = jnp.asarray(self.scale, jnp.result_type(x, float))
+        xc = jnp.maximum(x, 0.0)
+        return -jnp.expm1(-0.5 * (xc / s) ** 2)
+
     @property
     def support(self):
         return positive()
@@ -410,6 +436,12 @@ class Frechet(Distribution):
         u = jax.random.uniform(key, shape, dtype, minval=jnp.finfo(dtype).tiny)
         return self.scale * (-jnp.log(u)) ** (-1.0 / self.shape_)
 
+    def cdf(self, x):
+        a = jnp.asarray(self.shape_, jnp.result_type(x, float))
+        s = jnp.asarray(self.scale, jnp.result_type(x, float))
+        xs = jnp.maximum(x, jnp.finfo(jnp.result_type(x, float)).tiny)
+        return jnp.where(x > 0, jnp.exp(-((xs / s) ** -a)), 0.0)
+
     @property
     def support(self):
         return positive()
@@ -428,6 +460,10 @@ class HalfNormal(Distribution):
         dtype = jnp.result_type(self.scale, float)
         return jnp.abs(self.scale * jax.random.normal(key, shape, dtype))
 
+    def cdf(self, x):
+        s = jnp.asarray(self.scale, jnp.result_type(x, float))
+        return jax.scipy.special.erf(jnp.maximum(x, 0.0) / (s * jnp.sqrt(jnp.asarray(2.0, jnp.result_type(x, float)))))
+
     @property
     def support(self):
         return positive()
@@ -445,6 +481,10 @@ class HalfCauchy(Distribution):
         shape = tuple(sample_shape) + self.batch_shape
         dtype = jnp.result_type(self.scale, float)
         return jnp.abs(self.scale * jax.random.cauchy(key, shape, dtype))
+
+    def cdf(self, x):
+        s = jnp.asarray(self.scale, jnp.result_type(x, float))
+        return (2.0 / jnp.pi) * jnp.arctan(jnp.maximum(x, 0.0) / s)
 
     @property
     def support(self):
@@ -579,6 +619,12 @@ class LogitNormal(Distribution):
         dtype = jnp.result_type(self.mu, self.sigma, float)
         return jax.nn.sigmoid(self.mu + self.sigma * jax.random.normal(key, shape, dtype))
 
+    def cdf(self, x):
+        dtype = jnp.result_type(x, float)
+        xc = jnp.clip(x, jnp.finfo(dtype).tiny, 1.0 - jnp.finfo(dtype).epsneg)
+        z = (jnp.log(xc) - jnp.log1p(-xc) - self.mu) / self.sigma
+        return jax.scipy.special.ndtr(z)
+
     @property
     def support(self):
         return unit_interval()
@@ -600,6 +646,12 @@ class Arcsine(Distribution):
         u = jax.random.uniform(key, shape, dtype)
         s = jnp.sin(0.5 * math.pi * u)
         return self.a + (self.b - self.a) * s * s
+
+    def cdf(self, x):
+        a = jnp.asarray(self.a, jnp.result_type(x, float))
+        b = jnp.asarray(self.b, jnp.result_type(x, float))
+        z = jnp.clip((x - a) / (b - a), 0.0, 1.0)
+        return (2.0 / jnp.pi) * jnp.arcsin(jnp.sqrt(z))
 
     @property
     def support(self):
@@ -637,6 +689,12 @@ class Pareto(Distribution):
         u = jax.random.uniform(key, shape, dtype, minval=jnp.finfo(dtype).tiny)
         return self.scale * u ** (-1.0 / self.alpha)
 
+    def cdf(self, x):
+        a = jnp.asarray(self.alpha, jnp.result_type(x, float))
+        m = jnp.asarray(self.scale, jnp.result_type(x, float))
+        xs = jnp.maximum(x, m)
+        return -jnp.expm1(-a * jnp.log(xs / m))
+
     @property
     def support(self):
         lo = self.min_static if self.min_static is not None else self.scale
@@ -668,6 +726,13 @@ class Levy(Distribution):
         z = jax.random.normal(key, shape, dtype)
         return self.mu + self.sigma / (z * z)
 
+    def cdf(self, x):
+        dtype = jnp.result_type(x, float)
+        mu = jnp.asarray(self.mu, dtype)
+        s = jnp.asarray(self.sigma, dtype)
+        d = jnp.maximum(x - mu, jnp.finfo(dtype).tiny)
+        return jnp.where(x > mu, jax.scipy.special.erfc(jnp.sqrt(0.5 * s / d)), 0.0)
+
     @property
     def support(self):
         lo = self.min_static if self.min_static is not None else self.mu
@@ -698,6 +763,11 @@ class Poisson(DiscreteDistribution):
         shape = tuple(sample_shape) + self.batch_shape
         return jax.random.poisson(key, self.rate, shape)
 
+    def cdf(self, x):
+        lam = jnp.asarray(self.rate, jnp.result_type(x, float))
+        k = jnp.floor(jnp.asarray(x, jnp.result_type(x, float)))
+        return jnp.where(k >= 0, jsp.gammaincc(jnp.maximum(k, 0.0) + 1.0, lam), 0.0)
+
 
 @pytree_dataclass
 class Bernoulli(DiscreteDistribution):
@@ -710,6 +780,12 @@ class Bernoulli(DiscreteDistribution):
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape
         return jax.random.bernoulli(key, self.p, shape).astype(jnp.int32)
+
+    def cdf(self, x):
+        dtype = jnp.result_type(x, float)
+        p = jnp.asarray(self.p, dtype)
+        x = jnp.asarray(x, dtype)
+        return jnp.where(x < 0, 0.0, jnp.where(x < 1, 1.0 - p, 1.0))
 
 
 @pytree_dataclass
@@ -730,6 +806,14 @@ class Binomial(DiscreteDistribution):
         u = jax.random.bernoulli(key, self.p, (self.n,) + tuple(shape))
         return jnp.sum(u.astype(jnp.int32), axis=0)
 
+    def cdf(self, x):
+        dtype = jnp.result_type(x, float)
+        p = jnp.asarray(self.p, dtype)
+        k = jnp.floor(jnp.asarray(x, dtype))
+        kc = jnp.clip(k, 0.0, self.n - 1)
+        val = jsp.betainc(self.n - kc, kc + 1.0, 1.0 - p)
+        return jnp.where(k < 0, 0.0, jnp.where(k >= self.n, 1.0, val))
+
 
 @pytree_dataclass
 class Geometric(DiscreteDistribution):
@@ -745,6 +829,12 @@ class Geometric(DiscreteDistribution):
         shape = tuple(sample_shape) + self.batch_shape
         return jax.random.geometric(key, self.p, shape) - 1
 
+    def cdf(self, x):
+        dtype = jnp.result_type(x, float)
+        p = jnp.asarray(self.p, dtype)
+        k = jnp.floor(jnp.asarray(x, dtype))
+        return jnp.where(k >= 0, -jnp.expm1(jnp.log1p(-p) * (jnp.maximum(k, 0.0) + 1.0)), 0.0)
+
 
 @pytree_dataclass
 class Categorical(DiscreteDistribution):
@@ -758,6 +848,14 @@ class Categorical(DiscreteDistribution):
 
     def sample(self, key, sample_shape=()):
         return jax.random.categorical(key, self.logits, shape=tuple(sample_shape))
+
+    def cdf(self, x):
+        dtype = jnp.result_type(x, float)
+        p = jax.nn.softmax(self.logits, axis=-1)
+        K = jnp.shape(self.logits)[-1]
+        k = jnp.floor(jnp.asarray(x, dtype))
+        idx = jnp.arange(K, dtype=dtype)
+        return jnp.sum(jnp.where(idx <= k[..., None], p, 0.0), axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -800,6 +898,14 @@ class Truncated(Distribution):
         u = jax.random.uniform(key, shape, jnp.result_type(float))
         q = lo_c + (hi_c - lo_c) * u
         return self.base.quantile(q)
+
+    def cdf(self, x):
+        base = self.base
+        lo, hi = self.lower, self.upper
+        Fl = base.cdf(jnp.asarray(lo, jnp.result_type(x, float))) if math.isfinite(lo) else 0.0
+        Fh = base.cdf(jnp.asarray(hi, jnp.result_type(x, float))) if math.isfinite(hi) else 1.0
+        xc = jnp.clip(x, lo, hi)
+        return (base.cdf(xc) - Fl) / (Fh - Fl)
 
     @property
     def support(self):

@@ -42,6 +42,12 @@ class FDist(Distribution):
         g2 = jax.random.gamma(k2, 0.5 * jnp.asarray(self.d2, dtype), shape, dtype)
         return (g1 / jnp.asarray(self.d1, dtype)) / (g2 / jnp.asarray(self.d2, dtype))
 
+    def cdf(self, x):
+        d1 = jnp.asarray(self.d1, jnp.result_type(x, float))
+        d2 = jnp.asarray(self.d2, jnp.result_type(x, float))
+        xc = jnp.maximum(x, 0.0)
+        return jsp.betainc(0.5 * d1, 0.5 * d2, d1 * xc / (d1 * xc + d2))
+
     @property
     def support(self):
         return positive()
@@ -67,6 +73,12 @@ class BetaPrime(Distribution):
         dtype = jnp.result_type(self.a, self.b, float)
         u = jax.random.beta(key, self.a, self.b, shape, dtype)
         return u / (1.0 - u)
+
+    def cdf(self, x):
+        a = jnp.asarray(self.a, jnp.result_type(x, float))
+        b = jnp.asarray(self.b, jnp.result_type(x, float))
+        xc = jnp.maximum(x, 0.0)
+        return jsp.betainc(a, b, xc / (1.0 + xc))
 
     @property
     def support(self):
@@ -102,6 +114,16 @@ class InverseGaussian(Distribution):
         )
         z = jax.random.uniform(k2, shape, dtype)
         return jnp.where(z <= mu / (mu + x), x, mu * mu / x)
+
+    def cdf(self, x):
+        dtype = jnp.result_type(x, float)
+        mu = jnp.asarray(self.mu, dtype)
+        lam = jnp.asarray(self.lam, dtype)
+        xs = jnp.maximum(x, jnp.finfo(dtype).tiny)
+        rt = jnp.sqrt(lam / xs)
+        ndtr = jax.scipy.special.ndtr
+        val = ndtr(rt * (xs / mu - 1.0)) + jnp.exp(2.0 * lam / mu) * ndtr(-rt * (xs / mu + 1.0))
+        return jnp.where(x > 0, val, 0.0)
 
     @property
     def support(self):
@@ -196,6 +218,14 @@ class TriangularDist(Distribution):
             b - jnp.sqrt((1.0 - u) * (b - a) * (b - c)),
         )
 
+    def cdf(self, x):
+        dtype = jnp.result_type(x, float)
+        a = jnp.asarray(self.a, dtype); b = jnp.asarray(self.b, dtype); c = jnp.asarray(self.c, dtype)
+        xc = jnp.clip(x, a, b)
+        left = (xc - a) ** 2 / ((b - a) * (c - a))
+        right = 1.0 - (b - xc) ** 2 / ((b - a) * (b - c))
+        return jnp.where(xc <= c, left, right)
+
     @property
     def support(self):
         lo = self.a_static if self.a_static is not None else self.a
@@ -217,6 +247,11 @@ class Semicircle(Distribution):
         dtype = jnp.result_type(self.radius, float)
         u = jax.random.beta(key, 1.5, 1.5, shape, dtype)
         return self.radius * (2.0 * u - 1.0)
+
+    def cdf(self, x):
+        r = jnp.asarray(self.radius, jnp.result_type(x, float))
+        z = jnp.clip(x / r, -1.0, 1.0)
+        return 0.5 + z * jnp.sqrt(1.0 - z * z) / jnp.pi + jnp.arcsin(z) / jnp.pi
 
     @property
     def support(self):
@@ -257,6 +292,12 @@ class Cosine(Distribution):
         z = 0.5 * (lo + hi)
         return self.mu + self.s * z
 
+    def cdf(self, x):
+        mu = jnp.asarray(self.mu, jnp.result_type(x, float))
+        s = jnp.asarray(self.s, jnp.result_type(x, float))
+        z = jnp.clip((x - mu) / s, -1.0, 1.0)
+        return 0.5 * (1.0 + z + jnp.sin(jnp.pi * z) / jnp.pi)
+
     @property
     def support(self):
         return Support("interval", self.mu - self.s, self.mu + self.s, True, True)
@@ -279,6 +320,12 @@ class Epanechnikov(Distribution):
         u = jax.random.uniform(key, (3,) + shape, dtype, minval=-1.0, maxval=1.0)
         z = jnp.median(u, axis=0)
         return self.mu + self.s * z
+
+    def cdf(self, x):
+        mu = jnp.asarray(self.mu, jnp.result_type(x, float))
+        s = jnp.asarray(self.s, jnp.result_type(x, float))
+        z = jnp.clip((x - mu) / s, -1.0, 1.0)
+        return 0.25 * (2.0 + 3.0 * z - z ** 3)
 
     @property
     def support(self):
@@ -314,6 +361,19 @@ class GeneralizedPareto(Distribution):
         )
         return self.mu + self.sigma * z
 
+    def cdf(self, x):
+        dtype = jnp.result_type(x, float)
+        mu = jnp.asarray(self.mu, dtype); s = jnp.asarray(self.sigma, dtype)
+        xi = jnp.asarray(self.xi, dtype)
+        z = jnp.maximum((x - mu) / s, 0.0)
+        # xi != 0 branch via a safe log1p; xi ~ 0 falls back to exp form
+        small = jnp.abs(xi) < 1e-6
+        xi_safe = jnp.where(small, 1.0, xi)
+        t = jnp.maximum(1.0 + xi_safe * z, 0.0)
+        general = -jnp.expm1(-jnp.log(jnp.maximum(t, jnp.finfo(dtype).tiny)) / xi_safe)
+        general = jnp.where(t > 0, general, 1.0)
+        return jnp.where(small, -jnp.expm1(-z), general)
+
     @property
     def support(self):
         return Support("interval", self.mu, math.inf, True, False)
@@ -342,6 +402,19 @@ class GeneralizedExtremeValue(Distribution):
         xi = jnp.asarray(self.xi, dtype)
         g = -jnp.log(u)  # standard Gumbel variate is -log(-log(u)); here:
         return self.mu + self.sigma * (g ** (-xi) - 1.0) / xi
+
+    def cdf(self, x):
+        dtype = jnp.result_type(x, float)
+        mu = jnp.asarray(self.mu, dtype); s = jnp.asarray(self.sigma, dtype)
+        xi = jnp.asarray(self.xi, dtype)
+        z = (x - mu) / s
+        small = jnp.abs(xi) < 1e-6
+        xi_safe = jnp.where(small, 1.0, xi)
+        t = jnp.maximum(1.0 + xi_safe * z, 0.0)
+        logt = jnp.log(jnp.maximum(t, jnp.finfo(dtype).tiny))
+        general = jnp.exp(-jnp.exp(-logt / xi_safe))
+        general = jnp.where(t > 0, general, jnp.where(xi > 0, 0.0, 1.0))
+        return jnp.where(small, jnp.exp(-jnp.exp(-z)), general)
 
     @property
     def support(self):
@@ -373,6 +446,12 @@ class Gompertz(Distribution):
         u = jax.random.uniform(key, shape, dtype, minval=jnp.finfo(dtype).tiny)
         eta = jnp.asarray(self.eta, dtype)
         return jnp.log1p(-jnp.log(u) / eta) / self.b
+
+    def cdf(self, x):
+        eta = jnp.asarray(self.eta, jnp.result_type(x, float))
+        b = jnp.asarray(self.b, jnp.result_type(x, float))
+        xc = jnp.maximum(x, 0.0)
+        return -jnp.expm1(-eta * jnp.expm1(b * xc))
 
     @property
     def support(self):
@@ -407,6 +486,13 @@ class NegativeBinomial(Distribution):
             (1.0 - jnp.asarray(self.p, dtype)) / jnp.asarray(self.p, dtype)
         )
         return jax.random.poisson(kp, lam, shape)
+
+    def cdf(self, x):
+        dtype = jnp.result_type(x, float)
+        r = jnp.asarray(self.r, dtype)
+        p = jnp.asarray(self.p, dtype)
+        k = jnp.floor(jnp.asarray(x, dtype))
+        return jnp.where(k >= 0, jsp.betainc(r, jnp.maximum(k, 0.0) + 1.0, p), 0.0)
 
     @property
     def support(self):

@@ -203,6 +203,12 @@ class Biweight(Distribution):
         u = jax.random.beta(key, 3.0, 3.0, shape, dtype)
         return self.mu + self.s * (2.0 * u - 1.0)
 
+    def cdf(self, x):
+        mu = jnp.asarray(self.mu, jnp.result_type(x, float))
+        s = jnp.asarray(self.s, jnp.result_type(x, float))
+        z = jnp.clip((x - mu) / s, -1.0, 1.0)
+        return 0.5 + (15.0 * z - 10.0 * z ** 3 + 3.0 * z ** 5) / 16.0
+
     @property
     def support(self):
         return _bounded_kernel_support(self.mu, self.s)
@@ -226,6 +232,12 @@ class Triweight(Distribution):
         dtype = jnp.result_type(self.mu, self.s, float)
         u = jax.random.beta(key, 4.0, 4.0, shape, dtype)
         return self.mu + self.s * (2.0 * u - 1.0)
+
+    def cdf(self, x):
+        mu = jnp.asarray(self.mu, jnp.result_type(x, float))
+        s = jnp.asarray(self.s, jnp.result_type(x, float))
+        z = jnp.clip((x - mu) / s, -1.0, 1.0)
+        return 0.5 + (35.0 * z - 35.0 * z ** 3 + 21.0 * z ** 5 - 5.0 * z ** 7) / 32.0
 
     @property
     def support(self):
@@ -284,6 +296,15 @@ class PGeneralizedGaussian(Distribution):
         g = jax.random.gamma(kg, 1.0 / p, shape, dtype)
         sign = 2.0 * jax.random.bernoulli(ks, 0.5, shape).astype(dtype) - 1.0
         return self.mu + self.alpha * sign * g ** (1.0 / p)
+
+    def cdf(self, x):
+        dtype = jnp.result_type(x, float)
+        p = jnp.asarray(self.p, dtype)
+        mu = jnp.asarray(self.mu, dtype)
+        al = jnp.asarray(self.alpha, dtype)
+        z = (x - mu) / al
+        g = jsp.gammainc(1.0 / p, jnp.abs(z) ** p)
+        return 0.5 + 0.5 * jnp.sign(z) * g
 
 
 @pytree_dataclass

@@ -89,6 +89,14 @@ class Censored(Distribution):
         x = self.base.sample(key, sample_shape)
         return jnp.clip(x, self.lower, self.upper)
 
+    def cdf(self, x):
+        F = self.base.cdf(jnp.clip(x, self.lower, self.upper))
+        if math.isfinite(self.lower):
+            F = jnp.where(x < self.lower, 0.0, F)
+        if math.isfinite(self.upper):
+            F = jnp.where(x >= self.upper, 1.0, F)
+        return F
+
     @property
     def support(self):
         base_s = self.base.support
@@ -133,6 +141,11 @@ class Mixture(Distribution):
         all_draws = self.components.sample(ks, shape)  # shape + (K,)
         return jnp.take_along_axis(all_draws, comp[..., None], axis=-1)[..., 0]
 
+    def cdf(self, x):
+        w = jax.nn.softmax(self.log_weights)
+        F = self.components.cdf(jnp.asarray(x)[..., None])  # (..., K)
+        return jnp.sum(w * F, axis=-1)
+
     @property
     def support(self):
         return self.components.support
@@ -164,6 +177,12 @@ class OrderStatistic(Distribution):
         draws = self.base.sample(key, tuple(sample_shape) + (self.n,))
         s = jnp.sort(draws, axis=-1)
         return s[..., self.rank - 1]
+
+    def cdf(self, x):
+        # F_(r)(x) = I_{F(x)}(r, n - r + 1) (regularized incomplete beta)
+        F = self.base.cdf(x)
+        r = float(self.rank)
+        return jsp.betainc(r, self.n - r + 1.0, F)
 
     @property
     def support(self):
@@ -296,6 +315,11 @@ class HeterogeneousMixture(Distribution):
             axis=-1,
         )
         return jnp.take_along_axis(draws, comp[..., None], axis=-1)[..., 0]
+
+    def cdf(self, x):
+        w = jax.nn.softmax(self.log_weights)
+        Fs = [c.cdf(x) for c in self.components]
+        return sum(wi * Fi for wi, Fi in zip(w, Fs))
 
     @property
     def support(self):

@@ -136,13 +136,48 @@ class OrderedDistribution(Distribution):
         return jnp.where(is_sorted, lp, -jnp.inf)
 
     def sample(self, key, sample_shape=()):
-        # The reference uses rejection sampling (ordered.jl:160-168); with
-        # static shapes we sort instead for iid product bases (exchangeable:
-        # sorting a sample IS a sample of the ordered restriction up to the
-        # constant n! the docstring already disclaims). For non-exchangeable
-        # bases this is an approximation; MCMC use never calls this.
-        x = self.dist.sample(key, sample_shape)
-        return jnp.sort(x, axis=-1)
+        """Reference semantics: rejection-sample until sorted
+        (ordered.jl:160-168). For exchangeable bases (IID products) sorting a
+        draw IS a draw from the ordered restriction, so we keep that O(1)
+        fast path; everything else gets a lax.while_loop rejection sampler
+        (compiled control flow, no host round-trips)."""
+        from .dists.product import IIDProduct
+
+        if isinstance(self.dist, IIDProduct):
+            x = self.dist.sample(key, sample_shape)
+            return jnp.sort(x, axis=-1)
+        return self._rejection_sample(key, sample_shape)
+
+    def _rejection_sample(self, key, sample_shape=()):
+        import jax
+        from jax import lax
+
+        def is_sorted(x):
+            return jnp.all(x[..., 1:] >= x[..., :-1], axis=-1)
+
+        key, sub = jax.random.split(key)
+        x0 = self.dist.sample(sub, sample_shape)
+        ok0 = is_sorted(x0)
+        # Cap the rounds: acceptance is ~1/n! for weakly-coupled bases, so a
+        # huge cap only triggers on misuse (large n); unaccepted rows are
+        # poisoned with NaN rather than silently returned unsorted.
+        max_rounds = 100_000
+
+        def cond(state):
+            _, _, ok, i = state
+            return jnp.logical_and(~jnp.all(ok), i < max_rounds)
+
+        def body(state):
+            key, x, ok, i = state
+            key, sub = jax.random.split(key)
+            xn = self.dist.sample(sub, sample_shape)
+            okn = is_sorted(xn)
+            take = jnp.logical_and(~ok, okn)
+            x = jnp.where(take[..., None], xn, x)
+            return key, x, jnp.logical_or(ok, okn), i + 1
+
+        _, x, ok, _ = lax.while_loop(cond, body, (key, x0, ok0, jnp.int32(0)))
+        return jnp.where(ok[..., None], x, jnp.nan)
 
     @property
     def support(self):
