@@ -135,3 +135,28 @@ def test_dirichlet_fused_hook_declines_on_cpu():
     x, lpld = u.from_linked_vec_with_logpdf(v)
     xr, ld = u.from_linked_vec(v)
     np.testing.assert_allclose(np.asarray(lpld), np.asarray(d.logpdf(xr) + ld), rtol=1e-12)
+
+
+def test_lkj_cholesky_factor_only_path():
+    """VecCholeskyBijector.inverse_log_det_and_factor_only +
+    LKJCholesky.logpdf_from_factor: the logdensity-only path that never
+    materializes the (K, K) factor must equal the generic definition, both
+    modes, values and grads."""
+    for mode in ("L", "U"):
+        d = dists.LKJCholesky(5, 1.7, mode)
+        u = unconstrain(d)
+        v = 0.5 * jax.random.normal(
+            jax.random.PRNGKey(13), (16, u.linked_vec_length), jnp.float64
+        )
+        # definition: constrained sample + density + logdet
+        x, ld = u.from_linked_vec(v)
+        ref = d.logpdf(x) + ld
+        got = u.linked_logdensity(v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-12)
+        # and the with-factor variant used by from_linked_vec_with_logpdf
+        x2, lpld = u.from_linked_vec_with_logpdf(v)
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(x), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(lpld), np.asarray(ref), rtol=1e-12)
+        g1 = jax.grad(lambda v: jnp.sum(u.linked_logdensity(v)))(v)
+        g2 = jax.grad(lambda v: jnp.sum(d.logpdf(u.from_linked_vec(v)[0]) + u.from_linked_vec(v)[1]))(v)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-9)

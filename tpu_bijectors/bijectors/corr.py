@@ -328,15 +328,9 @@ def _lkj_pallas_profitable(y) -> bool:
     try:
         from .. import kernels
 
-        if not kernels.enabled():
-            return False
         K = triu1_dim_from_length(y.shape[-1])
-        return (
-            jax.default_backend() == "tpu"
-            and y.ndim == 2
-            and K <= 16
-            and y.shape[0] >= 1024
-            and jnp.result_type(y, float) == jnp.float32
+        return kernels.profitable(
+            "lkj", batch=y.shape[0], k=K, ndim=y.ndim, dtype=y.dtype
         )
     except Exception:
         return False
@@ -403,3 +397,28 @@ class VecCholeskyBijector(Bijector):
 
     def inverse_log_det_jacobian(self, y):
         return _logabsdetjac_inv_chol(y)
+
+    def inverse_and_log_det_with_factor(self, y):
+        """(X, logJ, log_diag): the sample IS the factor, so this just also
+        exposes its log-diagonal for LKJCholesky.logpdf_from_factor."""
+        X, logJ = self.inverse_and_log_det(y)
+        d = jnp.diagonal(X, axis1=-2, axis2=-1)
+        K = X.shape[-1]
+        log_diag = jnp.log(jnp.where(jnp.arange(K) == 0, 1.0, d))
+        return X, logJ, log_diag
+
+    def inverse_log_det_and_factor_only(self, y):
+        """(logJ, log_diag of the factor) WITHOUT materializing the (K, K)
+        factor: log W_jj = -sum_{i<j} logcosh(y_ij), a per-column sum over
+        the packed vector (one small matmul), and the closed-form log-det
+        (corr.jl:488-501). The LKJCholesky density needs nothing else
+        (matrix.py LKJCholesky.logpdf_from_factor) — this is the
+        serving-batch fast path that skips the W materialization."""
+        K = triu1_dim_from_length(y.shape[-1])
+        dtype = jnp.result_type(y, float)
+        lc = logcosh(y.astype(dtype))
+        onehot = jnp.asarray(
+            np.eye(K)[_triu1_cols_np(K)], dtype
+        )  # (d, K): vec slot -> its column
+        log_diag = -jnp.matmul(lc, onehot, precision=jax.lax.Precision.HIGHEST)
+        return _logabsdetjac_inv_chol(y), log_diag

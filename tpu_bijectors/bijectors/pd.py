@@ -118,15 +118,9 @@ def _pd_pallas_profitable(y) -> bool:
     try:
         from .. import kernels
 
-        if not kernels.enabled():
-            return False
         K = triu_dim_from_length(y.shape[-1])
-        return (
-            jax.default_backend() == "tpu"
-            and y.ndim == 2
-            and K <= 16
-            and y.shape[0] >= 1024
-            and jnp.result_type(y, float) == jnp.float32
+        return kernels.profitable(
+            "pd", batch=y.shape[0], k=K, ndim=y.ndim, dtype=y.dtype
         )
     except Exception:
         return False

@@ -94,7 +94,8 @@ class Permute(Bijector):
     @classmethod
     def from_pairs(cls, n: int, mapping) -> "Permute":
         """From src->dst pairs, unmentioned indices fixed: Permute(2, {0: 1, 1: 0})
-        (the reference's `Permute(2, 1 => 2, 2 => 1)` form, 0-based here)."""
+        (the reference's `Permute(2, 1 => 2, 2 => 1)` form, permute.jl:102-123,
+        0-based here)."""
         mapping = dict(mapping)
         srcs, dsts = list(mapping.keys()), list(mapping.values())
         if len(set(srcs)) != len(srcs) or len(set(dsts)) != len(dsts) or set(
@@ -106,6 +107,35 @@ class Permute(Bijector):
         for s, t in mapping.items():
             perm[int(t)] = int(s)
         return cls(tuple(perm))
+
+    @classmethod
+    def from_destinations(cls, dests) -> "Permute":
+        """From a destinations vector: y[dests[i]] = x[i] — the reference's
+        `Permute(indices::AbstractVector)` scatter convention
+        (permute.jl:90-100). The main constructor here is the gather form
+        y = x[perm]; this converts."""
+        dests = [int(d) for d in dests]
+        if sorted(dests) != list(range(len(dests))):
+            raise ValueError(f"not a permutation: {dests}")
+        perm = [0] * len(dests)
+        for src, dst in enumerate(dests):
+            perm[dst] = src
+        return cls(tuple(perm))
+
+    @classmethod
+    def from_vector_pairs(cls, n: int, *pairs) -> "Permute":
+        """From (srcs, dsts) vector pairs, unmentioned indices fixed — the
+        reference's `Permute(n, [1,2] => [2,1], ...)` form
+        (permute.jl:125-153, 0-based here)."""
+        mapping = {}
+        for srcs, dsts in pairs:
+            if len(srcs) != len(dsts):
+                raise ValueError(f"{srcs} => {dsts} is not bijective")
+            for s, t in zip(srcs, dsts):
+                if int(s) in mapping:
+                    raise ValueError(f"source {s} used more than once")
+                mapping[int(s)] = int(t)
+        return cls.from_pairs(n, mapping)
 
     @property
     def _inv_perm(self):

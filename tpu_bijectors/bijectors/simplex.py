@@ -202,14 +202,8 @@ def _pallas_profitable(y) -> bool:
     try:
         from .. import kernels
 
-        if not kernels.enabled():
-            return False
-        return (
-            jax.default_backend() == "tpu"
-            and y.ndim == 2
-            and y.shape[-1] + 1 <= 32
-            and y.shape[0] >= 1024
-            and jnp.result_type(y, float) == jnp.float32
+        return kernels.profitable(
+            "simplex", batch=y.shape[0], k=y.shape[-1] + 1, ndim=y.ndim, dtype=y.dtype
         )
     except Exception:
         return False

