@@ -128,3 +128,33 @@ def test_simplex_wlog_pallas_close(B, K, rng):
     assert bool(jnp.all(x_r == x_p))
     np.testing.assert_allclose(np.asarray(ld_p), np.asarray(ld_r), atol=2e-5)
     np.testing.assert_allclose(np.asarray(wl_p), np.asarray(wl_r), atol=3e-5, rtol=1e-5)
+
+
+def test_simplex_wlog_traced_alpha(rng):
+    """alpha as a jit ARGUMENT must not decline the fusion: the weights ride
+    into the kernel as a lane-broadcast operand (dists/multivariate.py
+    fused_linked_logdensity no longer requires concrete alpha)."""
+    from tpu_bijectors.bijectors.simplex import _simplex_inverse_logdet_wlog_jnp
+    from tpu_bijectors.kernels.simplex import simplex_inverse_logdet_wlog_pallas
+
+    y = jnp.asarray(rng.standard_normal((256, 7)) * 0.4, jnp.float32)
+    am1 = jnp.asarray(rng.uniform(0.2, 3.0, 8), jnp.float32)
+
+    @jax.jit
+    def f(y, am1):
+        return simplex_inverse_logdet_wlog_pallas(y, am1, interpret=True)
+
+    x_p, ld_p, wl_p = f(y, am1)
+    x_r, ld_r, wl_r = _simplex_inverse_logdet_wlog_jnp(y, am1)
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_r), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(wl_p), np.asarray(wl_r), atol=5e-5)
+    # grads (through the custom_jvp jnp route) in BOTH args
+    from tpu_bijectors.bijectors.simplex import simplex_inverse_logdet_wlog
+
+    g = jax.grad(lambda y, a: jnp.sum(simplex_inverse_logdet_wlog(y, a)[2]), (0, 1))
+    gy, ga = g(jnp.asarray(y, jnp.float64), jnp.asarray(am1, jnp.float64))
+    gyr, gar = jax.grad(
+        lambda y, a: jnp.sum(_simplex_inverse_logdet_wlog_jnp(y, a)[2]), (0, 1)
+    )(jnp.asarray(y, jnp.float64), jnp.asarray(am1, jnp.float64))
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(gyr), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gar), rtol=1e-10)

@@ -130,14 +130,15 @@ def _simplex_inverse_pallas_jvp(primals, tangents):
     return jax.jvp(_simplex_inverse, (y,), (dy,))
 
 
-@_partial(jax.custom_jvp, nondiff_argnums=(1,))
-def simplex_inverse_logdet_wlog(y, am1_tuple):
-    """(x, ld_inv, sum_k am1[k] log x_k) with STATIC weights (a hashable
-    tuple — they bake into the Pallas kernel as compile-time constants).
-    Tangents via the jnp composition."""
+@jax.custom_jvp
+def simplex_inverse_logdet_wlog(y, am1):
+    """(x, ld_inv, sum_k am1[k] log x_k). `am1` may be a traced array (it
+    rides into the Pallas kernel as a lane-broadcast operand — the
+    params-as-jit-arguments style docs/vector.md recommends never declines
+    the fusion). Tangents via the jnp composition, diffable in BOTH args."""
     from ..kernels.simplex import simplex_inverse_logdet_wlog_pallas
 
-    return simplex_inverse_logdet_wlog_pallas(y, np.asarray(am1_tuple))
+    return simplex_inverse_logdet_wlog_pallas(y, am1)
 
 
 def _simplex_inverse_logdet_wlog_jnp(y, am1):
@@ -147,12 +148,10 @@ def _simplex_inverse_logdet_wlog_jnp(y, am1):
 
 
 @simplex_inverse_logdet_wlog.defjvp
-def _simplex_inverse_logdet_wlog_jvp(am1_tuple, primals, tangents):
-    (y,) = primals
-    (dy,) = tangents
-    return jax.jvp(
-        lambda y: _simplex_inverse_logdet_wlog_jnp(y, am1_tuple), (y,), (dy,)
-    )
+def _simplex_inverse_logdet_wlog_jvp(primals, tangents):
+    y, am1 = primals
+    dy, dam1 = tangents
+    return jax.jvp(_simplex_inverse_logdet_wlog_jnp, (y, am1), (dy, dam1))
 
 
 @jax.custom_jvp

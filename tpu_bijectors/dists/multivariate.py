@@ -43,9 +43,11 @@ class Dirichlet(Distribution):
 
     def fused_linked_logdensity(self, bijector, y):
         """Leaf-fusion hook (vectorize.core): when the link is the simplex
-        bijector on a Pallas-eligible batch with CONCRETE alpha, the
-        density's weighted log term is accumulated inside the single-pass
-        inverse kernel. Returns (x, logpdf + logdetJ) or None to decline."""
+        bijector on a Pallas-eligible batch, the density's weighted log term
+        is accumulated inside the single-pass inverse kernel. alpha may be
+        concrete OR a jit argument (it rides into the kernel as an operand —
+        the params-as-jit-arguments style docs/vector.md recommends keeps
+        the fusion). Returns (x, logpdf + logdetJ) or None to decline."""
         from ..bijectors.simplex import (
             SimplexBijector,
             _pallas_profitable,
@@ -54,21 +56,12 @@ class Dirichlet(Distribution):
 
         if type(bijector) is not SimplexBijector or not _pallas_profitable(y):
             return None
-        if isinstance(self.alpha, jax.core.Tracer):
-            # weights must be concrete to bake into the kernel; NOTE this is
-            # exactly the params-as-jit-arguments style docs/vector.md
-            # recommends for peak dispatch throughput — there the generic
-            # jnp path is what runs, and it also reaches the HBM roofline.
-            # This hook pays off in closure-captured usage.
-            return None
-        import numpy as np
-
-        a_np = np.asarray(jax.device_get(self.alpha), np.float64)
-        if a_np.ndim != 1:
+        if jnp.ndim(self.alpha) != 1:
             return None  # batched alpha: generic broadcasting path
-        am1 = tuple(float(v) for v in a_np - 1.0)
-        x, ld, wlog = simplex_inverse_logdet_wlog(y, am1)
-        lognorm = float(sum(math.lgamma(v) for v in a_np) - math.lgamma(a_np.sum()))
+        dtype = jnp.result_type(y, float)
+        a = jnp.asarray(self.alpha, dtype)
+        x, ld, wlog = simplex_inverse_logdet_wlog(y, a - 1.0)
+        lognorm = jnp.sum(jsp.gammaln(a)) - jsp.gammaln(jnp.sum(a))
         return x, wlog - lognorm + ld
 
     def sample(self, key, sample_shape=()):

@@ -21,3 +21,17 @@ def pad_to(x, n, axis):
 def padded_batch(b: int) -> int:
     """Round the batch up to a whole number of 128-lane tiles."""
     return ((b + LANES - 1) // LANES) * LANES
+
+
+BLOCK_LANES = 2048  # lane width per grid step: 16 lane-tiles, so per-step
+# grid overhead amortizes (128-wide blocks made a 131072 batch take a
+# 1024-step grid; slope-timed measurement showed the overhead dominating)
+
+
+def block_lanes(bp: int) -> int:
+    """Widest power-of-two lane block (<= BLOCK_LANES) dividing the padded
+    batch `bp` (which is always a multiple of 128)."""
+    w = BLOCK_LANES
+    while w > LANES and bp % w:
+        w //= 2
+    return w

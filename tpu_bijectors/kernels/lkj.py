@@ -27,7 +27,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .layout import LANES as _LANES, pad_to as _pad_to, padded_batch as _padded_batch
+from .layout import (
+    block_lanes as _block_lanes,
+    pad_to as _pad_to,
+    padded_batch as _padded_batch,
+)
 
 LOG2 = math.log(2.0)
 
@@ -42,6 +46,7 @@ def lkj_logdet_pallas(y, K: int, *, interpret: bool = False):
     dtype = jnp.result_type(y, float)
     y = y.astype(dtype)
     Bp = _padded_batch(B)
+    W = _block_lanes(Bp)
     yt = _pad_to(y, Bp, 0).T
 
     coeff = np.concatenate([[0.0], np.maximum(np.arange(K - 2, -1, -1), 0)]).astype(
@@ -49,14 +54,14 @@ def lkj_logdet_pallas(y, K: int, *, interpret: bool = False):
     )
 
     def kernel(y_ref, lj_ref, ldw_ref):
-        zero = jnp.zeros((1, _LANES), dtype)
+        zero = jnp.zeros((1, W), dtype)
         logJ = zero
         ldw_ref[0, :] = zero[0, :]
         for j in range(1, K):
             lr = zero
             base = j * (j - 1) // 2
             for i in range(j):
-                yv = y_ref[base + i, :].reshape(1, _LANES)
+                yv = y_ref[base + i, :].reshape(1, W)
                 a = jnp.abs(yv)
                 lc = a + jax.nn.softplus(-2.0 * a) - LOG2
                 lr = lr - lc
@@ -71,13 +76,13 @@ def lkj_logdet_pallas(y, K: int, *, interpret: bool = False):
             jax.ShapeDtypeStruct((1, Bp), dtype),
             jax.ShapeDtypeStruct((K, Bp), dtype),
         ),
-        grid=(Bp // _LANES,),
+        grid=(Bp // W,),
         in_specs=[
-            pl.BlockSpec((P, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((P, W), lambda i: (0, i), memory_space=pltpu.VMEM)
         ],
         out_specs=(
-            pl.BlockSpec((1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, W), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(yt)
@@ -97,6 +102,7 @@ def lkj_inverse_pallas(y, K: int, *, interpret: bool = False):
     y = y.astype(dtype)
 
     Bp = _padded_batch(B)
+    W = _block_lanes(Bp)
     yt = _pad_to(y, Bp, 0).T  # (P, Bp)
 
     # VecCorr diag coefficients (bijectors/corr.py): [0, K-2, K-3, ..., 0]
@@ -105,18 +111,18 @@ def lkj_inverse_pallas(y, K: int, *, interpret: bool = False):
     )
 
     def kernel(y_ref, x_ref, lj_ref, ldw_ref, w_s):
-        zero = jnp.zeros((1, _LANES), dtype)
+        zero = jnp.zeros((1, W), dtype)
         logJ = zero
         # column 0 of W is e_0
-        w_s[0, :] = jnp.ones((_LANES,), dtype)
+        w_s[0, :] = jnp.ones((W,), dtype)
         for i in range(1, K):
-            w_s[i * K + 0, :] = jnp.zeros((_LANES,), dtype)
+            w_s[i * K + 0, :] = jnp.zeros((W,), dtype)
         ldw_ref[0, :] = zero[0, :]
         for j in range(1, K):
             lr = zero  # running -sum logcosh down column j
             base = j * (j - 1) // 2
             for i in range(j):
-                yv = y_ref[base + i, :].reshape(1, _LANES)
+                yv = y_ref[base + i, :].reshape(1, W)
                 z = jnp.tanh(yv)
                 a = jnp.abs(yv)
                 lc = a + jax.nn.softplus(-2.0 * a) - LOG2  # stable logcosh
@@ -126,7 +132,7 @@ def lkj_inverse_pallas(y, K: int, *, interpret: bool = False):
             # diagonal entry W[j,j] = exp(lr); its log is lr
             w_s[j * K + j, :] = jnp.exp(lr)[0, :]
             for i in range(j + 1, K):
-                w_s[i * K + j, :] = jnp.zeros((_LANES,), dtype)
+                w_s[i * K + j, :] = jnp.zeros((W,), dtype)
             ldw_ref[j, :] = lr[0, :]
             # logJ += lr (diag term) + coeff_j * log W_jj (vec-corr correction)
             logJ = logJ + lr * (1.0 + coeff[j])
@@ -138,7 +144,7 @@ def lkj_inverse_pallas(y, K: int, *, interpret: bool = False):
                 for k in range(a + 1):
                     acc = acc + (
                         w_s[k * K + a, :] * w_s[k * K + b, :]
-                    ).reshape(1, _LANES)
+                    ).reshape(1, W)
                 x_ref[a * K + b, :] = acc[0, :]
                 if b != a:
                     x_ref[b * K + a, :] = acc[0, :]
@@ -150,16 +156,16 @@ def lkj_inverse_pallas(y, K: int, *, interpret: bool = False):
             jax.ShapeDtypeStruct((1, Bp), dtype),
             jax.ShapeDtypeStruct((K, Bp), dtype),
         ),
-        grid=(Bp // _LANES,),
+        grid=(Bp // W,),
         in_specs=[
-            pl.BlockSpec((P, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((P, W), lambda i: (0, i), memory_space=pltpu.VMEM)
         ],
         out_specs=(
-            pl.BlockSpec((K * K, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K * K, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, W), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((K * K, _LANES), dtype)],
+        scratch_shapes=[pltpu.VMEM((K * K, W), dtype)],
         interpret=interpret,
     )(yt)
     X = jnp.moveaxis(X_flat.reshape(K, K, Bp)[..., :B], -1, 0)

@@ -20,7 +20,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .layout import LANES as _LANES, pad_to as _pad_to, padded_batch as _padded_batch
+from .layout import (
+    block_lanes as _block_lanes,
+    pad_to as _pad_to,
+    padded_batch as _padded_batch,
+)
 
 LOG2 = math.log(2.0)
 
@@ -33,10 +37,11 @@ def pd_inverse_pallas(y, K: int, *, interpret: bool = False):
     y = y.astype(dtype)
 
     Bp = _padded_batch(B)
+    W = _block_lanes(Bp)
     yt = _pad_to(y, Bp, 0).T  # (P, Bp)
 
     def kernel(y_ref, x_ref, lj_ref, l_ref, l_s):
-        zero = jnp.zeros((1, _LANES), dtype)
+        zero = jnp.zeros((1, W), dtype)
         logJ = zero
         for r in range(K):
             base = r * (r + 1) // 2
@@ -44,12 +49,12 @@ def pd_inverse_pallas(y, K: int, *, interpret: bool = False):
                 if c < r:
                     row = y_ref[base + c, :]
                 elif c == r:
-                    yd = y_ref[base + r, :].reshape(1, _LANES)
+                    yd = y_ref[base + r, :].reshape(1, W)
                     row = jnp.exp(yd)[0, :]
                     # logJ += (K + 1 - r) * y_rr  (0-based r)
                     logJ = logJ + (K + 1.0 - r) * yd
                 else:
-                    row = jnp.zeros((_LANES,), dtype)
+                    row = jnp.zeros((W,), dtype)
                 l_s[r * K + c, :] = row
                 l_ref[r * K + c, :] = row
         lj_ref[0, :] = (logJ + K * LOG2)[0, :]
@@ -60,7 +65,7 @@ def pd_inverse_pallas(y, K: int, *, interpret: bool = False):
                 for k in range(a + 1):
                     acc = acc + (
                         l_s[a * K + k, :] * l_s[b * K + k, :]
-                    ).reshape(1, _LANES)
+                    ).reshape(1, W)
                 x_ref[a * K + b, :] = acc[0, :]
                 if b != a:
                     x_ref[b * K + a, :] = acc[0, :]
@@ -72,16 +77,16 @@ def pd_inverse_pallas(y, K: int, *, interpret: bool = False):
             jax.ShapeDtypeStruct((1, Bp), dtype),
             jax.ShapeDtypeStruct((K * K, Bp), dtype),
         ),
-        grid=(Bp // _LANES,),
+        grid=(Bp // W,),
         in_specs=[
-            pl.BlockSpec((P, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((P, W), lambda i: (0, i), memory_space=pltpu.VMEM)
         ],
         out_specs=(
-            pl.BlockSpec((K * K, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K * K, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K * K, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K * K, W), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((K * K, _LANES), dtype)],
+        scratch_shapes=[pltpu.VMEM((K * K, W), dtype)],
         interpret=interpret,
     )(yt)
     X = jnp.moveaxis(X_flat.reshape(K, K, Bp)[..., :B], -1, 0)

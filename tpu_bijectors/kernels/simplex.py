@@ -23,7 +23,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils import _eps
 
-from .layout import LANES as _LANES, pad_to as _pad_to, padded_batch as _padded_batch
+from .layout import (
+    block_lanes as _block_lanes,
+    pad_to as _pad_to,
+    padded_batch as _padded_batch,
+)
 
 
 def simplex_inverse_pallas(y, *, interpret: bool = False):
@@ -37,12 +41,13 @@ def simplex_inverse_pallas(y, *, interpret: bool = False):
     log_coeffs = np.log(np.arange(K - 1, 0, -1)).astype(dtype)
 
     Bp = _padded_batch(B)
+    W = _block_lanes(Bp)
     yt = _pad_to(y, Bp, 0).T  # (K-1, Bp)
 
     def kernel(y_ref, x_ref):
-        s = jnp.zeros((1, _LANES), dtype)
+        s = jnp.zeros((1, W), dtype)
         for k in range(K - 1):
-            z = jax.nn.sigmoid(y_ref[k, :] - log_coeffs[k]).reshape(1, _LANES)
+            z = jax.nn.sigmoid(y_ref[k, :] - log_coeffs[k]).reshape(1, W)
             if k == 0:
                 xk = jnp.clip((z - eps) / (1 - 2 * eps), 0.0, 1.0)
             else:
@@ -54,12 +59,12 @@ def simplex_inverse_pallas(y, *, interpret: bool = False):
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((K, Bp), dtype),
-        grid=(Bp // _LANES,),
+        grid=(Bp // W,),
         in_specs=[
-            pl.BlockSpec((Km1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((Km1, W), lambda i: (0, i), memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec(
-            (K, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM
+            (K, W), lambda i: (0, i), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(yt)
@@ -69,8 +74,9 @@ def simplex_inverse_pallas(y, *, interpret: bool = False):
 def _simplex_fused_pallas(y, am1=None, *, want_x=True, interpret=False):
     """Single fused inverse pass; optional extras selected at TRACE time:
 
-      * am1 (K,) CONCRETE weights -> also accumulate wlog = sum am1_k log x_k
-        (the Dirichlet data term; weights bake in as compile-time constants)
+      * am1 (K,) weights (concrete OR traced) -> also accumulate
+        wlog = sum am1_k log x_k (the Dirichlet data term; weights ride as a
+        lane-broadcast VMEM operand, so alpha can be a jit argument)
       * want_x=False -> skip writing the (K, B) x output entirely (a kernel
         cannot be DCE'd into; logdensity-only callers save the HBM write)
 
@@ -81,23 +87,32 @@ def _simplex_fused_pallas(y, am1=None, *, want_x=True, interpret=False):
     K = Km1 + 1
     dtype = jnp.result_type(y, float)
     y = y.astype(dtype)
-    am1_c = None if am1 is None else np.asarray(jax.device_get(am1), dtype)
+    want_wlog = am1 is not None
     eps = _eps(dtype)
     log_coeffs = np.log(np.arange(K - 1, 0, -1)).astype(dtype)
 
     Bp = _padded_batch(B)
+    W = _block_lanes(Bp)
     yt = _pad_to(y, Bp, 0).T  # (K-1, Bp)
+    if want_wlog:
+        # weights ride as a VMEM OPERAND (broadcast to lane width): tracer-
+        # safe, and alpha changes don't recompile the kernel
+        am1_b = jnp.broadcast_to(
+            jnp.asarray(am1, dtype)[:, None], (K, W)
+        )
 
-    def kernel(y_ref, *out_refs):
-        refs = list(out_refs)
+    def kernel(*all_refs):
+        refs = list(all_refs)
+        y_ref = refs.pop(0)
+        am1_ref = refs.pop(0) if want_wlog else None
         x_ref = refs.pop(0) if want_x else None
         ld_ref = refs.pop(0)
-        wl_ref = refs.pop(0) if am1_c is not None else None
-        s = jnp.zeros((1, _LANES), dtype)
-        lp = jnp.zeros((1, _LANES), dtype)
-        wl = jnp.zeros((1, _LANES), dtype)
+        wl_ref = refs.pop(0) if want_wlog else None
+        s = jnp.zeros((1, W), dtype)
+        lp = jnp.zeros((1, W), dtype)
+        wl = jnp.zeros((1, W), dtype)
         for k in range(K - 1):
-            z = jax.nn.sigmoid(y_ref[k, :] - log_coeffs[k]).reshape(1, _LANES)
+            z = jax.nn.sigmoid(y_ref[k, :] - log_coeffs[k]).reshape(1, W)
             if k == 0:
                 xk = jnp.clip((z - eps) / (1 - 2 * eps), 0.0, 1.0)
                 zl = xk
@@ -116,47 +131,54 @@ def _simplex_fused_pallas(y, am1=None, *, want_x=True, interpret=False):
                 )
             if want_x:
                 x_ref[k, :] = xk[0, :]
-            if am1_c is not None:
-                wl = wl + am1_c[k] * jnp.log(xk)
+            if want_wlog:
+                wl = wl + am1_ref[k, :].reshape(1, W) * jnp.log(xk)
             s = s + xk
         x_last = jnp.clip(1.0 - s, 0.0, 1.0)
         if want_x:
             x_ref[K - 1, :] = x_last[0, :]
-        if am1_c is not None:
-            wl = wl + am1_c[K - 1] * jnp.log(x_last)
+        if want_wlog:
+            wl = wl + am1_ref[K - 1, :].reshape(1, W) * jnp.log(x_last)
             wl_ref[0, :] = wl[0, :]
         ld_ref[0, :] = lp[0, :]  # inverse logdet = -forward logdet
 
+    in_specs = [
+        pl.BlockSpec((Km1, W), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ]
+    operands = [yt]
+    if want_wlog:
+        in_specs.append(
+            pl.BlockSpec((K, W), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(am1_b)
     out_shape, out_specs = [], []
     if want_x:
         out_shape.append(jax.ShapeDtypeStruct((K, Bp), dtype))
         out_specs.append(
-            pl.BlockSpec((K, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((K, W), lambda i: (0, i), memory_space=pltpu.VMEM)
         )
     out_shape.append(jax.ShapeDtypeStruct((1, Bp), dtype))
     out_specs.append(
-        pl.BlockSpec((1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM)
     )
-    if am1_c is not None:
+    if want_wlog:
         out_shape.append(jax.ShapeDtypeStruct((1, Bp), dtype))
         out_specs.append(
-            pl.BlockSpec((1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM)
         )
 
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
-        grid=(Bp // _LANES,),
-        in_specs=[
-            pl.BlockSpec((Km1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
-        ],
+        grid=(Bp // W,),
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         interpret=interpret,
-    )(yt)
+    )(*operands)
     outs = list(outs)
     x = outs.pop(0).T[:B] if want_x else None
     ld = outs.pop(0)[0, :B]
-    wlog = outs.pop(0)[0, :B] if am1_c is not None else None
+    wlog = outs.pop(0)[0, :B] if want_wlog else None
     return x, ld, wlog
 
 
@@ -184,14 +206,15 @@ def simplex_forward_logdet_pallas(x, *, interpret: bool = False):
     log_coeffs = np.log(np.arange(K - 1, 0, -1)).astype(dtype)
 
     Bp = _padded_batch(B)
+    W = _block_lanes(Bp)
     xt = _pad_to(x, Bp, 0).T  # (K, Bp); pad rows are zeros -> harmless
 
     def kernel(x_ref, y_ref, ld_ref):
         # s = prefix sum of x before index k; shared by transform and logdet.
-        s = jnp.zeros((1, _LANES), dtype)
-        lp = jnp.zeros((1, _LANES), dtype)
+        s = jnp.zeros((1, W), dtype)
+        lp = jnp.zeros((1, W), dtype)
         for k in range(K - 1):
-            xk = x_ref[k, :].reshape(1, _LANES)
+            xk = x_ref[k, :].reshape(1, W)
             if k == 0:
                 zf = xk * (1 - 2 * eps) + eps
                 zl = xk
@@ -218,13 +241,13 @@ def simplex_forward_logdet_pallas(x, *, interpret: bool = False):
             jax.ShapeDtypeStruct((K - 1, Bp), dtype),
             jax.ShapeDtypeStruct((1, Bp), dtype),
         ),
-        grid=(Bp // _LANES,),
+        grid=(Bp // W,),
         in_specs=[
-            pl.BlockSpec((K, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM)
+            pl.BlockSpec((K, W), lambda i: (0, i), memory_space=pltpu.VMEM)
         ],
         out_specs=(
-            pl.BlockSpec((K - 1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K - 1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(xt)

@@ -110,6 +110,29 @@ def _tree_allclose(a, b, atol, rtol=1e-7):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=atol, rtol=rtol)
 
 
+def _leaf_ranges(u, vo: int = 0, lo: int = 0):
+    """[(vec_start, vec_len, linked_start, linked_len)] per leaf, in order."""
+    from ..vectorize.core import IIDUnconstrainer, TreeUnconstrainer
+
+    if isinstance(u, IIDUnconstrainer):
+        out = []
+        for i in range(u.n):
+            out.extend(
+                _leaf_ranges(
+                    u.inner,
+                    vo + i * u.inner.vec_length,
+                    lo + i * u.inner.linked_vec_length,
+                )
+            )
+        return out
+    if isinstance(u, TreeUnconstrainer):
+        out = []
+        for c, (s, _), (ls, _) in zip(u.children, u.offsets, u.linked_offsets):
+            out.extend(_leaf_ranges(c, vo + s, lo + ls))
+        return out
+    return [(vo, u.vec_length, lo, u.linked_vec_length)]
+
+
 def test_all(
     d: Distribution,
     *,
@@ -182,23 +205,50 @@ def test_all(
         jax.block_until_ready(jf(y0 + 0.1)[1])
         assert traces == 1, f"from_linked_vec retraced ({traces} traces)"
 
-    # 5. optic provenance + Jacobian sparsity
+    # 5. optic provenance + Jacobian-support sparsity (reference
+    # test_utils.jl:419-473): runs for EVERY non-discrete case, including
+    # dim-changing and entangled leaves — J is rectangular
+    # (linked_len, vec_len), evaluated at a valid sample.
     if check_optics and "optics" not in skip and not discrete:
         ov = u.optic_vec()
         lov = u.linked_optic_vec()
         assert len(ov) == u.vec_length
         assert len(lov) == u.linked_vec_length
-        if u.vec_length == u.linked_vec_length and all(o is not None for o in lov):
-            y = jnp.asarray(rng.standard_normal(u.linked_vec_length) * 0.3)
-
-            def comp(yv):
-                xs, _ = u.from_linked_vec(yv)
-                return u.to_vec(xs)
-
-            J = np.asarray(jax.jacfwd(comp)(y))
-            off = J - np.diag(np.diag(J))
-            np.testing.assert_allclose(off, 0.0, atol=1e-10,
-                                       err_msg="claimed-independent linked coords are entangled")
+        y = jnp.asarray(rng.standard_normal(u.linked_vec_length) * 0.3)
+        xs, _ = u.from_linked_vec(y)
+        xvec = np.asarray(u.to_vec(xs))
+        # (a) plain optics extract exactly their vec element
+        for j, o in enumerate(ov):
+            np.testing.assert_allclose(
+                np.asarray(o.get(xs)), xvec[j], rtol=1e-12,
+                err_msg=f"optic_vec[{j}]={o} does not address to_vec slot {j}",
+            )
+        # (b) linked provenance: row i of d(to_linked_vec)/d(vec) may only
+        # touch the matching column (named optic) or its own leaf's columns
+        # (None = entangled within the leaf)
+        J = np.asarray(
+            jax.jacfwd(lambda vv: u.to_linked_vec(u.from_vec(vv))[0])(
+                jnp.asarray(xvec)
+            )
+        )
+        tol = 1e-9 * max(1.0, np.abs(J).max())
+        ranges = _leaf_ranges(u)
+        for i, lo_i in enumerate(lov):
+            vs, vl = next(
+                (vs, vl) for vs, vl, ls, ll in ranges if ls <= i < ls + ll
+            )
+            support = set(np.nonzero(np.abs(J[i]) > tol)[0].tolist())
+            if lo_i is None:
+                assert support <= set(range(vs, vs + vl)), (
+                    f"entangled linked slot {i} leaks outside its leaf: "
+                    f"support={sorted(support)} leaf=[{vs},{vs + vl})"
+                )
+            else:
+                j = ov.index(lo_i)
+                assert support <= {j}, (
+                    f"linked slot {i} claims sole dependence on {lo_i} "
+                    f"(col {j}) but depends on {sorted(support)}"
+                )
 
     # 6. logjac vs AD Jacobian oracle, both directions
     if check_logjac_ad and "logjac" not in skip and not discrete:

@@ -2,6 +2,7 @@
 
 from .core import (
     IIDUnconstrainer,
+    Optic,
     LeafUnconstrainer,
     TransformedUnconstrainer,
     TreeUnconstrainer,
@@ -18,6 +19,7 @@ from .core import (
 )
 
 __all__ = [
+    "Optic",
     "Unconstrainer",
     "LeafUnconstrainer",
     "IIDUnconstrainer",

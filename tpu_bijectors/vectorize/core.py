@@ -27,6 +27,7 @@ inverse(td.transform) then the base link, reference src/vector/transformed.jl).
 
 from __future__ import annotations
 
+import dataclasses as _dataclasses
 import math
 
 import jax
@@ -58,6 +59,40 @@ def _ravel_event(x, event_shape):
 def _unravel_event(v, event_shape):
     batch = v.shape[:-1]
     return jnp.reshape(v, batch + tuple(int(s) for s in event_shape))
+
+
+@_dataclasses.dataclass(frozen=True)
+class Optic:
+    """Per-element provenance lens (the reference's AbstractPPL optics,
+    src/vector/interface.jl:105-184): `path` walks product structure
+    (dict keys / tuple positions / IID indices), `index` is the cartesian
+    index into the leaf array (() for scalar-event leaves).
+
+    `get(x)` extracts the element; equality is structural — the sweep's
+    Jacobian-sparsity property matches linked optics against plain optics
+    by == (reference test_utils.jl:419-473)."""
+
+    path: tuple = ()
+    index: tuple = ()
+
+    def get(self, x):
+        for k in self.path:
+            x = x[k]
+        return x[self.index] if self.index != () else x
+
+    def prefix(self, key) -> "Optic":
+        return Optic((key,) + self.path, self.index)
+
+    def __repr__(self):
+        p = "".join(
+            ".%s" % k if isinstance(k, str) else "[%d]" % k for k in self.path
+        )
+        i = "[%s]" % ", ".join(map(str, self.index)) if self.index else ""
+        return "Optic(_%s%s)" % (p, i)
+
+
+def _prefix_optics(optics, key):
+    return [None if o is None else o.prefix(key) for o in optics]
 
 
 class Unconstrainer:
@@ -157,12 +192,36 @@ class LeafUnconstrainer(Unconstrainer):
         return x, ld
 
     def optic_vec(self):
-        return [((), i) for i in range(self.vec_length)]
+        """Real element indices into the sample (reference interface.jl:105-141):
+        cartesian C-order unravel for plain leaves — including matrix events
+        and Reshaped wrappers, whose to_vec is the same C-order ravel — and
+        the packed-triangle index arrays for Cholesky-factor leaves."""
+        if self.chol_pack:
+            from ..utils import _triu_index_arrays
+
+            n = int(self.event_shape[-1])
+            rows, cols = _triu_index_arrays(n, 0)
+            if getattr(self.dist, "mode", "L") == "L":
+                # tril_to_vec packs the transpose: slot k -> x[cols[k], rows[k]]
+                return [Optic((), (int(c), int(r))) for r, c in zip(rows, cols)]
+            return [Optic((), (int(r), int(c))) for r, c in zip(rows, cols)]
+        if self.event_shape == ():
+            return [Optic((), ())]
+        return [
+            Optic((), tuple(int(i) for i in np.unravel_index(k, self.event_shape)))
+            for k in range(self.vec_length)
+        ]
 
     def linked_optic_vec(self):
-        if self.entangled:
+        """Per linked slot: the optic of the x element that SOLELY determines
+        it, or None when entangled (reference interface.jl:143-184). For
+        every registry link, non-entangled <=> the link acts elementwise in
+        the C-order ravel (identity/Log/Logit/Truncated, incl. through a
+        Reshape), so length-preserving non-entangled leaves reuse optic_vec;
+        the sweep's Jacobian-sparsity property verifies this per family."""
+        if self.entangled or self.linked_vec_length != self.vec_length:
             return [None] * self.linked_vec_length
-        return [((), i) for i in range(self.linked_vec_length)]
+        return self.optic_vec()
 
     def from_linked_vec_with_logpdf(self, v):
         b, d = self.link, self.dist
@@ -269,18 +328,12 @@ class IIDUnconstrainer(Unconstrainer):
         return jnp.sum(self.inner.linked_logdensity(vi), axis=-1)
 
     def optic_vec(self):
-        out = []
-        for i in range(self.n):
-            for o in self.inner.optic_vec():
-                out.append(None if o is None else ((i,) + o[0], o[1]))
-        return out
+        inner = self.inner.optic_vec()
+        return [o for i in range(self.n) for o in _prefix_optics(inner, i)]
 
     def linked_optic_vec(self):
-        out = []
-        for i in range(self.n):
-            for o in self.inner.linked_optic_vec():
-                out.append(None if o is None else ((i,) + o[0], o[1]))
-        return out
+        inner = self.inner.linked_optic_vec()
+        return [o for i in range(self.n) for o in _prefix_optics(inner, i)]
 
 
 @pytree_dataclass(meta_fields=("offsets", "linked_offsets", "names"))
@@ -369,16 +422,14 @@ class TreeUnconstrainer(Unconstrainer):
         out = []
         for i, c in enumerate(self.children):
             key = i if self.names is None else self.names[i]
-            for o in c.optic_vec():
-                out.append(None if o is None else ((key,) + o[0], o[1]))
+            out.extend(_prefix_optics(c.optic_vec(), key))
         return out
 
     def linked_optic_vec(self):
         out = []
         for i, c in enumerate(self.children):
             key = i if self.names is None else self.names[i]
-            for o in c.linked_optic_vec():
-                out.append(None if o is None else ((key,) + o[0], o[1]))
+            out.extend(_prefix_optics(c.linked_optic_vec(), key))
         return out
 
 
@@ -429,9 +480,17 @@ class TransformedUnconstrainer(Unconstrainer):
         return y, lpld
 
     def optic_vec(self):
-        return [((), i) for i in range(self.vec_length)]
+        shape = tuple(int(s) for s in self.td.event_shape)
+        if shape == ():
+            return [Optic((), ())]
+        return [
+            Optic((), tuple(int(i) for i in np.unravel_index(k, shape)))
+            for k in range(self.vec_length)
+        ]
 
     def linked_optic_vec(self):
+        # conservative: the user transform can entangle arbitrarily
+        # (reference src/vector/transformed.jl keeps no provenance either)
         return [None] * self.linked_vec_length
 
 
