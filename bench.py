@@ -6,52 +6,43 @@ step evaluates) for a hierarchical mixed-support model
 batched at 131072.
 
 The fused path never decomposes a matrix: the LKJ density is evaluated from
-the Cholesky factor diagonal the inverse link already computes
+the Cholesky-factor diagonal the inverse link already computes
 (factor-aware fusion, reference src/bijectors/corr.jl:56-79 semantics).
 The naive baseline is the honest unfused alternative a user without the
 fused API would write: per-sample from_linked_vec, then logpdf(x) (which
-must re-Cholesky the correlation matrix) minus a separately recomputed
-forward log-det, vmapped.
+must re-Cholesky the (131072, 16, 16) correlation batch) minus a separately
+recomputed forward log-det, vmapped.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "evals/s/chip", "vs_baseline": R}
+value = true fused evals/s; vs_baseline = t_naive / t_fused (the reference
+publishes no throughput numbers, BASELINE.md).
 
-The reference publishes no throughput numbers (BASELINE.md), so
-`vs_baseline` is the fusion speedup t_naive / t_fused.
-
-Measurement design (see CLAUDE.md + memory tpu-benchmark-gotchas; each rule
-exists because the axon tunnel violates the usual assumptions):
-- TIME-TO-RESULT: each sample queues N dispatches WITHOUT intermediate
-  blocking and then forces completion by transferring a 4-byte scalar
-  reduction of the LAST output. Device streams execute in submission
-  order, so the transfer cannot return before all N programs ran — this is
-  robust even where block_until_ready returns early.
-- One variant per FRESH SUBPROCESS: any host<->device transfer flips the
-  tunnel into a ~0.6 ms/dispatch mode, so the final forced transfer would
-  pollute later measurements in the same process.
-- Variants are INTERLEAVED (f,n,f,n,...) across subprocesses and the ratio
-  is the median of adjacent pairs: machine-level latency drift (2-5x on a
-  minutes timescale) cancels.
-- value = batch / min(fused times): the best sustained window is the
-  device's actual throughput; drifted windows are tunnel state, not chip
-  state. A ratio < 1.2 prints a loud stderr warning.
+Measurement protocol (CLAUDE.md + memory tpu-benchmark-gotchas; every rule
+exists because this tunnel breaks the usual assumptions):
+- block_until_ready does NOT wait for device execution here, so each
+  variant runs n iterations inside ONE lax.scan with a real data
+  dependence (carry perturbs the input) and is synced by float(sum(...)) —
+  a transfer cannot return before the queued program finished.
+- per-iteration time = slope between two scan lengths, which cancels the
+  ~33 ms transfer cost and all host overheads; median of 3 slopes.
+- the first transfer in a process costs 150-500 s (tunnel handshake), paid
+  once up front.
 """
 
 import json
-import os
-import subprocess
 import sys
 import time
 
+import jax
+import jax.numpy as jnp
+from jax import lax
+
 BATCH = 131072
-K = 16  # LKJ dimension: naive logpdf must Cholesky a (BATCH,K,K) per eval
-N_ITERS = 120
-PAIRS = 3  # (fused, naive) subprocess pairs
+K = 16
 
 
 def _model():
-    import jax.numpy as jnp
-
     from tpu_bijectors import dists
 
     return dists.NamedProduct.of(
@@ -62,102 +53,81 @@ def _model():
     )
 
 
-def measure(variant: str) -> float:
-    """Seconds per eval-batch, time-to-result over N_ITERS dispatches."""
-    import jax
-    import jax.numpy as jnp
+def _scan_prog(step_fn, n):
+    @jax.jit
+    def many(v, priors):
+        def body(carry, _):
+            lp = step_fn(v + 1e-3 * jnp.tanh(0.01 * carry[:, None]), priors)
+            return lp, None
 
+        lp, _ = lax.scan(body, jnp.zeros((BATCH,), v.dtype), None, length=n)
+        return jnp.sum(lp)
+
+    return many
+
+
+def _t2f(prog, v, priors):
+    t0 = time.perf_counter()
+    s = float(prog(v, priors))
+    assert s == s, "NaN logdensity in bench"
+    return time.perf_counter() - t0
+
+
+def _slope(step_fn, v, priors, n1, n2, reps=3):
+    pa = _scan_prog(step_fn, n1)
+    pb = _scan_prog(step_fn, n2)
+    _t2f(pa, v, priors)  # compile
+    _t2f(pb, v, priors)
+    pers = sorted(
+        (_t2f(pb, v, priors) - _t2f(pa, v, priors)) / (n2 - n1) for _ in range(reps)
+    )
+    return pers[reps // 2]
+
+
+def main():
     from tpu_bijectors.vectorize import unconstrain
 
     priors = _model()
     dim = unconstrain(priors).linked_vec_length
-    # params ride as jit ARGUMENTS (closure capture forces a transfer at
-    # trace time, which flips the tunnel into slow mode)
-    if variant == "fused":
-
-        @jax.jit
-        def f(v, priors):
-            return unconstrain(priors).linked_logdensity(v)
-
-    else:
-
-        @jax.jit
-        def f(v, priors):
-            un = unconstrain(priors)
-
-            def naive_one(vi):
-                x, _ = un.from_linked_vec(vi)
-                _, ld = un.to_linked_vec(x)  # recompute logdet the long way
-                return priors.logpdf(x) - ld
-
-            return jax.vmap(naive_one)(v)
-
-    @jax.jit
-    def reduce(lp):
-        return jnp.sum(lp)
-
     v = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (BATCH, dim))
-    # compile + steady state (no transfers)
-    for _ in range(10):
-        out = f(v, priors)
-    jax.block_until_ready(reduce(out))
 
+    def fused_fn(v, priors):
+        return unconstrain(priors).linked_logdensity(v)
+
+    def naive_fn(v, priors):
+        un = unconstrain(priors)
+
+        def naive_one(vi):
+            x, _ = un.from_linked_vec(vi)
+            _, ld = un.to_linked_vec(x)  # recompute logdet the long way round
+            return priors.logpdf(x) - ld
+
+        return jax.vmap(naive_one)(v)
+
+    # handshake: pay the first-transfer cost on a tiny program
     t0 = time.perf_counter()
-    for _ in range(N_ITERS):
-        out = f(v, priors)
-    s = float(reduce(out))  # forces completion of the whole queue
-    t = (time.perf_counter() - t0) / N_ITERS
-    assert s == s, "NaN logdensity in bench"
-    return t
+    _t2f(_scan_prog(fused_fn, 1), v, priors)
+    print("handshake %.0fs" % (time.perf_counter() - t0), file=sys.stderr)
 
+    # coarse fused estimate to size the n-spread (signal >= ~60 ms)
+    per0 = max(_slope(fused_fn, v, priors, 8, 40, reps=1), 1e-6)
+    n2 = 16 + min(2048, max(64, int(0.06 / per0)))
+    t_fused = _slope(fused_fn, v, priors, 16, n2)
+    # naive is ~two orders slower; a (1, 3) spread is ~0.6 s of signal
+    t_naive = _slope(naive_fn, v, priors, 1, 3)
 
-def main():
-    if len(sys.argv) > 1 and sys.argv[1] == "--measure":
-        print("RESULT %.9f" % measure(sys.argv[2]), flush=True)
-        return
-
-    here = os.path.abspath(__file__)
-    times = {"fused": [], "naive": []}
-    for _ in range(PAIRS):
-        for variant in ("fused", "naive"):
-            r = subprocess.run(
-                [sys.executable, here, "--measure", variant],
-                capture_output=True,
-                text=True,
-                cwd=os.path.dirname(here),
-                timeout=600,
-            )
-            line = [l for l in r.stdout.splitlines() if l.startswith("RESULT ")]
-            if not line:
-                print(
-                    "bench subprocess failed (%s):\n%s" % (variant, r.stderr[-2000:]),
-                    file=sys.stderr,
-                )
-                raise SystemExit(1)
-            times[variant].append(float(line[0].split()[1]))
-
-    ratios = sorted(tn / tf for tf, tn in zip(times["fused"], times["naive"]))
-    vs_baseline = ratios[len(ratios) // 2]
-    t_best = min(times["fused"])
-    evals_per_s = BATCH / t_best
-
+    vs_baseline = t_naive / t_fused
     if vs_baseline < 1.2:
         print(
-            "WARNING: fusion ratio %.3f < 1.2 — fused path not paying; "
-            "times (us): fused=%s naive=%s"
-            % (
-                vs_baseline,
-                [round(t * 1e6, 1) for t in times["fused"]],
-                [round(t * 1e6, 1) for t in times["naive"]],
-            ),
+            "WARNING: fusion ratio %.3f < 1.2 (t_fused=%.1fus t_naive=%.1fus)"
+            % (vs_baseline, t_fused * 1e6, t_naive * 1e6),
             file=sys.stderr,
         )
 
-    dim = 8 + 8 + 15 + K * (K - 1) // 2
     out = {
-        "metric": "hierarchical transform+logdetJ evals/s/chip (batch=%d, dim=%d, LKJ K=%d)"
-        % (BATCH, dim, K),
-        "value": round(evals_per_s, 1),
+        "metric": "hierarchical transform+logdetJ evals/s/chip "
+        "(batch=%d, dim=%d, LKJ K=%d, slope-timed)" % (BATCH, dim, K),
+        "value": round(BATCH / t_fused, 1),
         "unit": "evals/s/chip",
         "vs_baseline": round(vs_baseline, 3),
     }

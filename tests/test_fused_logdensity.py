@@ -153,6 +153,11 @@ def test_lkj_cholesky_factor_only_path():
         ref = d.logpdf(x) + ld
         got = u.linked_logdensity(v)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-12)
+        # the same path JITTED: jnp constants become tracers under jit, so
+        # static-layout helpers must stay numpy (regression: /verify caught
+        # _segmented_cumsum exploding under jit on the TPU)
+        got_jit = jax.jit(lambda v, d: unconstrain(d).linked_logdensity(v))(v, d)
+        np.testing.assert_allclose(np.asarray(got_jit), np.asarray(ref), rtol=1e-12)
         # and the with-factor variant used by from_linked_vec_with_logpdf
         x2, lpld = u.from_linked_vec_with_logpdf(v)
         np.testing.assert_allclose(np.asarray(x2), np.asarray(x), rtol=1e-12)

@@ -1,11 +1,11 @@
 """Regenerate the Pallas-vs-jnp crossover table backing the dispatch
-thresholds in kernels/__init__.py (VERDICT r1 Weak #6).
+thresholds in kernels/__init__.py, using SLOPE-TIMED scans (the only
+trustworthy protocol on this tunnel — see CLAUDE.md / tools/slope_probe.py;
+block_until_ready does not wait for device execution here).
 
-Run on the real TPU: `python tools/kernel_crossover.py [--quick]`.
-Prints a markdown table (paste into docs/kernels.md) of per-dispatch times
-for the Pallas kernel vs the jnp reference at each (kernel, K, B), with the
-winner marked. Uses min-of-blocks timing (the tunnel's per-dispatch latency
-drifts at machine level — see CLAUDE.md).
+Run on the real TPU: `python tools/kernel_crossover.py [--quick]`
+(background mode: the first transfer costs 150-500 s). Prints a markdown
+table for docs/kernels.md.
 """
 
 import os as _os
@@ -16,34 +16,49 @@ sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
-def _time(fn, *args, iters=30, blocks=4, warmup=8):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(blocks):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        ts.append((time.perf_counter() - t0) / iters)
-    return min(ts)
+def _scan_prog(fn, batch, n):
+    @jax.jit
+    def many(y):
+        def body(carry, _):
+            out = fn(y + 1e-3 * jnp.tanh(0.01 * carry[:, None]))
+            s = out if out.ndim == 1 else jnp.sum(out, -1)
+            return s, None
+
+        s, _ = lax.scan(body, jnp.zeros((batch,), y.dtype), None, length=n)
+        return jnp.sum(s)
+
+    return many
+
+
+def _t2f(prog, y):
+    t0 = time.perf_counter()
+    s = float(prog(y))
+    assert s == s
+    return time.perf_counter() - t0
+
+
+def _slope(fn, y, n1, n2, reps=3):
+    pa, pb = _scan_prog(fn, y.shape[0], n1), _scan_prog(fn, y.shape[0], n2)
+    _t2f(pa, y), _t2f(pb, y)
+    pers = sorted((_t2f(pb, y) - _t2f(pa, y)) / (n2 - n1) for _ in range(reps))
+    return pers[reps // 2]
 
 
 def main():
     quick = "--quick" in sys.argv
-    from tpu_bijectors import kernels
     from tpu_bijectors.bijectors import corr, pd, simplex
 
-    Bs = (512, 4096, 131072) if quick else (256, 1024, 4096, 16384, 65536, 131072)
-    cases = []
-    for K in (4, 8, 16) if quick else (4, 8, 16, 32):
-        cases.append(("simplex", K))
-    for K in (4, 8, 16):
-        cases.append(("lkj", K))
-        cases.append(("pd", K))
+    Bs = (4096, 131072) if quick else (1024, 16384, 131072)
+    Ks = (4, 16) if quick else (4, 8, 16)
+    cases = [(kind, K) for K in Ks for kind in ("simplex", "lkj", "pd")]
+
+    # handshake
+    y0 = jnp.ones((1024, 3))
+    _t2f(_scan_prog(lambda y: jnp.sum(y, -1), 1024, 1), y0)
+    print("handshake done", file=sys.stderr)
 
     print("| kernel | K | B | jnp us | pallas us | speedup |")
     print("|---|---|---|---|---|---|")
@@ -52,24 +67,26 @@ def main():
             key = jax.random.PRNGKey(0)
             if kind == "simplex":
                 y = 0.3 * jax.random.normal(key, (B, K - 1))
-                jnp_fn = jax.jit(simplex._simplex_inverse_logdet_jnp)
-                pal_fn = jax.jit(simplex._simplex_inverse_logdet_pallas_diffable)
+                jnp_fn = lambda v: simplex._simplex_inverse_logdet_jnp(v)[1]
+                pal_fn = lambda v: simplex._simplex_inverse_logdet_pallas_diffable(v)[1]
             elif kind == "lkj":
                 d = K * (K - 1) // 2
                 y = 0.3 * jax.random.normal(key, (B, d))
-                jnp_fn = jax.jit(corr._vec_corr_logdet_jnp)
-                pal_fn = jax.jit(lambda v, K=K: corr._vec_corr_logdet_pallas(v, K))
+                jnp_fn = corr._vec_corr_logdet_jnp
+                pal_fn = lambda v, K=K: corr._vec_corr_logdet_pallas(v, K)
             else:
                 d = K * (K + 1) // 2
                 y = 0.3 * jax.random.normal(key, (B, d))
-                jnp_fn = jax.jit(lambda v: pd._pd_inverse_all_jnp(v)[1])
-                pal_fn = jax.jit(lambda v, K=K: pd._pd_inverse_all_pallas(v, K)[1])
-            tj = _time(jnp_fn, y)
-            tp = _time(pal_fn, y)
-            mark = " <-- pallas wins" if tp < tj else ""
+                jnp_fn = lambda v: pd._pd_inverse_all_jnp(v)[1]
+                pal_fn = lambda v, K=K: pd._pd_inverse_all_pallas(v, K)[1]
+            # spread sized for ~30+ ms of signal even at fast configs
+            n1, n2 = 8, 8 + (2048 if B <= 16384 else 256)
+            tj = _slope(jnp_fn, y, n1, n2)
+            tp = _slope(pal_fn, y, n1, n2)
+            mark = " <-- pallas" if tp < tj else ""
             print(
-                f"| {kind} | {K} | {B} | {tj*1e6:.1f} | {tp*1e6:.1f} | "
-                f"{tj/tp:.2f}{mark} |",
+                "| %s | %d | %d | %.1f | %.1f | %.2f%s |"
+                % (kind, K, B, tj * 1e6, tp * 1e6, tj / tp, mark),
                 flush=True,
             )
 

@@ -28,6 +28,9 @@ def build(name):
         sigma=dists.IIDProduct(dists.LogNormal(0.0, 0.5), 8),
         w=dists.Dirichlet(jnp.ones(16)),
         corr=dists.LKJ(16, 2.0),
+        lkjchol=dists.LKJCholesky(16, 2.0),
+        wishart=dists.Wishart(18.0, jnp.eye(16)),
+        invwishart=dists.InverseWishart(18.0, jnp.eye(16)),
     )
     if name == "all":
         return dists.NamedProduct.of(**parts)

@@ -127,7 +127,10 @@ def _logabsdetjac_inv_chol(y):
     Per column: result += lr_incl[i] - lc[i] over the column's entries.
     """
     K = triu1_dim_from_length(y.shape[-1])
-    cols = _triu1_cols(K)
+    # STATIC numpy layout — jnp constants become tracers under jit and the
+    # segment-start computation below must stay concrete (caught by /verify
+    # driving linked_logdensity(LKJCholesky) jitted on the TPU)
+    cols = _triu1_cols_np(K)
     lc = logcosh(y)
     # Segmented prefix sums per column (static segment layout).
     lr_incl = -_segmented_cumsum(lc, cols, K)
@@ -156,14 +159,18 @@ def _triu1_cols(K: int):
 
 
 def _segmented_cumsum(v, segment_ids, K: int):
-    """Inclusive cumsum within contiguous segments (static layout).
+    """Inclusive cumsum within contiguous segments (STATIC numpy layout —
+    callers must pass concrete numpy segment ids, never jnp arrays, so the
+    start-index computation stays trace-free under jit).
 
     v: (..., N) packed column-major; segments are the triangle columns.
     cumsum(v) - cumsum_at_segment_start gives the within-segment prefix.
     """
+    if not isinstance(segment_ids, np.ndarray):
+        raise TypeError("_segmented_cumsum needs a concrete numpy layout")
     c = jnp.cumsum(v, axis=-1)
     # start index of each element's segment (static numpy computation)
-    cols = np.asarray(segment_ids)
+    cols = segment_ids
     starts = np.zeros_like(cols)
     seg_start = {}
     for idx, s in enumerate(cols):
