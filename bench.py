@@ -109,10 +109,8 @@ def main():
     _t2f(_scan_prog(fused_fn, 1), v, priors)
     print("handshake %.0fs" % (time.perf_counter() - t0), file=sys.stderr)
 
-    # coarse fused estimate to size the n-spread (signal >= ~60 ms)
-    per0 = max(_slope(fused_fn, v, priors, 8, 40, reps=1), 1e-6)
-    n2 = 16 + min(2048, max(64, int(0.06 / per0)))
-    t_fused = _slope(fused_fn, v, priors, 16, n2)
+    # fused is ~300-400 us/iter: a 176-iteration spread is ~60 ms of signal
+    t_fused = _slope(fused_fn, v, priors, 16, 192)
     # naive is ~two orders slower; a (1, 3) spread is ~0.6 s of signal
     t_naive = _slope(naive_fn, v, priors, 1, 3)
 
