@@ -24,7 +24,10 @@ def _scan_prog(fn, batch, n):
     def many(y):
         def body(carry, _):
             out = fn(y + 1e-3 * jnp.tanh(0.01 * carry[:, None]))
-            s = out if out.ndim == 1 else jnp.sum(out, -1)
+            s = sum(
+                l if l.ndim == 1 else jnp.sum(l, axis=tuple(range(1, l.ndim)))
+                for l in jax.tree_util.tree_leaves(out)
+            )
             return s, None
 
         s, _ = lax.scan(body, jnp.zeros((batch,), y.dtype), None, length=n)

@@ -170,3 +170,57 @@ def lkj_inverse_pallas(y, K: int, *, interpret: bool = False):
     )(yt)
     X = jnp.moveaxis(X_flat.reshape(K, K, Bp)[..., :B], -1, 0)
     return X, logJ[0, :B], log_diag.T[:B]
+
+
+def lkj_logdet_pallas_v2(y, K: int, *, rows: int = 512, interpret: bool = False):
+    """Transpose-free variant of lkj_logdet_pallas: the input stays in its
+    natural (B, P) layout and each grid step transposes its (rows, P_pad)
+    block IN KERNEL (VMEM-local) instead of paying the (B, P) -> (P, B) HBM
+    relayout (which costs about as much as the kernel itself at B=131072).
+    Outputs keep the batch-on-lanes layout of v1."""
+    B, P = y.shape
+    assert P == K * (K - 1) // 2
+    dtype = jnp.result_type(y, float)
+    y = y.astype(dtype)
+    Pp = ((P + 127) // 128) * 128
+    R = rows
+    Bp = ((B + R - 1) // R) * R
+    ypad = _pad_to(_pad_to(y, Bp, 0), Pp, 1)
+
+    coeff = np.concatenate([[0.0], np.maximum(np.arange(K - 2, -1, -1), 0)]).astype(
+        dtype
+    )
+
+    def kernel(y_ref, lj_ref, ldw_ref):
+        yt = y_ref[...].T  # (Pp, R) — VMEM-local transpose
+        zero = jnp.zeros((1, R), dtype)
+        logJ = zero
+        ldw_ref[0, :] = zero[0, :]
+        for j in range(1, K):
+            lr = zero
+            base = j * (j - 1) // 2
+            for i in range(j):
+                yv = yt[base + i, :].reshape(1, R)
+                a = jnp.abs(yv)
+                lc = a + jax.nn.softplus(-2.0 * a) - LOG2
+                lr = lr - lc
+                logJ = logJ + lr
+            ldw_ref[j, :] = lr[0, :]
+            logJ = logJ + lr * (1.0 + coeff[j])
+        lj_ref[0, :] = logJ[0, :]
+
+    logJ, log_diag = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, Bp), dtype),
+            jax.ShapeDtypeStruct((K, Bp), dtype),
+        ),
+        grid=(Bp // R,),
+        in_specs=[pl.BlockSpec((R, Pp), lambda i: (i, 0), memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(ypad)
+    return logJ[0, :B], log_diag.T[:B]
