@@ -158,3 +158,65 @@ def test_simplex_wlog_traced_alpha(rng):
     )(jnp.asarray(y, jnp.float64), jnp.asarray(am1, jnp.float64))
     np.testing.assert_allclose(np.asarray(gy), np.asarray(gyr), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gar), rtol=1e-10)
+
+
+def test_pd_logdensity_kernel_modes(rng):
+    """Fused PD logdensity kernel (kernels/pd.py pd_logdensity_pallas):
+    logJ/sum_ydiag/trace vs the jnp reference, both trace modes
+    (dot = Wishart tr(S^-1 X); solve = InverseWishart forward substitution)."""
+    from tpu_bijectors.bijectors.pd import _pd_logdensity_jnp
+    from tpu_bijectors.kernels.pd import pd_logdensity_pallas
+
+    K = 5
+    y = jnp.asarray(rng.standard_normal((64, K * (K + 1) // 2)) * 0.4, jnp.float32)
+    Cs = rng.standard_normal((K, K)).astype(np.float32)
+    Cs = Cs @ Cs.T  # symmetric, the S^-1 use case
+    Ct = np.tril(rng.standard_normal((K, K))).astype(np.float32)
+
+    for C, mode in ((Cs, "dot"), (Ct, "solve")):
+        lj, sd, tr = pd_logdensity_pallas(y, K, jnp.asarray(C), mode, interpret=True)
+        lj_r, sd_r, tr_r = _pd_logdensity_jnp(y, jnp.asarray(C), mode)
+        np.testing.assert_allclose(np.asarray(lj), np.asarray(lj_r), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(sd), np.asarray(sd_r), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(tr), np.asarray(tr_r), rtol=2e-3)
+
+
+def test_wishart_family_hook_assembly(rng):
+    """The Wishart/InverseWishart fused hooks must assemble EXACTLY
+    logpdf(x) + ld: checked with the jnp composition standing in for the
+    kernel (same math as the custom_jvp tangent route)."""
+    from tpu_bijectors import dists
+    from tpu_bijectors.bijectors.pd import _pd_logdensity_jnp
+    from tpu_bijectors.dists.matrix import _mv_lgamma
+    from tpu_bijectors.utils import cholesky_lower
+    from tpu_bijectors.vectorize import unconstrain
+
+    K = 4
+    S = np.eye(K) + 0.3 * np.ones((K, K))
+    for cls, param in ((dists.Wishart, S), (dists.InverseWishart, S)):
+        d = cls(K + 3.0, jnp.asarray(S, jnp.float64))
+        u = unconstrain(d)
+        v = 0.3 * jnp.asarray(rng.standard_normal((16, u.linked_vec_length)))
+        x, ld = u.from_linked_vec(v)
+        want = d.logpdf(x) + ld
+        dtype = v.dtype
+        vdf = jnp.asarray(d.df, dtype)
+        if cls is dists.Wishart:
+            Sc = cholesky_lower(jnp.asarray(S, dtype))
+            Sinv = jax.scipy.linalg.cho_solve((Sc, True), jnp.eye(K, dtype=dtype))
+            lj, sd, tr = _pd_logdensity_jnp(v, Sinv, "dot")
+            logdetS = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Sc)))
+            lp = (0.5 * (vdf - K - 1.0) * 2.0 * sd - 0.5 * tr
+                  - 0.5 * vdf * K * np.log(2.0) - 0.5 * vdf * logdetS
+                  - _mv_lgamma(0.5 * vdf, K))
+        else:
+            Pc = cholesky_lower(jnp.asarray(S, dtype))
+            lj, sd, tr = _pd_logdensity_jnp(v, Pc, "solve")
+            logdetP = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Pc)))
+            lp = (0.5 * vdf * logdetP - 0.5 * (vdf + K + 1.0) * 2.0 * sd
+                  - 0.5 * tr - 0.5 * vdf * K * np.log(2.0)
+                  - _mv_lgamma(0.5 * vdf, K))
+        np.testing.assert_allclose(
+            np.asarray(lp + lj), np.asarray(want), rtol=1e-10,
+            err_msg=cls.__name__,
+        )

@@ -304,6 +304,31 @@ def _vec_corr_logdet_pallas(y, K):
     return lkj_logdet_pallas(y, K)
 
 
+@_partial(jax.custom_jvp, nondiff_argnums=(1,))
+def _chol_logdet_pallas(y, K):
+    """Chol-variant (logJ, log_diag) Pallas primal; tangents via the jnp
+    closed forms (identical math)."""
+    from ..kernels.lkj import lkj_logdet_pallas
+
+    return lkj_logdet_pallas(y, K, chol=True)
+
+
+def _chol_logdet_jnp(y):
+    K = triu1_dim_from_length(y.shape[-1])
+    dtype = jnp.result_type(y, float)
+    lc = logcosh(y.astype(dtype))
+    onehot = jnp.asarray(np.eye(K)[_triu1_cols_np(K)], dtype)
+    log_diag = -jnp.matmul(lc, onehot, precision=jax.lax.Precision.HIGHEST)
+    return _logabsdetjac_inv_chol(y), log_diag
+
+
+@_chol_logdet_pallas.defjvp
+def _chol_logdet_pallas_jvp(K, primals, tangents):
+    (y,) = primals
+    (dy,) = tangents
+    return jax.jvp(_chol_logdet_jnp, (y,), (dy,))
+
+
 @_vec_corr_logdet_pallas.defjvp
 def _vec_corr_logdet_pallas_jvp(K, primals, tangents):
     (y,) = primals
@@ -420,7 +445,12 @@ class VecCholeskyBijector(Bijector):
         the packed vector (one small matmul), and the closed-form log-det
         (corr.jl:488-501). The LKJCholesky density needs nothing else
         (matrix.py LKJCholesky.logpdf_from_factor) — this is the
-        serving-batch fast path that skips the W materialization."""
+        serving-batch fast path that skips the W materialization.
+        Pallas-eligible batches take the fused chol-variant kernel
+        (slope-timed ~20x at B=131072, K=16)."""
+        if _lkj_pallas_profitable(y):
+            K = triu1_dim_from_length(y.shape[-1])
+            return _chol_logdet_pallas(y, K)
         K = triu1_dim_from_length(y.shape[-1])
         dtype = jnp.result_type(y, float)
         lc = logcosh(y.astype(dtype))

@@ -173,3 +173,32 @@ class CholeskyVecBijector(Bijector):
         d = jnp.diagonal(Y, axis1=-2, axis2=-1)
         L = set_diag(Y, jnp.exp(d))
         return L, jnp.sum(d, axis=-1)
+
+
+@_partial(jax.custom_jvp, nondiff_argnums=(1, 3))
+def _pd_logdensity_pallas_diffable(y, K, C, mode):
+    """Fused (logJ, sum_ydiag, trace) Pallas primal (kernels/pd.py
+    pd_logdensity_pallas); tangents via the jnp composition below."""
+    from ..kernels.pd import pd_logdensity_pallas
+
+    return pd_logdensity_pallas(y, K, C, mode)
+
+
+def _pd_logdensity_jnp(y, C, mode):
+    X, ld, L = _pd_inverse_all_jnp(y)
+    sumd = jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1)
+    C = jnp.asarray(C, y.dtype)
+    if mode == "dot":
+        tr = jnp.sum(C * X, axis=(-2, -1))
+    else:
+        Cb = jnp.broadcast_to(C, L.shape[:-2] + C.shape)
+        A = jax.scipy.linalg.solve_triangular(L, Cb, lower=True)
+        tr = jnp.sum(A * A, axis=(-2, -1))
+    return ld, sumd, tr
+
+
+@_pd_logdensity_pallas_diffable.defjvp
+def _pd_logdensity_pallas_jvp(K, mode, primals, tangents):
+    y, C = primals
+    dy, dC = tangents
+    return jax.jvp(lambda y, C: _pd_logdensity_jnp(y, C, mode), (y, C), (dy, dC))

@@ -155,6 +155,24 @@ def _simplex_inverse_logdet_wlog_jvp(primals, tangents):
 
 
 @jax.custom_jvp
+def simplex_logdet_wlog_nox(y, am1):
+    """(ld_inv, sum_k am1[k] log x_k) WITHOUT writing x to HBM (the
+    linked_logdensity path; a kernel cannot be DCE'd into)."""
+    from ..kernels.simplex import simplex_inverse_logdet_wlog_pallas
+
+    _, ld, wlog = simplex_inverse_logdet_wlog_pallas(y, am1, want_x=False)
+    return ld, wlog
+
+
+@simplex_logdet_wlog_nox.defjvp
+def _simplex_logdet_wlog_nox_jvp(primals, tangents):
+    y, am1 = primals
+    dy, dam1 = tangents
+    primal, tangent = jax.jvp(_simplex_inverse_logdet_wlog_jnp, (y, am1), (dy, dam1))
+    return (primal[1], primal[2]), (tangent[1], tangent[2])
+
+
+@jax.custom_jvp
 def _simplex_forward_logdet_pallas_diffable(x):
     """Fused Pallas (y, ld_fwd) primal; tangents via the jnp composition."""
     from ..kernels.simplex import simplex_forward_logdet_pallas

@@ -267,6 +267,41 @@ class Wishart(Distribution):
             - _mv_lgamma(0.5 * v, K)
         )
 
+    def fused_linked_logdensity(self, bijector, y, want_x: bool = True):
+        """Logdensity-only fusion (vectorize.core hook): the PD logdensity
+        kernel evaluates the inverse link + tr(S^-1 X) in one pass without
+        materializing X or L (kernels/pd.py mode="dot"). Only fires on the
+        linked_logdensity path (want_x=False) with an unbatched scale."""
+        from ..bijectors.pd import (
+            PDVecBijector,
+            _pd_logdensity_pallas_diffable,
+            _pd_pallas_profitable,
+        )
+        from ..utils import cholesky_lower
+
+        if want_x or type(bijector) is not PDVecBijector:
+            return None
+        if not _pd_pallas_profitable(y):
+            return None
+        if jnp.ndim(self.scale) != 2 or jnp.ndim(self.df) != 0:
+            return None
+        dtype = jnp.result_type(y, float)
+        K = jnp.shape(self.scale)[-1]
+        v = jnp.asarray(self.df, dtype)
+        Sc = cholesky_lower(jnp.asarray(self.scale, dtype))
+        Sinv = jax.scipy.linalg.cho_solve((Sc, True), jnp.eye(K, dtype=dtype))
+        logJ, sumd, tr = _pd_logdensity_pallas_diffable(y, K, Sinv, "dot")
+        logdetX = 2.0 * sumd
+        logdetS = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Sc, axis1=-2, axis2=-1)), -1)
+        lp = (
+            0.5 * (v - K - 1.0) * logdetX
+            - 0.5 * tr
+            - 0.5 * v * K * LOG2
+            - 0.5 * v * logdetS
+            - _mv_lgamma(0.5 * v, K)
+        )
+        return None, lp + logJ
+
     def sample(self, key, sample_shape=()):
         dtype = jnp.result_type(self.df, self.scale, float)
         K = jnp.shape(self.scale)[-1]
@@ -333,6 +368,40 @@ class InverseWishart(Distribution):
             - 0.5 * v * K * LOG2
             - _mv_lgamma(0.5 * v, K)
         )
+
+    def fused_linked_logdensity(self, bijector, y, want_x: bool = True):
+        """Logdensity-only fusion: in-kernel forward substitution computes
+        tr(Psi X^-1) = ||L^-1 chol(Psi)||_F^2 (kernels/pd.py mode="solve"),
+        replacing the ~10 ms batched XLA triangular solve at B=131072, K=16
+        (slope-timed) without materializing X or L."""
+        from ..bijectors.pd import (
+            PDVecBijector,
+            _pd_logdensity_pallas_diffable,
+            _pd_pallas_profitable,
+        )
+        from ..utils import cholesky_lower
+
+        if want_x or type(bijector) is not PDVecBijector:
+            return None
+        if not _pd_pallas_profitable(y):
+            return None
+        if jnp.ndim(self.psi) != 2 or jnp.ndim(self.df) != 0:
+            return None
+        dtype = jnp.result_type(y, float)
+        K = jnp.shape(self.psi)[-1]
+        v = jnp.asarray(self.df, dtype)
+        Pc = cholesky_lower(jnp.asarray(self.psi, dtype))
+        logJ, sumd, tr = _pd_logdensity_pallas_diffable(y, K, Pc, "solve")
+        logdetX = 2.0 * sumd
+        logdetP = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Pc, axis1=-2, axis2=-1)), -1)
+        lp = (
+            0.5 * v * logdetP
+            - 0.5 * (v + K + 1.0) * logdetX
+            - 0.5 * tr
+            - 0.5 * v * K * LOG2
+            - _mv_lgamma(0.5 * v, K)
+        )
+        return None, lp + logJ
 
     def sample(self, key, sample_shape=()):
         dtype = jnp.result_type(self.df, self.psi, float)

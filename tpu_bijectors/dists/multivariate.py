@@ -41,17 +41,20 @@ class Dirichlet(Distribution):
         lognorm = jnp.sum(jsp.gammaln(a), -1) - jsp.gammaln(jnp.sum(a, -1))
         return jnp.sum((a - 1.0) * jnp.log(x), -1) - lognorm
 
-    def fused_linked_logdensity(self, bijector, y):
+    def fused_linked_logdensity(self, bijector, y, want_x: bool = True):
         """Leaf-fusion hook (vectorize.core): when the link is the simplex
         bijector on a Pallas-eligible batch, the density's weighted log term
         is accumulated inside the single-pass inverse kernel. alpha may be
         concrete OR a jit argument (it rides into the kernel as an operand —
         the params-as-jit-arguments style docs/vector.md recommends keeps
-        the fusion). Returns (x, logpdf + logdetJ) or None to decline."""
+        the fusion). want_x=False (the linked_logdensity path) skips the
+        kernel's x output write entirely. Returns (x_or_None,
+        logpdf + logdetJ) or None to decline."""
         from ..bijectors.simplex import (
             SimplexBijector,
             _pallas_profitable,
             simplex_inverse_logdet_wlog,
+            simplex_logdet_wlog_nox,
         )
 
         if type(bijector) is not SimplexBijector or not _pallas_profitable(y):
@@ -60,9 +63,12 @@ class Dirichlet(Distribution):
             return None  # batched alpha: generic broadcasting path
         dtype = jnp.result_type(y, float)
         a = jnp.asarray(self.alpha, dtype)
-        x, ld, wlog = simplex_inverse_logdet_wlog(y, a - 1.0)
         lognorm = jnp.sum(jsp.gammaln(a)) - jsp.gammaln(jnp.sum(a))
-        return x, wlog - lognorm + ld
+        if want_x:
+            x, ld, wlog = simplex_inverse_logdet_wlog(y, a - 1.0)
+            return x, wlog - lognorm + ld
+        ld, wlog = simplex_logdet_wlog_nox(y, a - 1.0)
+        return None, wlog - lognorm + ld
 
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape

@@ -36,11 +36,15 @@ from .layout import (
 LOG2 = math.log(2.0)
 
 
-def lkj_logdet_pallas(y, K: int, *, interpret: bool = False):
+def lkj_logdet_pallas(y, K: int, *, chol: bool = False, interpret: bool = False):
     """Logdensity-only variant: (logJ, log_diag_W) WITHOUT materializing
     X = W'W — the LKJ density needs only the factor diagonal, and when the
     caller drops x the X triple-product and its HBM write are pure waste
-    (XLA would DCE them in the jnp path; a kernel cannot be DCE'd into)."""
+    (XLA would DCE them in the jnp path; a kernel cannot be DCE'd into).
+
+    chol=False: logJ of VecCorrBijector.inverse (incl. the diag-coefficient
+    correction, corr.jl:74-81). chol=True: logJ of the Cholesky-variant
+    inverse link (corr.jl:485-501) — same recurrence, coefficient 0."""
     B, P = y.shape
     assert P == K * (K - 1) // 2
     dtype = jnp.result_type(y, float)
@@ -49,9 +53,12 @@ def lkj_logdet_pallas(y, K: int, *, interpret: bool = False):
     W = _block_lanes(Bp)
     yt = _pad_to(y, Bp, 0).T
 
-    coeff = np.concatenate([[0.0], np.maximum(np.arange(K - 2, -1, -1), 0)]).astype(
-        dtype
-    )
+    if chol:
+        coeff = np.zeros(K, dtype)
+    else:
+        coeff = np.concatenate(
+            [[0.0], np.maximum(np.arange(K - 2, -1, -1), 0)]
+        ).astype(dtype)
 
     def kernel(y_ref, lj_ref, ldw_ref):
         zero = jnp.zeros((1, W), dtype)
@@ -170,57 +177,3 @@ def lkj_inverse_pallas(y, K: int, *, interpret: bool = False):
     )(yt)
     X = jnp.moveaxis(X_flat.reshape(K, K, Bp)[..., :B], -1, 0)
     return X, logJ[0, :B], log_diag.T[:B]
-
-
-def lkj_logdet_pallas_v2(y, K: int, *, rows: int = 512, interpret: bool = False):
-    """Transpose-free variant of lkj_logdet_pallas: the input stays in its
-    natural (B, P) layout and each grid step transposes its (rows, P_pad)
-    block IN KERNEL (VMEM-local) instead of paying the (B, P) -> (P, B) HBM
-    relayout (which costs about as much as the kernel itself at B=131072).
-    Outputs keep the batch-on-lanes layout of v1."""
-    B, P = y.shape
-    assert P == K * (K - 1) // 2
-    dtype = jnp.result_type(y, float)
-    y = y.astype(dtype)
-    Pp = ((P + 127) // 128) * 128
-    R = rows
-    Bp = ((B + R - 1) // R) * R
-    ypad = _pad_to(_pad_to(y, Bp, 0), Pp, 1)
-
-    coeff = np.concatenate([[0.0], np.maximum(np.arange(K - 2, -1, -1), 0)]).astype(
-        dtype
-    )
-
-    def kernel(y_ref, lj_ref, ldw_ref):
-        yt = y_ref[...].T  # (Pp, R) — VMEM-local transpose
-        zero = jnp.zeros((1, R), dtype)
-        logJ = zero
-        ldw_ref[0, :] = zero[0, :]
-        for j in range(1, K):
-            lr = zero
-            base = j * (j - 1) // 2
-            for i in range(j):
-                yv = yt[base + i, :].reshape(1, R)
-                a = jnp.abs(yv)
-                lc = a + jax.nn.softplus(-2.0 * a) - LOG2
-                lr = lr - lc
-                logJ = logJ + lr
-            ldw_ref[j, :] = lr[0, :]
-            logJ = logJ + lr * (1.0 + coeff[j])
-        lj_ref[0, :] = logJ[0, :]
-
-    logJ, log_diag = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((1, Bp), dtype),
-            jax.ShapeDtypeStruct((K, Bp), dtype),
-        ),
-        grid=(Bp // R,),
-        in_specs=[pl.BlockSpec((R, Pp), lambda i: (i, 0), memory_space=pltpu.VMEM)],
-        out_specs=(
-            pl.BlockSpec((1, R), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, R), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ),
-        interpret=interpret,
-    )(ypad)
-    return logJ[0, :B], log_diag.T[:B]

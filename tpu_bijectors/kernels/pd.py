@@ -92,3 +92,102 @@ def pd_inverse_pallas(y, K: int, *, interpret: bool = False):
     X = jnp.moveaxis(X_flat.reshape(K, K, Bp)[..., :B], -1, 0)
     L = jnp.moveaxis(L_flat.reshape(K, K, Bp)[..., :B], -1, 0)
     return X, logJ[0, :B], L
+
+
+def pd_logdensity_pallas(y, K: int, C, mode: str, *, interpret: bool = False):
+    """Logdensity-only fused PD inverse link + Wishart-family trace term.
+
+    y: (B, K(K+1)/2) packed lower triangle; C: (K, K) batch-constant matrix
+    (may be traced — rides as a lane-broadcast operand). Returns
+    (logJ: (B,), sum_ydiag: (B,), trace: (B,)) where
+
+      mode="dot":   trace = sum_ab C[a,b] * X[a,b],  X = LL'
+                    (Wishart: C = S^-1, tr(S^-1 X))
+      mode="solve": trace = ||A||_F^2 with A = L^-1 C
+                    (InverseWishart: C = chol(Psi), tr(Psi X^-1))
+
+    logdet X = 2 * sum_ydiag (the diagonal of L is exp(y_diag)); neither X
+    nor L is written to HBM — this replaces a ~10 ms batched XLA triangular
+    solve at B=131072, K=16 (slope-timed) with in-register forward
+    substitution.
+    """
+    assert mode in ("dot", "solve")
+    B, P = y.shape
+    assert P == K * (K + 1) // 2
+    dtype = jnp.result_type(y, float)
+    y = y.astype(dtype)
+
+    Bp = _padded_batch(B)
+    W = _block_lanes(Bp)
+    yt = _pad_to(y, Bp, 0).T  # (P, Bp)
+    Cb = jnp.broadcast_to(
+        jnp.asarray(C, dtype).reshape(K * K)[:, None], (K * K, W)
+    )
+
+    def kernel(y_ref, c_ref, lj_ref, sd_ref, tr_ref, l_s, a_s):
+        zero = jnp.zeros((1, W), dtype)
+        logJ = zero
+        sumd = zero
+        inv_diag = [None] * K
+        for r in range(K):
+            base = r * (r + 1) // 2
+            yd = y_ref[base + r, :].reshape(1, W)
+            logJ = logJ + (K + 1.0 - r) * yd
+            sumd = sumd + yd
+            inv_diag[r] = jnp.exp(-yd)
+            for c in range(r):
+                l_s[r * K + c, :] = y_ref[base + c, :]
+            l_s[r * K + r, :] = jnp.exp(yd)[0, :]
+        lj_ref[0, :] = (logJ + K * LOG2)[0, :]
+        sd_ref[0, :] = sumd[0, :]
+
+        tr = zero
+        if mode == "dot":
+            # tr = sum_ab C[a,b] X[a,b], X = LL' (use symmetry: a<=b twice)
+            for a in range(K):
+                for b in range(a, K):
+                    acc = zero
+                    for k in range(a + 1):
+                        acc = acc + (
+                            l_s[a * K + k, :] * l_s[b * K + k, :]
+                        ).reshape(1, W)
+                    w = 1.0 if a == b else 2.0
+                    tr = tr + w * acc * c_ref[a * K + b, :].reshape(1, W)
+        else:
+            # forward substitution A = L^-1 C, row by row; tr = ||A||^2
+            for i in range(K):
+                for j in range(K):
+                    acc = c_ref[i * K + j, :].reshape(1, W)
+                    for k in range(i):
+                        acc = acc - l_s[i * K + k, :].reshape(1, W) * a_s[
+                            k * K + j, :
+                        ].reshape(1, W)
+                    aij = acc * inv_diag[i]
+                    a_s[i * K + j, :] = aij[0, :]
+                    tr = tr + aij * aij
+        tr_ref[0, :] = tr[0, :]
+
+    logJ, sumd, tr = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, Bp), dtype),
+            jax.ShapeDtypeStruct((1, Bp), dtype),
+            jax.ShapeDtypeStruct((1, Bp), dtype),
+        ),
+        grid=(Bp // W,),
+        in_specs=[
+            pl.BlockSpec((P, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K * K, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((K * K, W), dtype),
+            pltpu.VMEM((K * K, W), dtype),
+        ],
+        interpret=interpret,
+    )(yt, Cb)
+    return logJ[0, :B], sumd[0, :B], tr[0, :B]

@@ -253,7 +253,7 @@ class LeafUnconstrainer(Unconstrainer):
         hook = getattr(d, "fused_linked_logdensity", None)
         if hook is not None:
             y = _unravel_event(v, self.linked_shape)
-            out = hook(b, y)
+            out = hook(b, y, want_x=False)
             if out is not None:
                 return out[1]
         if hasattr(b, "inverse_log_det_and_factor_only") and hasattr(
