@@ -36,7 +36,49 @@ RTOL = {
     "NormalInverseGaussian": 2e-6,  # A&S K1 polynomial accuracy ~2e-7
     "StudentizedRange": 2e-4,  # fixed 96-pt quadrature
     "Kolmogorov": 1e-7,
+    "NoncentralT": 1e-5,  # fixed 96-pt log-space Gauss-Hermite quadrature
 }
+
+
+def test_windowed_series_large_noncentrality():
+    """Poisson-mixture densities must track the dominant term (j ~ lambda/2)
+    instead of a fixed j = 0..n-1 truncation — the windowed series
+    (dists/univariate3.py::_windowed_series_logsumexp) is exact to ~1e-10
+    out to lambda = 1e5 (probed vs scipy)."""
+    for lam in [200.0, 2000.0, 1e5]:
+        ts = np.array([0.5, 1.0, 1.5]) * (3.0 + lam)
+        o = np.asarray(dists.NoncentralChisq(3.0, lam).logpdf(jnp.asarray(ts)))
+        np.testing.assert_allclose(o, ss.ncx2.logpdf(ts, 3.0, lam), rtol=1e-8)
+    for lam in [500.0, 5000.0]:
+        ts = np.array([0.5, 1.0, 2.0]) * (1 + lam / 4.0)
+        o = np.asarray(dists.NoncentralF(4.0, 9.0, lam).logpdf(jnp.asarray(ts)))
+        np.testing.assert_allclose(o, ss.ncf.logpdf(ts, 4.0, 9.0, lam), rtol=1e-8)
+    for mu1, mu2 in [(500.0, 400.0), (5000.0, 4900.0)]:
+        ts = np.round(
+            np.array([-2.0, 0.0, 2.0]) * np.sqrt(mu1 + mu2) + (mu1 - mu2)
+        )
+        o = np.asarray(dists.Skellam(mu1, mu2).logpdf(jnp.asarray(ts)))
+        np.testing.assert_allclose(o, ss.skellam.logpmf(ts, mu1, mu2), rtol=1e-8)
+
+
+def test_noncentral_t_large_delta():
+    """The power-series formulation NaN'd / truncated for |delta| beyond
+    ~15 (terms peak near j ~ q^2/2, and alternate for t*delta < 0); the
+    log-space Laplace-centered quadrature must stay finite and accurate
+    across the whole (nu, delta) range."""
+    for nu in [0.5, 2.0, 20.0, 100.0]:
+        for de in [-50.0, -20.0, 20.0, 50.0]:
+            ts = np.array([-1.5, -0.5, 0.25, 0.5, 1.5]) * abs(de) + de
+            ours = np.asarray(
+                dists.NoncentralT(nu, de).logpdf(jnp.asarray(ts, jnp.float64))
+            )
+            ref = ss.nct.logpdf(ts, nu, de)
+            m = np.isfinite(ref) & (ref > -700)
+            assert np.all(np.isfinite(ours[m]))
+            np.testing.assert_allclose(
+                ours[m], ref[m], rtol=1e-5, atol=1e-7,
+                err_msg=f"nu={nu} delta={de}",
+            )
 
 
 @pytest.mark.parametrize("name,d,ref,xs", CASES, ids=[c[0] for c in CASES])

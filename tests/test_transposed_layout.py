@@ -1,0 +1,165 @@
+"""Transposed (dim, batch) linked_logdensity_t — the TPU-native serving
+orientation (batch on lanes end to end; vectorize/core.py docstrings).
+
+CPU checks: semantic equality with the batch-major path across structure
+kinds (scalar/IID/Tree/Transformed/factor-fused leaves), gradient equality
+through the transposed custom_jvp rules (which take the jnp primal branch
+off-TPU), and interpret-mode equivalence of the pre_t kernel variants.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_bijectors import dists
+from tpu_bijectors.vectorize import unconstrain
+
+
+def _models():
+    return {
+        "scalars": dists.NamedProduct.of(
+            mu=dists.IIDProduct(dists.Normal(0.0, 2.0), 5),
+            sigma=dists.IIDProduct(dists.LogNormal(0.0, 0.5), 3),
+            p=dists.Beta(2.0, 3.0),
+        ),
+        "bench": dists.NamedProduct.of(
+            mu=dists.IIDProduct(dists.Normal(0.0, 2.0), 4),
+            sigma=dists.IIDProduct(dists.LogNormal(0.0, 0.5), 4),
+            w=dists.Dirichlet(jnp.ones(6)),
+            corr=dists.LKJ(5, 2.0),
+        ),
+        "matrixy": dists.NamedProduct.of(
+            chol=dists.LKJCholesky(4, 1.5),
+            wish=dists.Wishart(7.0, jnp.eye(4)),
+            iwish=dists.InverseWishart(7.0, jnp.eye(4)),
+        ),
+        "nested": dists.Product(
+            (
+                dists.Dirichlet(jnp.ones(4)),
+                dists.NamedProduct.of(
+                    a=dists.Gamma(2.0, 1.0), b=dists.Uniform(-1.0, 2.0)
+                ),
+            )
+        ),
+        "iid_mv": dists.IIDProduct(dists.Dirichlet(jnp.ones(4)), 3),
+    }
+
+
+@pytest.mark.parametrize("name", list(_models().keys()))
+def test_linked_logdensity_t_matches(rng, name):
+    d = _models()[name]
+    u = unconstrain(d)
+    v = jnp.asarray(0.7 * rng.standard_normal((17, u.linked_vec_length)))
+    lp = u.linked_logdensity(v)
+    lp_t = u.linked_logdensity_t(v.T)
+    np.testing.assert_allclose(np.asarray(lp_t), np.asarray(lp), rtol=1e-12)
+
+
+def test_linked_logdensity_t_jitted(rng):
+    d = _models()["bench"]
+    u = unconstrain(d)
+    v = jnp.asarray(0.5 * rng.standard_normal((9, u.linked_vec_length)))
+    lp = jax.jit(lambda vT: unconstrain(d).linked_logdensity_t(vT))(v.T)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(u.linked_logdensity(v)), rtol=1e-12)
+
+
+def test_transposed_wrappers_grads_match(rng):
+    """jax.grad through the _t custom_jvp wrappers (jnp primal branch on
+    CPU) vs grad of the batch-major jnp references."""
+    from tpu_bijectors.bijectors.corr import (
+        _chol_logdet_jnp,
+        _lkj_logdet_pallas_t,
+        _vec_corr_logdet_jnp,
+    )
+
+    K, P = 5, 10
+    yT = jnp.asarray(1.1 * rng.standard_normal((P, 8)))
+    w = jnp.asarray(rng.standard_normal((8, K)))
+    for chol, ref in ((False, _vec_corr_logdet_jnp), (True, _chol_logdet_jnp)):
+
+        def f_t(yT):
+            lj, ldw = _lkj_logdet_pallas_t(yT, K, chol)
+            return jnp.sum(lj) + jnp.sum(w * ldw)
+
+        def f_ref(yT):
+            lj, ldw = ref(yT.T)
+            return jnp.sum(lj) + jnp.sum(w * ldw)
+
+        np.testing.assert_allclose(
+            jax.grad(f_t)(yT), jax.grad(f_ref)(yT), rtol=1e-9, atol=1e-11
+        )
+
+    from tpu_bijectors.bijectors.simplex import (
+        _simplex_inverse_logdet_wlog_jnp,
+        simplex_logdet_wlog_nox_t,
+    )
+
+    K = 6
+    yT = jnp.asarray(1.3 * rng.standard_normal((K - 1, 8)))
+    am1 = jnp.asarray(rng.uniform(0.5, 3.0, K))
+
+    def g_t(yT, am1):
+        ld, wl = simplex_logdet_wlog_nox_t(yT, am1)
+        return jnp.sum(ld) + 2.0 * jnp.sum(wl)
+
+    def g_ref(yT, am1):
+        _, ld, wl = _simplex_inverse_logdet_wlog_jnp(yT.T, am1)
+        return jnp.sum(ld) + 2.0 * jnp.sum(wl)
+
+    for fn_t, fn_r in ((g_t, g_ref),):
+        gy, ga = jax.grad(fn_t, argnums=(0, 1))(yT, am1)
+        gyr, gar = jax.grad(fn_r, argnums=(0, 1))(yT, am1)
+        np.testing.assert_allclose(gy, gyr, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(ga, gar, rtol=1e-9, atol=1e-11)
+
+    from tpu_bijectors.bijectors.pd import _pd_logdensity_jnp, _pd_logdensity_pallas_t
+
+    K, P = 4, 10
+    yT = jnp.asarray(0.5 * rng.standard_normal((P, 8)))
+    Cm = rng.standard_normal((K, K))
+    for mode, C in (("dot", jnp.asarray(Cm @ Cm.T)), ("solve", jnp.asarray(np.tril(Cm)))):
+
+        def h_t(yT, C):
+            lj, sd, tr = _pd_logdensity_pallas_t(yT, K, C, mode)
+            return jnp.sum(lj) + jnp.sum(sd) - 0.5 * jnp.sum(tr)
+
+        def h_ref(yT, C):
+            lj, sd, tr = _pd_logdensity_jnp(yT.T, C, mode)
+            return jnp.sum(lj) + jnp.sum(sd) - 0.5 * jnp.sum(tr)
+
+        gy, gC = jax.grad(h_t, argnums=(0, 1))(yT, C)
+        gyr, gCr = jax.grad(h_ref, argnums=(0, 1))(yT, C)
+        np.testing.assert_allclose(gy, gyr, rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(gC, gCr, rtol=1e-9, atol=1e-11)
+
+
+def test_pre_t_kernels_interpret(rng):
+    """pre_t=True kernel variants == batch-major variants (interpret mode)."""
+    from tpu_bijectors.kernels.lkj import lkj_logdet_pallas
+    from tpu_bijectors.kernels.pd import pd_logdensity_pallas
+    from tpu_bijectors.kernels.simplex import simplex_inverse_logdet_wlog_pallas
+
+    y = jnp.asarray(rng.standard_normal((64, 10)), jnp.float32)
+    for chol in (False, True):
+        a = lkj_logdet_pallas(y, 5, chol=chol, interpret=True)
+        b = lkj_logdet_pallas(y.T, 5, chol=chol, pre_t=True, interpret=True)
+        for x, z in zip(a, b):
+            assert bool(jnp.all(x == z))
+
+    ys = jnp.asarray(rng.standard_normal((64, 5)), jnp.float32)
+    am1 = jnp.asarray(rng.uniform(0.5, 2.0, 6), jnp.float32)
+    a = simplex_inverse_logdet_wlog_pallas(ys, am1, want_x=False, interpret=True)
+    b = simplex_inverse_logdet_wlog_pallas(
+        ys.T, am1, want_x=False, pre_t=True, interpret=True
+    )
+    for x, z in zip(a[1:], b[1:]):
+        assert bool(jnp.all(x == z))
+
+    yp = jnp.asarray(0.4 * rng.standard_normal((64, 10)), jnp.float32)
+    Cm = rng.standard_normal((4, 4)).astype(np.float32)
+    for mode, C in (("dot", jnp.asarray(Cm @ Cm.T)), ("solve", jnp.asarray(np.tril(Cm)))):
+        a = pd_logdensity_pallas(yp, 4, C, mode, interpret=True)
+        b = pd_logdensity_pallas(yp.T, 4, C, mode, pre_t=True, interpret=True)
+        for x, z in zip(a, b):
+            assert bool(jnp.all(x == z))

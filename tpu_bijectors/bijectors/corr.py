@@ -78,6 +78,17 @@ def _inv_link_chol_lkj(Y):
 
     Parallel form of corr.jl:344-368 / 370-399.
     """
+    W, logJ, _ = _inv_link_chol_lkj_with_logdiag(Y)
+    return W, logJ
+
+
+def _inv_link_chol_lkj_with_logdiag(Y):
+    """(W, logJ, log diag W) — the log-diagonal comes STRAIGHT from the
+    running sums (log W_jj = lr_incl at the last row of column j), never via
+    log(exp(lr)): at |y| ~ 1e10 the factor diagonal underflows to exactly 0
+    and log(diag W) would be -inf, which turns the zero-coefficient terms of
+    the vec-corr correction into 0 * inf = NaN (caught by the 1e10-jump
+    robustness drive on the linked_logdensity path)."""
     K = Y.shape[-1]
     dtype = Y.dtype
     up = triu_mask(K, 1)
@@ -100,7 +111,7 @@ def _inv_link_chol_lkj(Y):
     # logJ = sum over strict-upper of lr_incl + per-column final lr.
     logJ = jnp.sum(jnp.where(up, lr_incl, jnp.zeros([], dtype)), axis=(-2, -1))
     logJ = logJ + jnp.sum(diag_lr, axis=-1)
-    return W, logJ
+    return W, logJ, diag_lr
 
 
 def _logabsdetjac_inv_corr_mat(Y):
@@ -209,7 +220,7 @@ class CorrBijector(Bijector):
         return self.inverse_and_log_det(Y)[0]
 
     def inverse_and_log_det(self, Y):
-        W, logJ = _inv_link_chol_lkj(Y)
+        W, logJ, log_diag = _inv_link_chol_lkj_with_logdiag(Y)
         K = W.shape[-1]
         # corr.jl:74-81: logJ += sum_{j=1..K-2 (0-based)} (K-1-j) log W[j,j]
         coeff = jnp.concatenate(
@@ -220,8 +231,7 @@ class CorrBijector(Bijector):
                 ),
             ]
         )
-        d = jnp.diagonal(W, axis1=-2, axis2=-1)
-        logJ = logJ + jnp.sum(coeff * jnp.log(d), axis=-1)
+        logJ = logJ + jnp.sum(coeff * log_diag, axis=-1)
         return pd_from_upper(W), logJ
 
     def inverse_log_det_jacobian(self, Y):
@@ -281,19 +291,30 @@ class VecCorrBijector(Bijector):
             return _vec_corr_logdet_pallas(y, K)
         return _vec_corr_logdet_jnp(y)
 
+    def inverse_log_det_and_factor_only_t(self, yT):
+        """Transposed-layout (P, B) variant of inverse_log_det_and_factor_only
+        (the linked_logdensity_t serving path); log_diag returns (B, K)."""
+        K = triu1_dim_from_length(yT.shape[0])
+        if _lkj_pallas_profitable_t(yT):
+            return _lkj_logdet_pallas_t(yT, K, False)
+        return _vec_corr_logdet_jnp(jnp.swapaxes(yT, 0, 1))
+
 
 def _vec_corr_logdet_jnp(y):
-    """(logJ, log_diag_W) — X never formed (XLA DCEs the unused W entries)."""
+    """(logJ, log_diag_W) — X never formed (XLA DCEs the unused W entries);
+    log_diag from the running sums, never log(exp(.)) (see
+    _inv_link_chol_lkj_with_logdiag)."""
     K = triu1_dim_from_length(y.shape[-1])
     Y = vec_to_triu(y, k=1, n=K)
-    W, logJ = _inv_link_chol_lkj(Y)
+    _, logJ, log_diag = _inv_link_chol_lkj_with_logdiag(Y)
     coeff = jnp.concatenate(
         [
-            jnp.zeros((1,), W.dtype),
-            jnp.asarray(np.maximum(np.arange(K - 2, -1, -1), 0), dtype=W.dtype),
+            jnp.zeros((1,), log_diag.dtype),
+            jnp.asarray(
+                np.maximum(np.arange(K - 2, -1, -1), 0), dtype=log_diag.dtype
+            ),
         ]
     )
-    log_diag = jnp.log(jnp.diagonal(W, axis1=-2, axis2=-1))
     return logJ + jnp.sum(coeff * log_diag, axis=-1), log_diag
 
 
@@ -322,32 +343,123 @@ def _chol_logdet_jnp(y):
     return _logabsdetjac_inv_chol(y), log_diag
 
 
+def _lkj_logdet_tangent(y, dy, K: int, chol: bool):
+    """Closed-form LINEAR tangent of the fused (logJ, log_diag) maps.
+
+    logcosh(y) appears in logJ with a per-slot static multiplicity — slot
+    (row i, col j) enters lr_incl[i'] for i' = i..j-1 plus its standalone
+    term, so d logJ = -sum_s c_s tanh(y_s) dy_s with c_s = j-i+1 (chol
+    variant, corr.jl:485-501) or c_s = K-i (vec-corr variant — the same
+    telescoping that gives the closed form corr.jl:474-483). log_diag[:, j]
+    = -sum_{s in col j} logcosh(y_s), so its tangent is the same per-column
+    one-hot matmul as the primal. Everything here is LINEAR in dy (mul by
+    primal-dependent constants + reductions), so XLA transposes it for
+    reverse mode — `grad` through the Pallas dispatch never falls back to
+    the O(K^2)-intermediate jnp path."""
+    dtype = jnp.result_type(y, float)
+    t = jnp.tanh(y.astype(dtype)) * dy.astype(dtype)
+    rows = _triu1_rows_np(K)
+    cols = _triu1_cols_np(K)
+    coef = (cols - rows + 1) if chol else (K - rows)
+    dlogJ = -jnp.sum(jnp.asarray(coef, dtype) * t, axis=-1)
+    onehot = jnp.asarray(np.eye(K)[cols], dtype)
+    dlog_diag = -jnp.matmul(t, onehot, precision=jax.lax.Precision.HIGHEST)
+    return dlogJ, dlog_diag
+
+
 @_chol_logdet_pallas.defjvp
 def _chol_logdet_pallas_jvp(K, primals, tangents):
     (y,) = primals
     (dy,) = tangents
-    return jax.jvp(_chol_logdet_jnp, (y,), (dy,))
+    # Pallas PRIMAL even under differentiation on TPU (value_and_grad is the
+    # NUTS hot path) + closed-form linear tangent; jnp primal elsewhere
+    # (direct callers may differentiate on CPU, where Pallas can't lower).
+    if jax.default_backend() == "tpu":
+        from ..kernels.lkj import lkj_logdet_pallas
+
+        primal = lkj_logdet_pallas(y, K, chol=True)
+    else:
+        primal = _chol_logdet_jnp(y)
+    return primal, _lkj_logdet_tangent(y, dy, K, chol=True)
 
 
 @_vec_corr_logdet_pallas.defjvp
 def _vec_corr_logdet_pallas_jvp(K, primals, tangents):
     (y,) = primals
     (dy,) = tangents
-    return jax.jvp(_vec_corr_logdet_jnp, (y,), (dy,))
+    if jax.default_backend() == "tpu":
+        from ..kernels.lkj import lkj_logdet_pallas
+
+        primal = lkj_logdet_pallas(y, K)
+    else:
+        primal = _vec_corr_logdet_jnp(y)
+    return primal, _lkj_logdet_tangent(y, dy, K, chol=False)
+
+
+@_partial(jax.custom_jvp, nondiff_argnums=(1, 2))
+def _lkj_logdet_pallas_t(yT, K, chol):
+    """Transposed-layout (P, B) fused (logJ, log_diag) — the kernel's native
+    orientation, so the (B, P) -> (P, B) HBM relayout is skipped (the
+    linked_logdensity_t serving path). log_diag comes back (B, K)."""
+    from ..kernels.lkj import lkj_logdet_pallas
+
+    return lkj_logdet_pallas(yT, K, chol=chol, pre_t=True)
+
+
+@_lkj_logdet_pallas_t.defjvp
+def _lkj_logdet_pallas_t_jvp(K, chol, primals, tangents):
+    (yT,) = primals
+    (dyT,) = tangents
+    if jax.default_backend() == "tpu":
+        from ..kernels.lkj import lkj_logdet_pallas
+
+        primal = lkj_logdet_pallas(yT, K, chol=chol, pre_t=True)
+    else:
+        primal = (_chol_logdet_jnp if chol else _vec_corr_logdet_jnp)(
+            jnp.swapaxes(yT, 0, 1)
+        )
+    # closed-form linear tangent, natively transposed: per-slot coefficient
+    # contraction over axis 0; dlog_diag via the per-column one-hot matmul
+    # expressed batch-major (einsum handles the orientation without an
+    # explicit relayout)
+    dtype = jnp.result_type(yT, float)
+    t = jnp.tanh(yT.astype(dtype)) * dyT.astype(dtype)  # (P, B)
+    rows = _triu1_rows_np(K)
+    cols = _triu1_cols_np(K)
+    coef = (cols - rows + 1) if chol else (K - rows)
+    dlogJ = -jnp.sum(jnp.asarray(coef, dtype)[:, None] * t, axis=0)
+    onehot = jnp.asarray(np.eye(K)[cols], dtype)  # (P, K)
+    dlog_diag = -jnp.einsum(
+        "pk,pb->bk", onehot, t, precision=jax.lax.Precision.HIGHEST
+    )
+    return primal, (dlogJ, dlog_diag)
+
+
+def _lkj_pallas_profitable_t(yT) -> bool:
+    """Transposed-layout dispatch: yT is (P, B)."""
+    try:
+        from .. import kernels
+
+        K = triu1_dim_from_length(yT.shape[0])
+        return kernels.profitable(
+            "lkj", batch=yT.shape[-1], k=K, ndim=yT.ndim, dtype=yT.dtype
+        )
+    except Exception:
+        return False
 
 
 def _vec_corr_inverse_all_jnp(y):
-    """(X, logJ, log_diag_W) via the masked-cumsum jnp path."""
+    """(X, logJ, log_diag_W) via the masked-cumsum jnp path; log_diag from
+    the running sums, never log(exp(.))."""
     K = triu1_dim_from_length(y.shape[-1])
     Y = vec_to_triu(y, k=1, n=K)
-    W, logJ = _inv_link_chol_lkj(Y)
+    W, logJ, log_diag = _inv_link_chol_lkj_with_logdiag(Y)
     coeff = jnp.concatenate(
         [
             jnp.zeros((1,), W.dtype),
             jnp.asarray(np.maximum(np.arange(K - 2, -1, -1), 0), dtype=W.dtype),
         ]
     )
-    log_diag = jnp.log(jnp.diagonal(W, axis1=-2, axis2=-1))
     logJ = logJ + jnp.sum(coeff * log_diag, axis=-1)
     return pd_from_upper(W), logJ, log_diag
 
@@ -432,11 +544,13 @@ class VecCholeskyBijector(Bijector):
 
     def inverse_and_log_det_with_factor(self, y):
         """(X, logJ, log_diag): the sample IS the factor, so this just also
-        exposes its log-diagonal for LKJCholesky.logpdf_from_factor."""
-        X, logJ = self.inverse_and_log_det(y)
-        d = jnp.diagonal(X, axis1=-2, axis2=-1)
-        K = X.shape[-1]
-        log_diag = jnp.log(jnp.where(jnp.arange(K) == 0, 1.0, d))
+        exposes its log-diagonal for LKJCholesky.logpdf_from_factor —
+        straight from the running sums, never log(exp(.)) (finite at the
+        1e10-jump extremes where the diagonal underflows to 0)."""
+        K = triu1_dim_from_length(y.shape[-1])
+        Y = vec_to_triu(y, k=1, n=K)
+        W, logJ, log_diag = _inv_link_chol_lkj_with_logdiag(Y)
+        X = W if self.mode == "U" else jnp.swapaxes(W, -1, -2)
         return X, logJ, log_diag
 
     def inverse_log_det_and_factor_only(self, y):
@@ -451,11 +565,12 @@ class VecCholeskyBijector(Bijector):
         if _lkj_pallas_profitable(y):
             K = triu1_dim_from_length(y.shape[-1])
             return _chol_logdet_pallas(y, K)
-        K = triu1_dim_from_length(y.shape[-1])
-        dtype = jnp.result_type(y, float)
-        lc = logcosh(y.astype(dtype))
-        onehot = jnp.asarray(
-            np.eye(K)[_triu1_cols_np(K)], dtype
-        )  # (d, K): vec slot -> its column
-        log_diag = -jnp.matmul(lc, onehot, precision=jax.lax.Precision.HIGHEST)
-        return _logabsdetjac_inv_chol(y), log_diag
+        return _chol_logdet_jnp(y)
+
+    def inverse_log_det_and_factor_only_t(self, yT):
+        """Transposed-layout (P, B) variant (the linked_logdensity_t serving
+        path); log_diag returns (B, K)."""
+        K = triu1_dim_from_length(yT.shape[0])
+        if _lkj_pallas_profitable_t(yT):
+            return _lkj_logdet_pallas_t(yT, K, True)
+        return _chol_logdet_jnp(jnp.swapaxes(yT, 0, 1))

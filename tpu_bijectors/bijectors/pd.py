@@ -197,8 +197,153 @@ def _pd_logdensity_jnp(y, C, mode):
     return ld, sumd, tr
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _tril_rc_np(K: int):
+    """(rows, cols) of the row-major lower-triangle pack (pd.jl:36-43 order:
+    slot r(r+1)/2 + c for c <= r)."""
+    rows = np.asarray([r for r in range(K) for c in range(r + 1)], np.int32)
+    cols = np.asarray([c for r in range(K) for c in range(r + 1)], np.int32)
+    return rows, cols
+
+
+@lru_cache(maxsize=None)
+def _colmix_idx_np(K: int):
+    """Static indices for the packed column-mixing map: for every column c
+    and pair (a, r) with a, r >= c, map source slot (a, c) -> dest slot
+    (r, c) weighted by C[r, a]. Lets (C L) be computed as ONE (B, P) @ (P, P)
+    matmul on packed triangles — no (B, K, K) materialization (the jnp
+    fallback's (B, K, K) intermediates pad K -> 128 lanes, the 8x HBM waste
+    the kernels exist to avoid)."""
+    src, dst, cr, ca = [], [], [], []
+    slot = lambda r, c: r * (r + 1) // 2 + c
+    for c in range(K):
+        for a in range(c, K):
+            for r in range(c, K):
+                src.append(slot(a, c))
+                dst.append(slot(r, c))
+                cr.append(r)
+                ca.append(a)
+    return (
+        np.asarray(src, np.int32),
+        np.asarray(dst, np.int32),
+        np.asarray(cr, np.int32),
+        np.asarray(ca, np.int32),
+    )
+
+
+def _packed_colmix(Lp, C, K):
+    """packed(C @ L) from packed L (lower-tri, row-major) and a full (K, K)
+    matrix C, via a static scatter of C into a (P, P) mixing matrix."""
+    P = K * (K + 1) // 2
+    src, dst, cr, ca = _colmix_idx_np(K)
+    M = jnp.zeros((P, P), Lp.dtype).at[src, dst].add(C[cr, ca])
+    return jnp.matmul(Lp, M, precision=jax.lax.Precision.HIGHEST)
+
+
+def _pd_logdensity_tangent(y, C, dy, dC, K, mode):
+    """Closed-form LINEAR tangent of (logJ, sum_ydiag, tr) in packed (B, P)
+    algebra. With L = unpack(y) (exp diagonal):
+
+      d logJ = sum_r (K+1-r) dy_rr ;  d sumd = sum_r dy_rr
+      dot:   d tr = <dC, X> + 2 <C L, dL>          (C symmetric)
+             <dC, X> = sum_slots L . packed(dC L)   (X = L L')
+      solve: d tr = 2 <At, dC> - 2 <At A', dL>,  A = L^-1 C, At = L^-T A
+             (forward/back substitution unrolled over K rows of (B, K)).
+
+    Everything is linear in (dy, dC) => XLA transposes it for reverse mode."""
+    dtype = jnp.result_type(y, float)
+    y = y.astype(dtype)
+    dy = dy.astype(dtype)
+    C = jnp.asarray(C, dtype)
+    dC = jnp.asarray(dC, dtype)
+    rows, cols = _tril_rc_np(K)
+    diag = rows == cols
+    ed = jnp.exp(jnp.where(diag, y, 0.0))
+    Lp = jnp.where(diag, ed, y)  # packed L
+    dLp = jnp.where(diag, ed * dy, dy)  # packed dL
+    coeff = jnp.asarray(np.where(diag, K + 1.0 - rows, 0.0), dtype)
+    dlogJ = jnp.sum(coeff * dy, axis=-1)
+    dsumd = jnp.sum(jnp.asarray(diag, dtype) * dy, axis=-1)
+    if mode == "dot":
+        dtr = jnp.sum(Lp * _packed_colmix(Lp, dC, K), axis=-1) + 2.0 * jnp.sum(
+            _packed_colmix(Lp, C, K) * dLp, axis=-1
+        )
+        return dlogJ, dsumd, dtr
+    # solve mode: unrolled packed forward/back substitution (rows of (B, K))
+    slot = lambda r, c: r * (r + 1) // 2 + c
+    inv_d = [1.0 / Lp[..., slot(i, i)] for i in range(K)]
+    Cb = jnp.broadcast_to(C, y.shape[:-1] + (K, K))
+    A = []
+    for i in range(K):
+        acc = Cb[..., i, :]
+        for k in range(i):
+            acc = acc - Lp[..., slot(i, k), None] * A[k]
+        A.append(acc * inv_d[i][..., None])
+    At = [None] * K
+    for i in range(K - 1, -1, -1):
+        acc = A[i]
+        for k in range(i + 1, K):
+            acc = acc - Lp[..., slot(k, i), None] * At[k]
+        At[i] = acc * inv_d[i][..., None]
+    dtr = 2.0 * sum(jnp.sum(At[i] * dC[i, :], axis=-1) for i in range(K))
+    # <At A', dL> over lower slots: (At A')_{r,c} = sum_j At[r]_j A[c]_j
+    ata = jnp.stack(
+        [jnp.sum(At[int(r)] * A[int(c)], axis=-1) for r, c in zip(rows, cols)],
+        axis=-1,
+    )
+    dtr = dtr - 2.0 * jnp.sum(ata * dLp, axis=-1)
+    return dlogJ, dsumd, dtr
+
+
 @_pd_logdensity_pallas_diffable.defjvp
 def _pd_logdensity_pallas_jvp(K, mode, primals, tangents):
     y, C = primals
     dy, dC = tangents
-    return jax.jvp(lambda y, C: _pd_logdensity_jnp(y, C, mode), (y, C), (dy, dC))
+    if jax.default_backend() == "tpu":
+        from ..kernels.pd import pd_logdensity_pallas
+
+        primal = pd_logdensity_pallas(y, K, C, mode)
+    else:
+        primal = _pd_logdensity_jnp(y, C, mode)
+    return primal, _pd_logdensity_tangent(y, C, dy, dC, K, mode)
+
+
+@_partial(jax.custom_jvp, nondiff_argnums=(1, 3))
+def _pd_logdensity_pallas_t(yT, K, C, mode):
+    """Transposed-layout (P, B) fused PD logdensity — the kernel's native
+    orientation, no HBM relayout (the linked_logdensity_t serving path)."""
+    from ..kernels.pd import pd_logdensity_pallas
+
+    return pd_logdensity_pallas(yT, K, C, mode, pre_t=True)
+
+
+@_pd_logdensity_pallas_t.defjvp
+def _pd_logdensity_pallas_t_jvp(K, mode, primals, tangents):
+    yT, C = primals
+    dyT, dC = tangents
+    if jax.default_backend() == "tpu":
+        from ..kernels.pd import pd_logdensity_pallas
+
+        primal = pd_logdensity_pallas(yT, K, C, mode, pre_t=True)
+    else:
+        primal = _pd_logdensity_jnp(jnp.swapaxes(yT, 0, 1), C, mode)
+    tangent = _pd_logdensity_tangent(
+        jnp.swapaxes(yT, 0, 1), C, jnp.swapaxes(dyT, 0, 1), dC, K, mode
+    )
+    return primal, tangent
+
+
+def _pd_pallas_profitable_t(yT) -> bool:
+    """Transposed-layout dispatch: yT is (P, B)."""
+    try:
+        from .. import kernels
+
+        K = triu_dim_from_length(yT.shape[0])
+        return kernels.profitable(
+            "pd", batch=yT.shape[-1], k=K, ndim=yT.ndim, dtype=yT.dtype
+        )
+    except Exception:
+        return False

@@ -114,10 +114,79 @@ class SimplexBijector(Bijector):
         return x, -self.forward_log_det_jacobian(x)
 
 
+def _on_tpu() -> bool:
+    """The jvp rules keep the Pallas PRIMAL under differentiation on TPU
+    (value_and_grad is the NUTS hot path) but must fall back to the jnp
+    primal elsewhere — a direct caller may differentiate these wrappers on
+    CPU, where Pallas only runs in interpret mode."""
+    return jax.default_backend() == "tpu"
+
+
+def _clamp_mask(pre):
+    """d clamp(pre, 0, 1) / d pre — computed by differentiating the SAME
+    `clamp` the scan applies, so boundary/tie conventions match jax.jvp of
+    the sequential path exactly."""
+    return jax.jvp(lambda p: clamp(p, 0.0, 1.0), (pre,), (jnp.ones_like(pre),))[1]
+
+
+def _simplex_inverse_tangent(x, y, dy):
+    """Exact LINEAR tangent dx of y -> x = _simplex_inverse(y), given the
+    primal x (the scan's running sums are recovered from it by cumsum).
+
+    The scan's tangent recurrence is affine in ds (the running-sum tangent):
+        ds_{k+1} = a_k ds_k + b_k,
+        a_k = 1 - m_k z_k/(1-2eps),  b_k = m_k ((1+eps)-s_k)/(1-2eps) dz_k
+    (k=0: a_0=1, b_0 = m_0 dz_0/(1-2eps)), with m_k the clamp masks — so it
+    solves in O(log K) depth by the same affine associative_scan trick as
+    `_simplex_inverse_parallel`, instead of re-running the sequential scan.
+    Linear in dy => XLA transposes it for reverse mode (`grad` through the
+    Pallas dispatch stays on the fast path)."""
+    Km1 = y.shape[-1]
+    K = Km1 + 1
+    dtype = jnp.result_type(y, float)
+    y = y.astype(dtype)
+    dy = dy.astype(dtype)
+    x = x.astype(dtype)
+    eps = _eps(dtype)
+    z = logistic(y - _log_km1_minus_k(K, dtype))
+    dz = z * (1.0 - z) * dy
+    # s_k = scan carry BEFORE step k, k = 0..K-2 (exclusive prefix of x)
+    s = jnp.cumsum(x[..., : K - 2], axis=-1)
+    s = jnp.concatenate([jnp.zeros_like(x[..., :1]), s], axis=-1)
+    k_is_zero = jnp.arange(Km1) == 0
+    pre = jnp.where(
+        k_is_zero,
+        (z - eps) / (1 - 2 * eps),
+        ((1 + eps) - s) / (1 - 2 * eps) * z - eps,
+    )
+    m = _clamp_mask(pre)
+    a = jnp.where(k_is_zero, 1.0, 1.0 - m * z / (1 - 2 * eps))
+    b = m * jnp.where(
+        k_is_zero, dz / (1 - 2 * eps), ((1 + eps) - s) / (1 - 2 * eps) * dz
+    )
+
+    def compose(f, g):
+        fa, fb = f
+        ga, gb = g
+        return fa * ga, ga * fb + gb
+
+    _, B = jax.lax.associative_scan(compose, (a, b), axis=-1)
+    # B[..., k] = ds_{k+1}; dx_k = ds_{k+1} - ds_k
+    ds_excl = jnp.concatenate([jnp.zeros_like(B[..., :1]), B[..., :-1]], axis=-1)
+    dxk = B - ds_excl
+    s_final = s[..., -1] + x[..., K - 2]
+    dx_last = -_clamp_mask(1.0 - s_final) * B[..., -1]
+    return jnp.concatenate([dxk, dx_last[..., None]], axis=-1)
+
+
+def _ld_from_x(x):
+    return -SimplexBijector().forward_log_det_jacobian(x)
+
+
 @jax.custom_jvp
 def _simplex_inverse_pallas_diffable(y):
-    """Pallas primal with derivatives routed through the jnp scan (Pallas
-    kernels are not generally differentiable; the tangent map is identical)."""
+    """Pallas primal; closed-form linear tangent (Pallas kernels are not
+    generally differentiable; the tangent map is identical to the scan's)."""
     from ..kernels.simplex import simplex_inverse_pallas
 
     return simplex_inverse_pallas(y)
@@ -127,7 +196,13 @@ def _simplex_inverse_pallas_diffable(y):
 def _simplex_inverse_pallas_jvp(primals, tangents):
     (y,) = primals
     (dy,) = tangents
-    return jax.jvp(_simplex_inverse, (y,), (dy,))
+    if _on_tpu():
+        from ..kernels.simplex import simplex_inverse_pallas
+
+        x = simplex_inverse_pallas(y)
+    else:
+        x = _simplex_inverse(y)
+    return x, _simplex_inverse_tangent(x, y, dy)
 
 
 @jax.custom_jvp
@@ -144,14 +219,38 @@ def simplex_inverse_logdet_wlog(y, am1):
 def _simplex_inverse_logdet_wlog_jnp(y, am1):
     x, ld = _simplex_inverse_logdet_jnp(y)
     w = jnp.asarray(am1, x.dtype)  # match the primal dtype (f32 on TPU)
-    return x, ld, jnp.sum(w * jnp.log(x), axis=-1)
+    # eps-nudge matching the reference's transformed-path Dirichlet density
+    # logpdf(d, x .+ eps) (src/Bijectors.jl:253): finite (and NaN-free for
+    # alpha = 1 coordinates) when the stick-breaking clamps saturate x to 0
+    return x, ld, jnp.sum(w * jnp.log(x + _eps(x.dtype)), axis=-1)
+
+
+def _wlog_tangents(x, y, am1, dy, dam1):
+    """(dx, dld, dwlog): closed-form dx, then chain rule through the cheap
+    elementwise (ld, wlog)-from-x map (jax.jvp of it is O(BK) parallel)."""
+    dx = _simplex_inverse_tangent(x, y, dy)
+
+    def ld_wlog(x, w):
+        return _ld_from_x(x), jnp.sum(w * jnp.log(x + _eps(x.dtype)), axis=-1)
+
+    w = jnp.asarray(am1, x.dtype)
+    dw = jnp.asarray(dam1, x.dtype)
+    _, (dld, dwlog) = jax.jvp(ld_wlog, (x, w), (dx, dw))
+    return dx, dld, dwlog
 
 
 @simplex_inverse_logdet_wlog.defjvp
 def _simplex_inverse_logdet_wlog_jvp(primals, tangents):
     y, am1 = primals
     dy, dam1 = tangents
-    return jax.jvp(_simplex_inverse_logdet_wlog_jnp, (y, am1), (dy, dam1))
+    if _on_tpu():
+        from ..kernels.simplex import simplex_inverse_logdet_wlog_pallas
+
+        x, ld, wlog = simplex_inverse_logdet_wlog_pallas(y, am1)
+    else:
+        x, ld, wlog = _simplex_inverse_logdet_wlog_jnp(y, am1)
+    dx, dld, dwlog = _wlog_tangents(x, y, am1, dy, dam1)
+    return (x, ld, wlog), (dx, dld, dwlog)
 
 
 @jax.custom_jvp
@@ -168,8 +267,45 @@ def simplex_logdet_wlog_nox(y, am1):
 def _simplex_logdet_wlog_nox_jvp(primals, tangents):
     y, am1 = primals
     dy, dam1 = tangents
-    primal, tangent = jax.jvp(_simplex_inverse_logdet_wlog_jnp, (y, am1), (dy, dam1))
-    return (primal[1], primal[2]), (tangent[1], tangent[2])
+    if _on_tpu():
+        from ..kernels.simplex import simplex_inverse_logdet_wlog_pallas
+
+        # want_x=True here: the closed-form tangent needs the primal x (one
+        # extra (B, K) HBM write — still far cheaper than the jnp scan path)
+        x, ld, wlog = simplex_inverse_logdet_wlog_pallas(y, am1)
+    else:
+        x, ld, wlog = _simplex_inverse_logdet_wlog_jnp(y, am1)
+    _, dld, dwlog = _wlog_tangents(x, y, am1, dy, dam1)
+    return (ld, wlog), (dld, dwlog)
+
+
+@jax.custom_jvp
+def simplex_logdet_wlog_nox_t(yT, am1):
+    """Transposed-layout variant of simplex_logdet_wlog_nox: yT is (K-1, B)
+    — the kernel's native batch-on-lanes orientation — so the (B, K-1) ->
+    (K-1, B) HBM relayout is skipped entirely (the linked_logdensity_t
+    serving path)."""
+    from ..kernels.simplex import simplex_inverse_logdet_wlog_pallas
+
+    _, ld, wlog = simplex_inverse_logdet_wlog_pallas(
+        yT, am1, want_x=False, pre_t=True
+    )
+    return ld, wlog
+
+
+@simplex_logdet_wlog_nox_t.defjvp
+def _simplex_logdet_wlog_nox_t_jvp(primals, tangents):
+    yT, am1 = primals
+    dyT, dam1 = tangents
+    y = jnp.swapaxes(yT, 0, 1)
+    if _on_tpu():
+        from ..kernels.simplex import simplex_inverse_logdet_wlog_pallas
+
+        x, ld, wlog = simplex_inverse_logdet_wlog_pallas(yT, am1, pre_t=True)
+    else:
+        x, ld, wlog = _simplex_inverse_logdet_wlog_jnp(y, am1)
+    _, dld, dwlog = _wlog_tangents(x, y, am1, jnp.swapaxes(dyT, 0, 1), dam1)
+    return (ld, wlog), (dld, dwlog)
 
 
 @jax.custom_jvp
@@ -189,7 +325,15 @@ def _simplex_forward_logdet_jnp(x):
 def _simplex_forward_logdet_pallas_jvp(primals, tangents):
     (x,) = primals
     (dx,) = tangents
-    return jax.jvp(_simplex_forward_logdet_jnp, (x,), (dx,))
+    # Pallas primal on TPU; tangent via the jnp forward — which is already
+    # closed-form parallel (cumsum-based, no scan), so its jvp is cheap and
+    # XLA DCEs the unused jnp primal outputs.
+    primal, tangent = jax.jvp(_simplex_forward_logdet_jnp, (x,), (dx,))
+    if _on_tpu():
+        from ..kernels.simplex import simplex_forward_logdet_pallas
+
+        primal = simplex_forward_logdet_pallas(x)
+    return primal, tangent
 
 
 @jax.custom_jvp
@@ -209,7 +353,15 @@ def _simplex_inverse_logdet_jnp(y):
 def _simplex_inverse_logdet_pallas_jvp(primals, tangents):
     (y,) = primals
     (dy,) = tangents
-    return jax.jvp(_simplex_inverse_logdet_jnp, (y,), (dy,))
+    if _on_tpu():
+        from ..kernels.simplex import simplex_inverse_logdet_pallas
+
+        x, ld = simplex_inverse_logdet_pallas(y)
+    else:
+        x, ld = _simplex_inverse_logdet_jnp(y)
+    dx = _simplex_inverse_tangent(x, y, dy)
+    _, dld = jax.jvp(_ld_from_x, (x,), (dx,))
+    return (x, ld), (dx, dld)
 
 
 def _pallas_profitable(y) -> bool:
@@ -221,6 +373,22 @@ def _pallas_profitable(y) -> bool:
 
         return kernels.profitable(
             "simplex", batch=y.shape[0], k=y.shape[-1] + 1, ndim=y.ndim, dtype=y.dtype
+        )
+    except Exception:
+        return False
+
+
+def _pallas_profitable_t(yT) -> bool:
+    """Transposed-layout dispatch: yT is (K-1, B)."""
+    try:
+        from .. import kernels
+
+        return kernels.profitable(
+            "simplex",
+            batch=yT.shape[-1],
+            k=yT.shape[0] + 1,
+            ndim=yT.ndim,
+            dtype=yT.dtype,
         )
     except Exception:
         return False

@@ -239,16 +239,22 @@ class PoissonBinomial(Distribution):
 
 def _log_bessel_i(order, z):
     """log I_order(z) for integer order >= 0, via the ascending series
-    sum_m (z/2)^{2m+order} / (m! (m+order)!) — static-length logsumexp."""
+    sum_m (z/2)^{2m+order} / (m! (m+order)!) — windowed logsumexp centered
+    on the dominant term (m* ~ z/2 for large z, beyond a fixed truncation;
+    see univariate3._windowed_series_logsumexp)."""
+    from .univariate3 import _windowed_series_logsumexp
+
     dtype = z.dtype
-    m = jnp.arange(_N_BESSEL, dtype=dtype)
     log_half_z = jnp.log(jnp.maximum(0.5 * z, jnp.finfo(dtype).tiny))
-    lt = (
-        (2.0 * m + order[..., None]) * log_half_z[..., None]
-        - jsp.gammaln(m + 1.0)
-        - jsp.gammaln(m + order[..., None] + 1.0)
-    )
-    return jsp.logsumexp(lt, axis=-1)
+
+    def lt(m):
+        return (
+            (2.0 * m + order[..., None]) * log_half_z[..., None]
+            - jsp.gammaln(m + 1.0)
+            - jsp.gammaln(m + order[..., None] + 1.0)
+        )
+
+    return _windowed_series_logsumexp(lt, dtype, n=_N_BESSEL)
 
 
 @pytree_dataclass

@@ -302,6 +302,40 @@ class Wishart(Distribution):
         )
         return None, lp + logJ
 
+    def fused_linked_logdensity_t(self, bijector, yT):
+        """Transposed-layout (P, B) fusion hook (linked_logdensity_t): same
+        assembly as fused_linked_logdensity, kernel fed in its native
+        orientation (no HBM relayout)."""
+        from ..bijectors.pd import (
+            PDVecBijector,
+            _pd_logdensity_pallas_t,
+            _pd_pallas_profitable_t,
+        )
+        from ..utils import cholesky_lower
+
+        if type(bijector) is not PDVecBijector:
+            return None
+        if not _pd_pallas_profitable_t(yT):
+            return None
+        if jnp.ndim(self.scale) != 2 or jnp.ndim(self.df) != 0:
+            return None
+        dtype = jnp.result_type(yT, float)
+        K = jnp.shape(self.scale)[-1]
+        v = jnp.asarray(self.df, dtype)
+        Sc = cholesky_lower(jnp.asarray(self.scale, dtype))
+        Sinv = jax.scipy.linalg.cho_solve((Sc, True), jnp.eye(K, dtype=dtype))
+        logJ, sumd, tr = _pd_logdensity_pallas_t(yT, K, Sinv, "dot")
+        logdetX = 2.0 * sumd
+        logdetS = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Sc, axis1=-2, axis2=-1)), -1)
+        lp = (
+            0.5 * (v - K - 1.0) * logdetX
+            - 0.5 * tr
+            - 0.5 * v * K * LOG2
+            - 0.5 * v * logdetS
+            - _mv_lgamma(0.5 * v, K)
+        )
+        return lp + logJ
+
     def sample(self, key, sample_shape=()):
         dtype = jnp.result_type(self.df, self.scale, float)
         K = jnp.shape(self.scale)[-1]
@@ -402,6 +436,37 @@ class InverseWishart(Distribution):
             - _mv_lgamma(0.5 * v, K)
         )
         return None, lp + logJ
+
+    def fused_linked_logdensity_t(self, bijector, yT):
+        """Transposed-layout (P, B) fusion hook (linked_logdensity_t)."""
+        from ..bijectors.pd import (
+            PDVecBijector,
+            _pd_logdensity_pallas_t,
+            _pd_pallas_profitable_t,
+        )
+        from ..utils import cholesky_lower
+
+        if type(bijector) is not PDVecBijector:
+            return None
+        if not _pd_pallas_profitable_t(yT):
+            return None
+        if jnp.ndim(self.psi) != 2 or jnp.ndim(self.df) != 0:
+            return None
+        dtype = jnp.result_type(yT, float)
+        K = jnp.shape(self.psi)[-1]
+        v = jnp.asarray(self.df, dtype)
+        Pc = cholesky_lower(jnp.asarray(self.psi, dtype))
+        logJ, sumd, tr = _pd_logdensity_pallas_t(yT, K, Pc, "solve")
+        logdetX = 2.0 * sumd
+        logdetP = 2.0 * jnp.sum(jnp.log(jnp.diagonal(Pc, axis1=-2, axis2=-1)), -1)
+        lp = (
+            0.5 * v * logdetP
+            - 0.5 * (v + K + 1.0) * logdetX
+            - 0.5 * tr
+            - 0.5 * v * K * LOG2
+            - _mv_lgamma(0.5 * v, K)
+        )
+        return lp + logJ
 
     def sample(self, key, sample_shape=()):
         dtype = jnp.result_type(self.df, self.psi, float)

@@ -53,22 +53,49 @@ class Dirichlet(Distribution):
         from ..bijectors.simplex import (
             SimplexBijector,
             _pallas_profitable,
+            _simplex_inverse_logdet_wlog_jnp,
             simplex_inverse_logdet_wlog,
             simplex_logdet_wlog_nox,
         )
 
-        if type(bijector) is not SimplexBijector or not _pallas_profitable(y):
+        if type(bijector) is not SimplexBijector:
             return None
         if jnp.ndim(self.alpha) != 1:
             return None  # batched alpha: generic broadcasting path
         dtype = jnp.result_type(y, float)
         a = jnp.asarray(self.alpha, dtype)
         lognorm = jnp.sum(jsp.gammaln(a)) - jsp.gammaln(jnp.sum(a))
+        if not _pallas_profitable(y):
+            # jnp composition with the same eps-nudged weighted-log term
+            # (the reference's logpdf_with_trans Dirichlet nudge,
+            # src/Bijectors.jl:253): the linked density stays finite at
+            # 1e10 jumps on EVERY configuration, not just kernel shapes
+            x, ld, wlog = _simplex_inverse_logdet_wlog_jnp(y, a - 1.0)
+            return (x if want_x else None), wlog - lognorm + ld
         if want_x:
             x, ld, wlog = simplex_inverse_logdet_wlog(y, a - 1.0)
             return x, wlog - lognorm + ld
         ld, wlog = simplex_logdet_wlog_nox(y, a - 1.0)
         return None, wlog - lognorm + ld
+
+    def fused_linked_logdensity_t(self, bijector, yT):
+        """Transposed-layout fusion hook (vectorize.core linked_logdensity_t):
+        yT is (K-1, B) — the kernel's native orientation, no HBM relayout."""
+        from ..bijectors.simplex import (
+            SimplexBijector,
+            _pallas_profitable_t,
+            simplex_logdet_wlog_nox_t,
+        )
+
+        if type(bijector) is not SimplexBijector or not _pallas_profitable_t(yT):
+            return None
+        if jnp.ndim(self.alpha) != 1:
+            return None
+        dtype = jnp.result_type(yT, float)
+        a = jnp.asarray(self.alpha, dtype)
+        lognorm = jnp.sum(jsp.gammaln(a)) - jsp.gammaln(jnp.sum(a))
+        ld, wlog = simplex_logdet_wlog_nox_t(yT, a - 1.0)
+        return wlog - lognorm + ld
 
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape

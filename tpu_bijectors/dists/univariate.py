@@ -37,6 +37,23 @@ def _f(d, *xs):
     return [jnp.asarray(x, dtype) for x in xs] + [dtype]
 
 
+
+def _is_log_link(b) -> bool:
+    """True when the registry link is mathematically x -> log(x): either the
+    Log bijector or the lower-only Truncated(0, inf) branch the positive
+    Support resolves to (y = log(x - 0), truncated.jl:35)."""
+    from ..bijectors.scalar import Log, Truncated
+
+    if type(b) is Log:
+        return True
+    if type(b) is Truncated and b.lower_finite and not b.upper_finite:
+        try:
+            return float(b.lb) == 0.0
+        except Exception:  # traced bound: can't confirm 0 at trace time
+            return False
+    return False
+
+
 # ---------------------------------------------------------------------------
 # Real line
 # ---------------------------------------------------------------------------
@@ -227,6 +244,23 @@ class LogNormal(Distribution):
         z = (lx - self.mu) / self.sigma
         return -0.5 * (z * z + LOG2PI) - jnp.log(jnp.asarray(self.sigma, z.dtype)) - lx
 
+    def fused_linked_logdensity(self, bijector, y, want_x: bool = True):
+        """Telescoped linked density (vectorize.core hook): with the Log
+        link, logpdf(exp(v)) + v cancels the log/exp round-trip exactly —
+        it is just the Normal density of v. Finite at |v| ~ 1e10 where
+        exp(v) over/underflows and the generic composition returns
+        inf - inf = NaN (the 1e10-jump robustness regime,
+        /root/reference/test/legacy_interface.jl:160-172 spirit), and
+        cheaper: no exp/log in the leapfrog hot loop."""
+        if not _is_log_link(bijector):
+            return None
+        dtype = jnp.result_type(y, float)
+        mu = jnp.asarray(self.mu, dtype)
+        sig = jnp.asarray(self.sigma, dtype)
+        z = (y - mu) / sig
+        lp = -0.5 * (z * z + LOG2PI) - jnp.log(sig)
+        return (jnp.exp(y) if want_x else None), lp
+
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape
         dtype = jnp.result_type(self.mu, self.sigma, float)
@@ -250,6 +284,15 @@ class Exponential(Distribution):
     def logpdf(self, x):
         r = jnp.asarray(self.rate, jnp.result_type(x, float))
         return jnp.log(r) - r * x
+
+    def fused_linked_logdensity(self, bijector, y, want_x: bool = True):
+        """Telescoped linked density: log r + v - r e^v — -inf (never NaN)
+        when e^v overflows (see LogNormal.fused_linked_logdensity)."""
+        if not _is_log_link(bijector):
+            return None
+        r = jnp.asarray(self.rate, jnp.result_type(y, float))
+        lp = jnp.log(r) + y - r * jnp.exp(y)
+        return (jnp.exp(y) if want_x else None), lp
 
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape
@@ -277,6 +320,18 @@ class Gamma(Distribution):
         r = jnp.asarray(self.rate, jnp.result_type(x, float))
         return a * jnp.log(r) + (a - 1.0) * jnp.log(x) - r * x - jsp.gammaln(a)
 
+    def fused_linked_logdensity(self, bijector, y, want_x: bool = True):
+        """Telescoped linked density: a log r + a v - r e^v - lgamma(a) —
+        finite/-inf (never NaN) at |v| ~ 1e10 where the generic composition
+        hits (a-1) log(exp(v)) - r exp(v) = inf - inf."""
+        if not _is_log_link(bijector):
+            return None
+        dtype = jnp.result_type(y, float)
+        a = jnp.asarray(self.concentration, dtype)
+        r = jnp.asarray(self.rate, dtype)
+        lp = a * jnp.log(r) + a * y - r * jnp.exp(y) - jsp.gammaln(a)
+        return (jnp.exp(y) if want_x else None), lp
+
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape
         dtype = jnp.result_type(self.concentration, self.rate, float)
@@ -299,6 +354,17 @@ class InverseGamma(Distribution):
         a = jnp.asarray(self.concentration, jnp.result_type(x, float))
         b = jnp.asarray(self.scale, jnp.result_type(x, float))
         return a * jnp.log(b) - (a + 1.0) * jnp.log(x) - b / x - jsp.gammaln(a)
+
+    def fused_linked_logdensity(self, bijector, y, want_x: bool = True):
+        """Telescoped linked density: a log b - a v - b e^{-v} - lgamma(a)
+        (see LogNormal.fused_linked_logdensity)."""
+        if not _is_log_link(bijector):
+            return None
+        dtype = jnp.result_type(y, float)
+        a = jnp.asarray(self.concentration, dtype)
+        b = jnp.asarray(self.scale, dtype)
+        lp = a * jnp.log(b) - a * y - b * jnp.exp(-y) - jsp.gammaln(a)
+        return (jnp.exp(y) if want_x else None), lp
 
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape

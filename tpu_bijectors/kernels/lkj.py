@@ -36,7 +36,9 @@ from .layout import (
 LOG2 = math.log(2.0)
 
 
-def lkj_logdet_pallas(y, K: int, *, chol: bool = False, interpret: bool = False):
+def lkj_logdet_pallas(
+    y, K: int, *, chol: bool = False, pre_t: bool = False, interpret: bool = False
+):
     """Logdensity-only variant: (logJ, log_diag_W) WITHOUT materializing
     X = W'W — the LKJ density needs only the factor diagonal, and when the
     caller drops x the X triple-product and its HBM write are pure waste
@@ -44,14 +46,20 @@ def lkj_logdet_pallas(y, K: int, *, chol: bool = False, interpret: bool = False)
 
     chol=False: logJ of VecCorrBijector.inverse (incl. the diag-coefficient
     correction, corr.jl:74-81). chol=True: logJ of the Cholesky-variant
-    inverse link (corr.jl:485-501) — same recurrence, coefficient 0."""
-    B, P = y.shape
+    inverse link (corr.jl:485-501) — same recurrence, coefficient 0.
+    pre_t=True: y is already (P, B) (the transposed linked_logdensity_t
+    path) — skips the (B, P) -> (P, B) HBM relayout, about one full extra
+    pass at B=131072. log_diag comes back batch-major (B, K) either way."""
+    if pre_t:
+        P, B = y.shape
+    else:
+        B, P = y.shape
     assert P == K * (K - 1) // 2
     dtype = jnp.result_type(y, float)
     y = y.astype(dtype)
     Bp = _padded_batch(B)
     W = _block_lanes(Bp)
-    yt = _pad_to(y, Bp, 0).T
+    yt = _pad_to(y, Bp, 1) if pre_t else _pad_to(y, Bp, 0).T
 
     if chol:
         coeff = np.zeros(K, dtype)

@@ -94,10 +94,14 @@ def pd_inverse_pallas(y, K: int, *, interpret: bool = False):
     return X, logJ[0, :B], L
 
 
-def pd_logdensity_pallas(y, K: int, C, mode: str, *, interpret: bool = False):
+def pd_logdensity_pallas(
+    y, K: int, C, mode: str, *, pre_t: bool = False, interpret: bool = False
+):
     """Logdensity-only fused PD inverse link + Wishart-family trace term.
 
-    y: (B, K(K+1)/2) packed lower triangle; C: (K, K) batch-constant matrix
+    y: (B, K(K+1)/2) packed lower triangle — or (K(K+1)/2, B) with
+    pre_t=True (the transposed linked_logdensity_t path, skipping the HBM
+    relayout); C: (K, K) batch-constant matrix
     (may be traced — rides as a lane-broadcast operand). Returns
     (logJ: (B,), sum_ydiag: (B,), trace: (B,)) where
 
@@ -112,14 +116,17 @@ def pd_logdensity_pallas(y, K: int, C, mode: str, *, interpret: bool = False):
     substitution.
     """
     assert mode in ("dot", "solve")
-    B, P = y.shape
+    if pre_t:
+        P, B = y.shape
+    else:
+        B, P = y.shape
     assert P == K * (K + 1) // 2
     dtype = jnp.result_type(y, float)
     y = y.astype(dtype)
 
     Bp = _padded_batch(B)
     W = _block_lanes(Bp)
-    yt = _pad_to(y, Bp, 0).T  # (P, Bp)
+    yt = _pad_to(y, Bp, 1) if pre_t else _pad_to(y, Bp, 0).T  # (P, Bp)
     Cb = jnp.broadcast_to(
         jnp.asarray(C, dtype).reshape(K * K)[:, None], (K * K, W)
     )

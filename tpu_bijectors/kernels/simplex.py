@@ -71,7 +71,7 @@ def simplex_inverse_pallas(y, *, interpret: bool = False):
     return out.T[:B]
 
 
-def _simplex_fused_pallas(y, am1=None, *, want_x=True, interpret=False):
+def _simplex_fused_pallas(y, am1=None, *, want_x=True, pre_t=False, interpret=False):
     """Single fused inverse pass; optional extras selected at TRACE time:
 
       * am1 (K,) weights (concrete OR traced) -> also accumulate
@@ -79,11 +79,18 @@ def _simplex_fused_pallas(y, am1=None, *, want_x=True, interpret=False):
         lane-broadcast VMEM operand, so alpha can be a jit argument)
       * want_x=False -> skip writing the (K, B) x output entirely (a kernel
         cannot be DCE'd into; logdensity-only callers save the HBM write)
+      * pre_t=True -> y is ALREADY in the kernel's native (K-1, B) layout
+        (the transposed linked_logdensity_t path): skips the (B, K-1) ->
+        (K-1, B) HBM relayout, which costs about one full extra pass
 
-    Returns (x_or_None, ld_inv, wlog_or_None). The eps algebra lives ONCE
-    here for all variants (CLAUDE.md: reference numerics are load-bearing).
+    Returns (x_or_None, ld_inv, wlog_or_None); x comes back batch-major
+    (B, K) either way. The eps algebra lives ONCE here for all variants
+    (CLAUDE.md: reference numerics are load-bearing).
     """
-    B, Km1 = y.shape
+    if pre_t:
+        Km1, B = y.shape
+    else:
+        B, Km1 = y.shape
     K = Km1 + 1
     dtype = jnp.result_type(y, float)
     y = y.astype(dtype)
@@ -93,7 +100,7 @@ def _simplex_fused_pallas(y, am1=None, *, want_x=True, interpret=False):
 
     Bp = _padded_batch(B)
     W = _block_lanes(Bp)
-    yt = _pad_to(y, Bp, 0).T  # (K-1, Bp)
+    yt = _pad_to(y, Bp, 1) if pre_t else _pad_to(y, Bp, 0).T  # (K-1, Bp)
     if want_wlog:
         # weights ride as a VMEM OPERAND (broadcast to lane width): tracer-
         # safe, and alpha changes don't recompile the kernel
@@ -132,13 +139,17 @@ def _simplex_fused_pallas(y, am1=None, *, want_x=True, interpret=False):
             if want_x:
                 x_ref[k, :] = xk[0, :]
             if want_wlog:
-                wl = wl + am1_ref[k, :].reshape(1, W) * jnp.log(xk)
+                # eps-nudge: the reference evaluates logpdf(d, x .+ eps) on
+                # the transformed path (src/Bijectors.jl:253) — also keeps
+                # 0 * log(0) = NaN out of the alpha=1 coordinates at the
+                # clamped boundary (1e10-jump robustness)
+                wl = wl + am1_ref[k, :].reshape(1, W) * jnp.log(xk + eps)
             s = s + xk
         x_last = jnp.clip(1.0 - s, 0.0, 1.0)
         if want_x:
             x_ref[K - 1, :] = x_last[0, :]
         if want_wlog:
-            wl = wl + am1_ref[K - 1, :].reshape(1, W) * jnp.log(x_last)
+            wl = wl + am1_ref[K - 1, :].reshape(1, W) * jnp.log(x_last + eps)
             wl_ref[0, :] = wl[0, :]
         ld_ref[0, :] = lp[0, :]  # inverse logdet = -forward logdet
 
@@ -189,11 +200,14 @@ def simplex_inverse_logdet_pallas(y, *, interpret: bool = False):
 
 
 def simplex_inverse_logdet_wlog_pallas(
-    y, am1, *, want_x: bool = True, interpret: bool = False
+    y, am1, *, want_x: bool = True, pre_t: bool = False, interpret: bool = False
 ):
-    """y: (B, K-1), am1: (K,) CONCRETE -> (x, ld_inv, wlog) with
-    wlog = sum_k am1[k] log(x_k); x is None when want_x=False."""
-    return _simplex_fused_pallas(y, am1, want_x=want_x, interpret=interpret)
+    """y: (B, K-1) — or (K-1, B) with pre_t=True — am1: (K,) concrete or
+    traced -> (x, ld_inv, wlog) with wlog = sum_k am1[k] log(x_k); x is
+    None when want_x=False."""
+    return _simplex_fused_pallas(
+        y, am1, want_x=want_x, pre_t=pre_t, interpret=interpret
+    )
 
 
 def simplex_forward_logdet_pallas(x, *, interpret: bool = False):

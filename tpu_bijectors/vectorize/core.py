@@ -134,6 +134,16 @@ class Unconstrainer:
         into like the jnp path can)."""
         return self.from_linked_vec_with_logpdf(v)[1]
 
+    def linked_logdensity_t(self, vT):
+        """linked_logdensity on the TRANSPOSED (dim, batch) layout — the
+        TPU-native serving orientation: batch rides the 128-wide lane axis
+        end to end, so leaf slices are contiguous row blocks and the Pallas
+        kernels read their native (event, batch) layout with NO HBM
+        relayout (each per-leaf (B, P) -> (P, B) transpose costs about one
+        full extra pass at B=131072). vT must be 2-D (dim, batch).
+        Default: fall back to the batch-major path."""
+        return self.linked_logdensity(jnp.swapaxes(vT, 0, 1))
+
 
 @pytree_dataclass(meta_fields=("event_shape", "linked_shape", "chol_pack", "entangled"))
 class LeafUnconstrainer(Unconstrainer):
@@ -271,6 +281,30 @@ class LeafUnconstrainer(Unconstrainer):
             return lp + ld
         return self.from_linked_vec_with_logpdf(v)[1]
 
+    def linked_logdensity_t(self, vT):
+        b, d = self.link, self.dist
+        if len(self.linked_shape) == 1:
+            hook = getattr(d, "fused_linked_logdensity_t", None)
+            if hook is not None:
+                out = hook(b, vT)
+                if out is not None:
+                    return out
+            if hasattr(b, "inverse_log_det_and_factor_only_t") and hasattr(
+                d, "logpdf_from_factor"
+            ):
+                ld, factor = b.inverse_log_det_and_factor_only_t(vT)
+                try:
+                    lp = d.logpdf_from_factor(factor, None)
+                except TypeError:
+                    lp = d.logpdf_from_factor(factor)
+                return lp + ld
+        if self.linked_shape == () and self.event_shape == ():
+            # scalar leaf: the link and density are elementwise, so the
+            # (1, B) row works in place (through the normal leaf path, so
+            # telescoped scalar hooks like LogNormal's still fire)
+            return self.linked_logdensity(vT[0][..., None])
+        return self.linked_logdensity(jnp.swapaxes(vT, 0, 1))
+
 
 def _to_lower(x, dist):
     mode = getattr(dist, "mode", "L")
@@ -326,6 +360,17 @@ class IIDUnconstrainer(Unconstrainer):
     def linked_logdensity(self, v):
         vi = jnp.reshape(v, v.shape[:-1] + (self.n, self.inner.linked_vec_length))
         return jnp.sum(self.inner.linked_logdensity(vi), axis=-1)
+
+    def linked_logdensity_t(self, vT):
+        inner = self.inner
+        if inner.linked_shape == () and inner.event_shape == ():
+            # scalar inner: vT is (n, B) and everything is elementwise —
+            # evaluate in place (batch stays on lanes, no 16x sublane
+            # padding waste of the (B, n) orientation) and reduce the block
+            # axis. The dummy trailing event axis feeds the leaf protocol.
+            lpld = inner.linked_logdensity(vT[..., None])  # (n, B)
+            return jnp.sum(lpld, axis=0)
+        return self.linked_logdensity(jnp.swapaxes(vT, 0, 1))
 
     def optic_vec(self):
         inner = self.inner.optic_vec()
@@ -418,6 +463,16 @@ class TreeUnconstrainer(Unconstrainer):
             acc = a if acc is None else acc + a
         return acc
 
+    def linked_logdensity_t(self, vT):
+        # transposed layout: each child's block is a CONTIGUOUS row slice
+        # (vs the strided lane slices of the (B, dim) orientation, which
+        # cost about one extra full pass over v at B=131072)
+        acc = None
+        for c, (s, l) in zip(self.children, self.linked_offsets):
+            a = c.linked_logdensity_t(vT[s : s + l, :])
+            acc = a if acc is None else acc + a
+        return acc
+
     def optic_vec(self):
         out = []
         for i, c in enumerate(self.children):
@@ -478,6 +533,10 @@ class TransformedUnconstrainer(Unconstrainer):
         x, lpld = self.base.from_linked_vec_with_logpdf(v)
         y = self.transform.forward(x)
         return y, lpld
+
+    def linked_logdensity_t(self, vT):
+        # same telescoping: the density equals the base's, no transform eval
+        return self.base.linked_logdensity_t(vT)
 
     def optic_vec(self):
         shape = tuple(int(s) for s in self.td.event_shape)
