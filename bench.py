@@ -5,8 +5,11 @@ step evaluates) for a hierarchical mixed-support model
 (location + positive scales + simplex weights + LKJ(16) correlation),
 batched at 131072.
 
-The fused path never decomposes a matrix: the LKJ density is evaluated from
-the Cholesky-factor diagonal the inverse link already computes
+The fused path holds the state in the TPU-native transposed (dim, batch)
+orientation and evaluates the ENTIRE model as ONE Pallas kernel
+(vectorize/fused_kernel.py): batch rides the 128-wide lane axis end to
+end, the state is read from HBM exactly once, and no matrix is ever
+decomposed — the LKJ density telescopes to a weighted logcosh reduction
 (factor-aware fusion, reference src/bijectors/corr.jl:56-79 semantics).
 The naive baseline is the honest unfused alternative a user without the
 fused API would write: per-sample from_linked_vec, then logpdf(x) (which
@@ -53,11 +56,14 @@ def _model():
     )
 
 
-def _scan_prog(step_fn, n):
+def _scan_prog(step_fn, n, transposed=False):
     @jax.jit
     def many(v, priors):
         def body(carry, _):
-            lp = step_fn(v + 1e-3 * jnp.tanh(0.01 * carry[:, None]), priors)
+            if transposed:
+                lp = step_fn(v + 1e-3 * jnp.tanh(0.01 * carry[None, :]), priors)
+            else:
+                lp = step_fn(v + 1e-3 * jnp.tanh(0.01 * carry[:, None]), priors)
             return lp, None
 
         lp, _ = lax.scan(body, jnp.zeros((BATCH,), v.dtype), None, length=n)
@@ -73,9 +79,9 @@ def _t2f(prog, v, priors):
     return time.perf_counter() - t0
 
 
-def _slope(step_fn, v, priors, n1, n2, reps=3):
-    pa = _scan_prog(step_fn, n1)
-    pb = _scan_prog(step_fn, n2)
+def _slope(step_fn, v, priors, n1, n2, reps=3, transposed=False):
+    pa = _scan_prog(step_fn, n1, transposed)
+    pb = _scan_prog(step_fn, n2, transposed)
     _t2f(pa, v, priors)  # compile
     _t2f(pb, v, priors)
     pers = sorted(
@@ -90,9 +96,14 @@ def main():
     priors = _model()
     dim = unconstrain(priors).linked_vec_length
     v = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (BATCH, dim))
+    # the fused hot path holds the state in the TPU-native transposed
+    # (dim, batch) orientation and evaluates the whole model as ONE Pallas
+    # kernel (vectorize/fused_kernel.py) — batch on lanes end to end, the
+    # state read from HBM exactly once
+    vt = jnp.swapaxes(v, 0, 1)
 
-    def fused_fn(v, priors):
-        return unconstrain(priors).linked_logdensity(v)
+    def fused_fn(vT, priors):
+        return unconstrain(priors).linked_logdensity_t(vT)
 
     def naive_fn(v, priors):
         un = unconstrain(priors)
@@ -106,12 +117,12 @@ def main():
 
     # handshake: pay the first-transfer cost on a tiny program
     t0 = time.perf_counter()
-    _t2f(_scan_prog(fused_fn, 1), v, priors)
+    _t2f(_scan_prog(fused_fn, 1, transposed=True), vt, priors)
     print("handshake %.0fs" % (time.perf_counter() - t0), file=sys.stderr)
 
-    # fused is ~300-400 us/iter: a 176-iteration spread is ~60 ms of signal
-    t_fused = _slope(fused_fn, v, priors, 16, 192)
-    # naive is ~two orders slower; a (1, 3) spread is ~0.6 s of signal
+    # fused is ~150 us/iter: a 384-iteration spread is ~60 ms of signal
+    t_fused = _slope(fused_fn, vt, priors, 16, 400, transposed=True)
+    # naive is ~three orders slower; a (1, 3) spread is ~0.6 s of signal
     t_naive = _slope(naive_fn, v, priors, 1, 3)
 
     vs_baseline = t_naive / t_fused

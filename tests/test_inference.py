@@ -306,3 +306,53 @@ def test_nuts_batched_kernel_matches_moments(key):
     )(key, q0)
     s = np.asarray(samples).reshape(-1, 2)
     np.testing.assert_allclose(np.cov(s.T), np.asarray(cov), atol=0.12)
+
+
+def test_nuts_batched_t_kernel_matches_moments(key):
+    """The transposed-layout batched NUTS kernel (state (dim, chains),
+    hmc_batched.nuts_kernel_batched(transposed=True)) recovers the same
+    posteriors: conjugate Beta-Binomial via Model.batched_logdensity_t_fn,
+    and a correlated Gaussian under a dense metric (exercising the
+    transposed-layout M^{-1}p and momentum draw)."""
+    a, b, n_trials, heads = 2.0, 2.0, 50, 17
+    model = Model(
+        priors=dists.NamedProduct.of(p=dists.Beta(a, b)),
+        loglik=lambda x: heads * jnp.log(x["p"]) + (n_trials - heads) * jnp.log1p(-x["p"]),
+    )
+    logp_t = model.batched_logdensity_t_fn()
+    # the _t density equals the batch-major density on the transposed state
+    logp_b = model.batched_logdensity_fn()
+    v = 0.7 * np.random.default_rng(7).standard_normal((32, 1))
+    np.testing.assert_allclose(
+        np.asarray(logp_t(jnp.asarray(v).T)), np.asarray(logp_b(jnp.asarray(v))),
+        rtol=1e-12,
+    )
+    q0 = model.init_positions(jax.random.PRNGKey(31), 16)
+    samples, state, stats = jax.jit(
+        lambda k, q: warmup_and_sample(
+            logp_t, k, q, n_warmup=400, n_samples=600, kernel="nuts_batched_t"
+        )
+    )(key, q0)
+    p = np.asarray(model.constrain(samples.reshape(-1, 1))["p"]).ravel()
+    a_post, b_post = a + heads, b + n_trials - heads
+    exact_mean = a_post / (a_post + b_post)
+    exact_var = a_post * b_post / ((a_post + b_post) ** 2 * (a_post + b_post + 1))
+    np.testing.assert_allclose(p.mean(), exact_mean, atol=5 * np.sqrt(exact_var / 1000))
+    np.testing.assert_allclose(p.var(), exact_var, rtol=0.3)
+    assert np.asarray(stats.diverging).sum() == 0
+
+    # correlated Gaussian, dense metric, transposed kernel
+    rho = 0.9
+    cov = jnp.asarray([[1.0, rho], [rho, 1.0]], jnp.float64)
+    prec = jnp.linalg.inv(cov)
+    logp2_t = lambda vT: -0.5 * jnp.sum(vT * (prec @ vT), 0)
+    q0 = 0.1 * jax.random.normal(jax.random.PRNGKey(32), (16, 2), jnp.float64)
+    samples, _, stats = jax.jit(
+        lambda k, q: warmup_and_sample(
+            logp2_t, k, q, n_warmup=400, n_samples=600, kernel="nuts_batched_t",
+            metric="dense",
+        )
+    )(key, q0)
+    s = np.asarray(samples).reshape(-1, 2)
+    np.testing.assert_allclose(np.cov(s.T), np.asarray(cov), atol=0.12)
+    assert np.asarray(stats.diverging).sum() == 0

@@ -30,6 +30,19 @@ def _model():
         w=dists.Dirichlet(jnp.ones(6)),
         corr=dists.LKJ(4, 2.0),
         lc=dists.LKJCholesky(3, 1.5),
+        # telescoped-hook scalar families (values may hit a legitimate
+        # -inf/inf at the 1e10 extremes, but never NaN)
+        chi=dists.Chi(3.0),
+        wb=dists.Weibull(1.8, 2.1),
+        hn=dists.HalfNormal(1.4),
+        hc=dists.HalfCauchy(0.7),
+        ray=dists.Rayleigh(1.2),
+        fr=dists.Frechet(2.3, 1.4),
+        un=dists.Uniform(-2.0, 5.0),
+        b=dists.Beta(2.5, 1.6),
+        ln=dists.LogitNormal(0.2, 0.9),
+        par=dists.Pareto(2.2, 1.5),
+        lv=dists.Levy(0.4, 1.3),
     )
 
 
@@ -67,6 +80,17 @@ def test_dirichlet_linked_matches_registry_nudge(rng):
         dists.Gamma(2.5, 1.2),
         dists.Exponential(0.8),
         dists.InverseGamma(3.0, 2.0),
+        dists.Chi(3.0),
+        dists.Weibull(1.8, 2.1),
+        dists.HalfNormal(1.4),
+        dists.HalfCauchy(0.7),
+        dists.Rayleigh(1.2),
+        dists.Frechet(2.3, 1.4),
+        dists.Uniform(-2.0, 5.0),
+        dists.Beta(2.5, 1.6),
+        dists.LogitNormal(0.2, 0.9),
+        dists.Pareto(2.2, 1.5),
+        dists.Levy(0.4, 1.3),
     ],
     ids=lambda d: type(d).__name__,
 )

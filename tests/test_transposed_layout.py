@@ -134,6 +134,143 @@ def test_transposed_wrappers_grads_match(rng):
         np.testing.assert_allclose(gC, gCr, rtol=1e-9, atol=1e-11)
 
 
+def _mega_model():
+    return dists.NamedProduct.of(
+        mu=dists.IIDProduct(dists.Normal(0.5, 2.0), 8),
+        sigma=dists.IIDProduct(dists.LogNormal(0.1, 0.5), 4),
+        g=dists.Gamma(2.0, 1.5),
+        e=dists.Exponential(0.8),
+        ig=dists.InverseGamma(3.0, 2.0),
+        w=dists.Dirichlet(jnp.ones(7) * 1.3),
+        corr=dists.LKJ(6, 2.0),
+        lc=dists.LKJCholesky(5, 1.5),
+        wish=dists.Wishart(8.0, jnp.eye(5)),
+        iwish=dists.InverseWishart(8.0, jnp.eye(4)),
+        # every remaining kernel-supported scalar family, incl. IID blocks
+        t=dists.StudentT(4.5, 0.3, 1.7),
+        c=dists.Cauchy(-0.4, 0.9),
+        lap=dists.IIDProduct(dists.Laplace(0.2, 1.3), 3),
+        lo=dists.Logistic(0.1, 0.8),
+        gu=dists.Gumbel(-0.3, 1.1),
+        hn=dists.HalfNormal(1.4),
+        hc=dists.HalfCauchy(0.7),
+        wb=dists.Weibull(1.8, 2.1),
+        chi=dists.Chi(3.0),
+        ray=dists.Rayleigh(1.2),
+        fr=dists.Frechet(2.3, 1.4),
+        b=dists.IIDProduct(dists.Beta(2.5, 1.6), 2),
+        un=dists.Uniform(-2.0, 5.0),
+        ln=dists.LogitNormal(0.2, 0.9),
+        par=dists.Pareto(2.2, 1.5),
+        lv=dists.Levy(0.4, 1.3),
+    )
+
+
+def test_mega_kernel_interpret_matches_composed(rng):
+    """The whole-model fused kernel == the composed per-leaf path, across
+    every supported leaf kind (interpret mode; machine precision — same
+    eps algebra)."""
+    from tpu_bijectors.vectorize.fused_kernel import mega_logdensity_t
+
+    d = _mega_model()
+    u = unconstrain(d)
+    v = jnp.asarray(0.6 * rng.standard_normal((137, u.linked_vec_length)))
+    ref = np.asarray(u._linked_logdensity_t_children(v.T))
+    got = np.asarray(mega_logdensity_t(u, v.T, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-13, atol=1e-12)
+
+
+def test_mega_kernel_declines_unsupported(rng):
+    """Unsupported leaves (e.g. SkewNormal) -> plan None -> composed
+    fallback."""
+    from tpu_bijectors.vectorize.fused_kernel import _plan
+
+    d = dists.NamedProduct.of(
+        a=dists.Normal(0.0, 1.0), p=dists.SkewNormal(0.0, 1.0, 2.0)
+    )
+    assert _plan(unconstrain(d), 1e-16) is None
+    # and the public path still works
+    u = unconstrain(d)
+    v = jnp.asarray(rng.standard_normal((9, u.linked_vec_length)))
+    np.testing.assert_allclose(
+        np.asarray(u.linked_logdensity_t(v.T)),
+        np.asarray(u.linked_logdensity(v)),
+        rtol=1e-12,
+    )
+
+
+def test_mega_diffable_grad_matches(rng):
+    """grad through the mega custom_jvp (composed primal branch on CPU)
+    == grad of the composed path, in vT AND in the distribution params."""
+    from tpu_bijectors.vectorize.fused_kernel import _mega_diffable
+
+    d = _mega_model()
+    u = unconstrain(d)
+    vT = jnp.asarray(0.5 * rng.standard_normal((13, u.linked_vec_length))).T
+
+    g1 = jax.grad(lambda vT: jnp.sum(_mega_diffable(u, vT)))(vT)
+    g2 = jax.grad(lambda vT: jnp.sum(u._linked_logdensity_t_children(vT)))(vT)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-9, atol=1e-11)
+
+    gu1 = jax.grad(lambda u: jnp.sum(_mega_diffable(u, vT)))(u)
+    gu2 = jax.grad(lambda u: jnp.sum(u._linked_logdensity_t_children(vT)))(u)
+    for a, b in zip(jax.tree_util.tree_leaves(gu1), jax.tree_util.tree_leaves(gu2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9, atol=1e-11)
+
+
+def test_mega_jvp_vjp_kernels_interpret(rng):
+    """The fused tangent/transpose kernels (linear_call pair) == jax.jvp /
+    jax.vjp of the composed per-leaf path, including clip/max tie
+    conventions, across every supported leaf kind."""
+    from tpu_bijectors.vectorize.fused_kernel import mega_jvp_t, mega_vjp_t
+
+    d = _mega_model()
+    u = unconstrain(d)
+    dim = u.linked_vec_length
+    vT = jnp.asarray(0.5 * rng.standard_normal((17, dim))).T
+    dvT = jnp.asarray(rng.standard_normal((17, dim))).T
+    gbar = jnp.asarray(rng.standard_normal(17))
+
+    f = lambda vT: u._linked_logdensity_t_children(vT)
+    _, dlp_ref = jax.jvp(f, (vT,), (dvT,))
+    dlp = mega_jvp_t(u, vT, dvT, interpret=True)
+    np.testing.assert_allclose(np.asarray(dlp), np.asarray(dlp_ref), rtol=1e-9, atol=1e-11)
+
+    _, vjp = jax.vjp(f, vT)
+    (dv_ref,) = vjp(gbar)
+    dv = mega_vjp_t(u, vT, gbar, interpret=True)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), rtol=1e-9, atol=1e-11)
+
+
+def test_mega_jvp_vjp_kernels_extremes(rng):
+    """Same, at clamp-binding 1e10 inputs (the gradients must agree with
+    the composed path's — incl. zeros where the clamps saturate)."""
+    from tpu_bijectors.vectorize.fused_kernel import mega_vjp_t
+
+    d = _mega_model()
+    u = unconstrain(d)
+    dim = u.linked_vec_length
+    vT = jnp.asarray(1e10 * rng.standard_normal((9, dim))).T
+    gbar = jnp.ones(9)
+    f = lambda vT: u._linked_logdensity_t_children(vT)
+    _, vjp = jax.vjp(f, vT)
+    (dv_ref,) = vjp(gbar)
+    dv = mega_vjp_t(u, vT, gbar, interpret=True)
+    m = np.isfinite(np.asarray(dv_ref))
+    np.testing.assert_allclose(
+        np.asarray(dv)[m], np.asarray(dv_ref)[m], rtol=1e-9, atol=1e-11
+    )
+    # wherever the composed path's gradient is finite, the kernel's is too
+    # and equal (the masked allclose above). The kernel may be finite at
+    # MORE points: its per-slot partial formulas avoid an inf * 0 the
+    # composed transpose hits when exp(1e10) overflows in a sibling slot
+    # of the Wishart leaf (both are -inf-density boundary points where the
+    # gradient is undefined anyway) — require only no NEW nonfinites.
+    a_fin = np.isfinite(np.asarray(dv))
+    b_fin = np.isfinite(np.asarray(dv_ref))
+    assert np.all(a_fin[b_fin])
+
+
 def test_pre_t_kernels_interpret(rng):
     """pre_t=True kernel variants == batch-major variants (interpret mode)."""
     from tpu_bijectors.kernels.lkj import lkj_logdet_pallas

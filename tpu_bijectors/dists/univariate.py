@@ -41,7 +41,14 @@ def _f(d, *xs):
 def _is_log_link(b) -> bool:
     """True when the registry link is mathematically x -> log(x): either the
     Log bijector or the lower-only Truncated(0, inf) branch the positive
-    Support resolves to (y = log(x - 0), truncated.jl:35)."""
+    Support resolves to (y = log(x - 0), truncated.jl:35).
+
+    Callers type-match the DISTRIBUTION first (LogNormal/Gamma/...), whose
+    support lower bound is 0 by construction, so when the bound rides as a
+    traced jit argument (params-as-jit-args style, or inside a custom_jvp
+    trace) the meta flags alone are trusted — declining there would
+    silently disable the telescoped hooks exactly in the recommended
+    calling style."""
     from ..bijectors.scalar import Log, Truncated
 
     if type(b) is Log:
@@ -49,9 +56,44 @@ def _is_log_link(b) -> bool:
     if type(b) is Truncated and b.lower_finite and not b.upper_finite:
         try:
             return float(b.lb) == 0.0
-        except Exception:  # traced bound: can't confirm 0 at trace time
-            return False
+        except Exception:  # traced bound (see docstring)
+            return True
     return False
+
+
+def _is_interval_logit_link(b, lo, hi) -> bool:
+    """True when the registry link is the logit-rescale over (lo, hi): the
+    Logit(lo, hi) bijector or the both-finite Truncated(lo, hi) branch
+    (y = logit((x-lo)/(hi-lo)), reference truncated.jl:20-31). Same
+    traced-bound trust rule as _is_log_link: callers type-match the
+    distribution first, whose support IS (lo, hi) by construction."""
+    from ..bijectors.scalar import Logit, Truncated
+
+    if type(b) is Logit:
+        a, c = b.a, b.b
+    elif type(b) is Truncated and b.lower_finite and b.upper_finite:
+        a, c = b.lb, b.ub
+    else:
+        return False
+    try:
+        return float(a) == float(lo) and float(c) == float(hi)
+    except Exception:  # traced bounds (see _is_log_link docstring)
+        return True
+
+
+def _is_shifted_log_link(b, lo) -> bool:
+    """True when the registry link is y = log(x - lo) (the lower-only
+    Truncated branch, reference truncated.jl:35, for lower-bounded supports
+    like Pareto/Levy — reference src/transformed_distribution.jl:135). Same
+    traced-bound trust rule as _is_log_link."""
+    from ..bijectors.scalar import Truncated
+
+    if not (type(b) is Truncated and b.lower_finite and not b.upper_finite):
+        return False
+    try:
+        return float(b.lb) == float(lo)
+    except Exception:  # traced bound (see _is_log_link docstring)
+        return True
 
 
 # ---------------------------------------------------------------------------
@@ -417,6 +459,17 @@ class Chi(Distribution):
             - jsp.gammaln(k2)
         )
 
+    def fused_linked_logdensity(self, bijector, y, want_x: bool = True):
+        """Telescoped: (2k/2 - 1) log(e^v) + v = df*v; -0.5 e^{2v} stays a
+        single overflow-to--inf term (no inf - inf NaN at v ~ 1e10)."""
+        if not _is_log_link(bijector):
+            return None
+        dtype = jnp.result_type(y, float)
+        df = jnp.asarray(self.df, dtype)
+        k2 = 0.5 * df
+        lp = df * y - 0.5 * jnp.exp(2.0 * y) - (k2 - 1.0) * LOG2 - jsp.gammaln(k2)
+        return (jnp.exp(y) if want_x else None), lp
+
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape
         dtype = jnp.result_type(self.df, float)
@@ -444,6 +497,18 @@ class Weibull(Distribution):
         z = x / lam
         return jnp.log(k / lam) + (k - 1.0) * jnp.log(z) - z**k
 
+    def fused_linked_logdensity(self, bijector, y, want_x: bool = True):
+        """Telescoped: (k-1)log(e^v/lam) - (e^v/lam)^k + v collapses to
+        log k - k log lam + k v - e^{k v - k log lam} — the generic
+        composition's (k-1)*inf - inf NaN at v ~ 1e10 never forms."""
+        if not _is_log_link(bijector):
+            return None
+        dtype = jnp.result_type(y, float)
+        k = jnp.asarray(self.concentration, dtype)
+        c1 = k * jnp.log(jnp.asarray(self.scale, dtype))
+        lp = jnp.log(k) - c1 + k * y - jnp.exp(k * y - c1)
+        return (jnp.exp(y) if want_x else None), lp
+
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape
         dtype = jnp.result_type(self.concentration, self.scale, float)
@@ -468,6 +533,17 @@ class Rayleigh(Distribution):
     def logpdf(self, x):
         s2 = jnp.asarray(self.scale, jnp.result_type(x, float)) ** 2
         return jnp.log(x) - jnp.log(s2) - 0.5 * x * x / s2
+
+    def fused_linked_logdensity(self, bijector, y, want_x: bool = True):
+        """Telescoped: log(e^v) - 2 log s - 0.5 e^{2(v - log s)} + v =
+        2v - 2 log s - 0.5 e^{2(v-ls)} — never the inf - inf the generic
+        composition hits at |v| ~ 1e10."""
+        if not _is_log_link(bijector):
+            return None
+        dtype = jnp.result_type(y, float)
+        ls = jnp.log(jnp.asarray(self.scale, dtype))
+        lp = 2.0 * y - 2.0 * ls - 0.5 * jnp.exp(2.0 * (y - ls))
+        return (jnp.exp(y) if want_x else None), lp
 
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape
@@ -496,6 +572,18 @@ class Frechet(Distribution):
         z = x / s
         return jnp.log(a / s) - (1.0 + a) * jnp.log(z) - z ** (-a)
 
+    def fused_linked_logdensity(self, bijector, y, want_x: bool = True):
+        """Telescoped: with w = v - log s, logpdf(e^v) + v = log a - a w
+        - e^{-a w} (a Gumbel form) — the generic composition's
+        (1+a)*inf - inf NaN at |v| ~ 1e10 never forms."""
+        if not _is_log_link(bijector):
+            return None
+        dtype = jnp.result_type(y, float)
+        a = jnp.asarray(self.shape_, dtype)
+        w = y - jnp.log(jnp.asarray(self.scale, dtype))
+        lp = jnp.log(a) - a * w - jnp.exp(-a * w)
+        return (jnp.exp(y) if want_x else None), lp
+
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape
         dtype = jnp.result_type(self.shape_, self.scale, float)
@@ -521,6 +609,16 @@ class HalfNormal(Distribution):
         z = x / self.scale
         return LOG2 - 0.5 * (z * z + LOG2PI) - jnp.log(jnp.asarray(self.scale, z.dtype))
 
+    def fused_linked_logdensity(self, bijector, y, want_x: bool = True):
+        """Telescoped: logpdf(e^v) + v = const + v - 0.5 e^{2(v - log s)} —
+        never the inf - inf the generic composition hits at |v| ~ 1e10."""
+        if not _is_log_link(bijector):
+            return None
+        dtype = jnp.result_type(y, float)
+        ls = jnp.log(jnp.asarray(self.scale, dtype))
+        lp = (LOG2 - 0.5 * LOG2PI) - ls + y - 0.5 * jnp.exp(2.0 * (y - ls))
+        return (jnp.exp(y) if want_x else None), lp
+
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape
         dtype = jnp.result_type(self.scale, float)
@@ -542,6 +640,16 @@ class HalfCauchy(Distribution):
     def logpdf(self, x):
         z = x / self.scale
         return LOG2 - LOGPI - jnp.log(jnp.asarray(self.scale, z.dtype)) - jnp.log1p(z * z)
+
+    def fused_linked_logdensity(self, bijector, y, want_x: bool = True):
+        """Telescoped: log1p(z^2) with z = e^{v - log s} is
+        softplus(2(v - log s)) exactly — stable at |v| ~ 1e10."""
+        if not _is_log_link(bijector):
+            return None
+        dtype = jnp.result_type(y, float)
+        ls = jnp.log(jnp.asarray(self.scale, dtype))
+        lp = (LOG2 - LOGPI) - ls + y - jax.nn.softplus(2.0 * (y - ls))
+        return (jnp.exp(y) if want_x else None), lp
 
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape
@@ -585,6 +693,22 @@ class Uniform(Distribution):
         inside = (x >= lo) & (x <= hi)
         return jnp.where(inside, -jnp.log(hi - lo), -jnp.inf)
 
+    def fused_linked_logdensity(self, bijector, y, want_x: bool = True):
+        """Telescoped linked density: the interval width log(hi-lo) of the
+        inverse-link log-jac cancels the density's -log(hi-lo) exactly,
+        leaving -|v| - 2 log1pexp(-|v|) (the stable logistic log-jac,
+        reference truncated.jl:71-82) — parameter-free and NaN-free."""
+        if not _is_interval_logit_link(bijector, self.low, self.high):
+            return None
+        dtype = jnp.result_type(y, float)
+        ay = jnp.abs(jnp.asarray(y, dtype))
+        lp = -ay - 2.0 * jax.nn.softplus(-ay)
+        if want_x:
+            lo = jnp.asarray(self.low, dtype)
+            hi = jnp.asarray(self.high, dtype)
+            return (hi - lo) * jax.nn.sigmoid(y) + lo, lp
+        return None, lp
+
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape
         dtype = jnp.result_type(self.low, self.high, float)
@@ -617,6 +741,24 @@ class Beta(Distribution):
             + (b - 1.0) * jnp.log1p(-x)
             - (jsp.gammaln(a) + jsp.gammaln(b) - jsp.gammaln(a + b))
         )
+
+    def fused_linked_logdensity(self, bijector, y, want_x: bool = True):
+        """Telescoped linked density: with the unit-interval logit link,
+        (a-1)log x + (b-1)log(1-x) plus the inverse-link log-jac
+        log x + log(1-x) telescopes to a*log sigmoid(v) + b*log sigmoid(-v)
+        - log B(a, b) — NaN-free at |v| ~ 1e10 (no clamp round-trip) and
+        exp/log-free in the leapfrog hot loop."""
+        if not _is_interval_logit_link(bijector, 0.0, 1.0):
+            return None
+        dtype = jnp.result_type(y, float)
+        a = jnp.asarray(self.a, dtype)
+        b = jnp.asarray(self.b, dtype)
+        lp = (
+            -a * jax.nn.softplus(-y)
+            - b * jax.nn.softplus(y)
+            - (jsp.gammaln(a) + jsp.gammaln(b) - jsp.gammaln(a + b))
+        )
+        return (jax.nn.sigmoid(y) if want_x else None), lp
 
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape
@@ -679,6 +821,20 @@ class LogitNormal(Distribution):
             - jnp.log(x)
             - jnp.log1p(-x)
         )
+
+    def fused_linked_logdensity(self, bijector, y, want_x: bool = True):
+        """Telescoped: with the unit-interval logit link the density's
+        -log x - log(1-x) cancels the inverse-link log-jac EXACTLY, leaving
+        the plain Normal density of v — parameter-free of x, NaN-free at
+        |v| ~ 1e10, and exp/log-free in the leapfrog hot loop."""
+        if not _is_interval_logit_link(bijector, 0.0, 1.0):
+            return None
+        dtype = jnp.result_type(y, float)
+        mu = jnp.asarray(self.mu, dtype)
+        sig = jnp.asarray(self.sigma, dtype)
+        z = (y - mu) / sig
+        lp = -0.5 * (z * z + LOG2PI) - jnp.log(sig)
+        return (jax.nn.sigmoid(y) if want_x else None), lp
 
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape
@@ -749,6 +905,18 @@ class Pareto(Distribution):
         m = jnp.asarray(self.scale, jnp.result_type(x, float))
         return jnp.log(a) + a * jnp.log(m) - (a + 1.0) * jnp.log(x)
 
+    def fused_linked_logdensity(self, bijector, y, want_x: bool = True):
+        """Telescoped shifted-log link (y = log(x - x_m)): log x =
+        logaddexp(log x_m, v), so lp = log a + a log x_m + v
+        - (a+1) logaddexp(log x_m, v) — NaN-free at |v| ~ 1e10."""
+        if not _is_shifted_log_link(bijector, self.scale):
+            return None
+        dtype = jnp.result_type(y, float)
+        a = jnp.asarray(self.alpha, dtype)
+        lm = jnp.log(jnp.asarray(self.scale, dtype))
+        lp = jnp.log(a) + a * lm + y - (a + 1.0) * jnp.logaddexp(lm, y)
+        return (jnp.asarray(self.scale, dtype) + jnp.exp(y) if want_x else None), lp
+
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape
         dtype = jnp.result_type(self.alpha, self.scale, float)
@@ -785,6 +953,17 @@ class Levy(Distribution):
         s = jnp.asarray(self.sigma, dtype)
         d = x - mu
         return 0.5 * (jnp.log(s) - LOG2PI) - 0.5 * s / d - 1.5 * jnp.log(d)
+
+    def fused_linked_logdensity(self, bijector, y, want_x: bool = True):
+        """Telescoped shifted-log link (y = log(x - mu)): d = e^v, so lp =
+        0.5(log s - log 2pi) - 0.5 s e^{-v} - 0.5 v — the generic
+        composition's 1.5*inf - inf NaN at |v| ~ 1e10 never forms."""
+        if not _is_shifted_log_link(bijector, self.mu):
+            return None
+        dtype = jnp.result_type(y, float)
+        s = jnp.asarray(self.sigma, dtype)
+        lp = 0.5 * (jnp.log(s) - LOG2PI) - 0.5 * s * jnp.exp(-y) - 0.5 * y
+        return (jnp.asarray(self.mu, dtype) + jnp.exp(y) if want_x else None), lp
 
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape

@@ -14,7 +14,14 @@ batching rule produces, but with the log-density evaluated on the full
 block (`Model.batched_logdensity_fn`). Algorithm identical to hmc.py:
 iterative tree doubling with checkpoint-buffer U-turn checks, multinomial
 progressive sampling, biased merge (Betancourt 2017).
-"""
+
+Layouts: `transposed=False` holds state (chains, dim) — the classic
+orientation. `transposed=True` holds state (dim, chains) — the TPU-native
+orientation where chains ride the 128-wide lane axis, so the whole-model
+fused Pallas kernels (vectorize/fused_kernel.py) run the log-density AND
+its reverse pass as ONE kernel each inside every leapfrog. Same algorithm;
+equal in distribution across layouts (the momentum array is filled in
+layout order, so trajectories are not bit-identical between the two)."""
 
 from __future__ import annotations
 
@@ -31,8 +38,73 @@ from .hmc import (
 )
 
 
+class _Layout:
+    """Axis conventions for the tree state.
+
+    batch-major: state (C, dim); checkpoints (C, S, dim); dim is axis -1.
+    transposed:  state (dim, C); checkpoints (S, dim, C); dim is axis -2
+    (so a diagonal metric broadcasts as inv_mass[:, None] against both the
+    2-D state and the 3-D checkpoint stack)."""
+
+    def __init__(self, transposed: bool):
+        self.transposed = transposed
+
+    def dims(self, q):
+        if self.transposed:
+            dim, C = q.shape
+        else:
+            C, dim = q.shape
+        return C, dim
+
+    def bexp(self, m):
+        """(C,) chain mask/scalar -> broadcastable against the 2-D state."""
+        return m[None, :] if self.transposed else m[:, None]
+
+    def vdot(self, a, b):
+        """Inner product over the dim axis (works on 2-D and 3-D stacks)."""
+        return jnp.sum(a * b, axis=-2 if self.transposed else -1)
+
+    def aim(self, inv_mass, p):
+        """M^{-1} p in this layout (p may be a 3-D checkpoint stack)."""
+        if not self.transposed:
+            return apply_inv_mass(inv_mass, p)
+        if inv_mass.ndim == 1:
+            return inv_mass[:, None] * p
+        return jnp.matmul(inv_mass, p, precision=jax.lax.Precision.HIGHEST)
+
+    def momentum(self, key, q, inv_mass):
+        if not self.transposed:
+            return sample_momentum(key, q, inv_mass)
+        z = jax.random.normal(key, q.shape, q.dtype)
+        if inv_mass.ndim == 1:
+            return z / jnp.sqrt(inv_mass)[:, None]
+        # p = L^{-T} z columnwise, inv_mass = L L' (see hmc.sample_momentum)
+        L = jnp.linalg.cholesky(inv_mass.astype(q.dtype))
+        return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+
+    def ck_zeros(self, C, dim, S, dtype):
+        shape = (S, dim, C) if self.transposed else (C, S, dim)
+        return jnp.zeros(shape, dtype)
+
+    def ck_write_mask(self, slot_mask, active):
+        """slot_mask (S,), active (C,) -> checkpoint-stack broadcast."""
+        if self.transposed:
+            return slot_mask[:, None, None] & active[None, None, :]
+        return slot_mask[None, :, None] & active[:, None, None]
+
+    def ck_bcast(self, x):
+        """2-D state -> broadcastable against the checkpoint stack."""
+        return x[None, :, :] if self.transposed else x[:, None, :]
+
+    def slot_reduce_any(self, slot_mask, per_slot):
+        """per_slot (S, C) or (C, S) -> any over slots -> (C,)."""
+        if self.transposed:
+            return jnp.any(slot_mask[:, None] & per_slot, axis=0)
+        return jnp.any(slot_mask[None, :] & per_slot, axis=-1)
+
+
 def _batched_logp_and_grad(logp_batched):
-    def f(q):  # q: (C, dim) -> ((C,), (C, dim))
+    def f(q):  # q: state -> ((C,), state-shaped grad)
         lp, vjp = jax.vjp(logp_batched, q)
         (g,) = vjp(jnp.ones_like(lp))
         return lp, g
@@ -40,54 +112,57 @@ def _batched_logp_and_grad(logp_batched):
     return f
 
 
-def _kin(p, inv_mass):
-    return 0.5 * jnp.sum(p * apply_inv_mass(inv_mass, p), axis=-1)
+def nuts_kernel_batched(logp_batched, max_depth: int = 10, transposed: bool = False):
+    """(key, q, logp (C,), grad, eps, inv_mass) -> (q', logp', grad',
+    NutsInfo with (C,) fields). Semantically the batched counterpart of
+    vmap(nuts_kernel(...)).
 
-
-def _leap(lg, q, p, grad, eps_dir, inv_mass):
-    # eps_dir: (C, 1) signed step
-    p_half = p + 0.5 * eps_dir * grad
-    q_new = q + eps_dir * apply_inv_mass(inv_mass, p_half)
-    lp_new, g_new = lg(q_new)
-    p_new = p_half + 0.5 * eps_dir * g_new
-    return q_new, p_new, lp_new, g_new
-
-
-def nuts_kernel_batched(logp_batched, max_depth: int = 10):
-    """(key, q (C,dim), logp (C,), grad (C,dim), eps, inv_mass) ->
-    (q', logp', grad', NutsInfo with (C,) fields). Semantically the batched
-    counterpart of vmap(nuts_kernel(...)); `logp_batched` maps (C, dim) ->
-    (C,)."""
+    transposed=False: q/grad are (C, dim), `logp_batched` maps (C, dim) ->
+    (C,). transposed=True: q/grad are (dim, C), `logp_batched` maps
+    (dim, C) -> (C,) (e.g. Model.batched_logdensity_t_fn) — the layout the
+    whole-model fused kernels want."""
     lg = _batched_logp_and_grad(logp_batched)
+    L = _Layout(transposed)
+
+    def _kin(p, inv_mass):
+        return 0.5 * L.vdot(p, L.aim(inv_mass, p))
+
+    def _leap(q, p, grad, eps_dir, inv_mass):
+        # eps_dir: bexp'd (C,) signed step
+        p_half = p + 0.5 * eps_dir * grad
+        q_new = q + eps_dir * L.aim(inv_mass, p_half)
+        lp_new, g_new = lg(q_new)
+        p_new = p_half + 0.5 * eps_dir * g_new
+        return q_new, p_new, lp_new, g_new
 
     def kernel(key, q, logp, grad, eps, inv_mass):
-        C, dim = q.shape
+        C, dim = L.dims(q)
         dtype = q.dtype
         k_mom, k_loop = jax.random.split(key)
-        p0 = sample_momentum(k_mom, q, inv_mass)
+        p0 = L.momentum(k_mom, q, inv_mass)
         energy0 = -logp + _kin(p0, inv_mass)
 
         def uturn_cp(dq, p_a, p_b):
-            # dq, p_*: (C, S, dim) or broadcastable
-            t1 = jnp.sum(dq * apply_inv_mass(inv_mass, p_a), -1) < 0
-            t2 = jnp.sum(dq * apply_inv_mass(inv_mass, p_b), -1) < 0
+            # dq, p_*: checkpoint stacks (or broadcastable)
+            t1 = L.vdot(dq, L.aim(inv_mass, p_a)) < 0
+            t2 = L.vdot(dq, L.aim(inv_mass, p_b)) < 0
             return t1 | t2
 
         def build_subtree(edge_q, edge_p, edge_lp, edge_g, direction, depth_j, key):
             """2^depth_j masked leapfrog steps for every chain at once."""
             n_leaves = jnp.asarray(1, jnp.int32) << depth_j  # scalar
-            eps_dir = (direction * eps)[:, None]  # (C, 1)
+            eps_dir = L.bexp(direction * eps)
 
-            ck_q = jnp.zeros((C, max_depth + 1, dim), dtype)
-            ck_p = jnp.zeros((C, max_depth + 1, dim), dtype)
+            ck_q = L.ck_zeros(C, dim, max_depth + 1, dtype)
+            ck_p = L.ck_zeros(C, dim, max_depth + 1, dtype)
             slots = jnp.arange(max_depth + 1)
 
             init = (
                 jnp.asarray(0, jnp.int32),
                 (edge_q, edge_p, edge_lp, edge_g),  # running state
-                jnp.zeros((C, dim), dtype),  # prop_q
+                jnp.zeros_like(q),  # prop_q
                 jnp.full((C,), -jnp.inf, dtype),  # prop_logp
-                jnp.zeros((C, dim), dtype),  # prop_grad
+                jnp.zeros_like(q),  # prop_grad
                 jnp.full((C,), -jnp.inf, dtype),  # log_w
                 jnp.zeros((C,), bool),  # turning
                 jnp.zeros((C,), bool),  # diverging
@@ -108,9 +183,9 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10):
                  turning, diverging, sum_acc, n_steps, ck_q, ck_p, k) = carry
                 sq, sp, slp, sg = state
                 active = ~(turning | diverging)  # (C,)
-                am = active[:, None]
+                am = L.bexp(active)
 
-                nq, np_, nlp, ng = _leap(lg, sq, sp, sg, eps_dir, inv_mass)
+                nq, np_, nlp, ng = _leap(sq, sp, sg, eps_dir, inv_mass)
                 # inactive chains keep their old state
                 nq = jnp.where(am, nq, sq)
                 np_ = jnp.where(am, np_, sp)
@@ -130,23 +205,23 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10):
                 k, sub = jax.random.split(k)
                 u = jax.random.uniform(sub, (C,), dtype)
                 take = active & (jnp.log(u) < (log_w_leaf - log_w_new))
-                prop_q = jnp.where(take[:, None], nq, prop_q)
+                tm = L.bexp(take)
+                prop_q = jnp.where(tm, nq, prop_q)
                 prop_logp = jnp.where(take, nlp, prop_logp)
-                prop_grad = jnp.where(take[:, None], ng, prop_grad)
+                prop_grad = jnp.where(tm, ng, prop_grad)
 
                 tz = jnp.where(
                     n == 0, max_depth, _trailing_zeros(jnp.maximum(n, 1), max_depth)
                 )
-                # (C, S, 1): slot-selected AND chain-active
-                wmask = (slots <= tz)[None, :, None] & active[:, None, None]
-                ck_q = jnp.where(wmask, nq[:, None, :], ck_q)
-                ck_p = jnp.where(wmask, np_[:, None, :], ck_p)
+                wmask = L.ck_write_mask(slots <= tz, active)
+                ck_q = jnp.where(wmask, L.ck_bcast(nq), ck_q)
+                ck_p = jnp.where(wmask, L.ck_bcast(np_), ck_p)
 
                 tz1 = _trailing_zeros(n + 1, max_depth)
                 kmask = (slots >= 1) & (slots <= tz1)  # (S,)
-                dq = nq[:, None, :] - ck_q  # (C, S, dim)
-                turn_lvls = uturn_cp(dq, ck_p, np_[:, None, :])  # (C, S)
-                turning_now = active & jnp.any(kmask[None, :] & turn_lvls, axis=-1)
+                dq = L.ck_bcast(nq) - ck_q  # checkpoint stack
+                turn_lvls = uturn_cp(dq, ck_p, L.ck_bcast(np_))
+                turning_now = active & L.slot_reduce_any(kmask, turn_lvls)
 
                 return (
                     n + 1,
@@ -176,10 +251,10 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10):
             (j, left, right, prop_q, prop_logp, prop_grad, log_w,
              turning, diverging, sum_acc, n_steps, depth_pc, k) = carry
             active = ~(turning | diverging)
-            am = active[:, None]
+            am = L.bexp(active)
             k, k_dir, k_sub, k_merge = jax.random.split(k, 4)
             go_right = jax.random.bernoulli(k_dir, shape=(C,))
-            gr = go_right[:, None]
+            gr = L.bexp(go_right)
             edge = tuple(
                 jnp.where(gr if a.ndim == 2 else go_right, r, l)
                 for a, r, l in zip(right, right, left)
@@ -191,9 +266,7 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10):
             )
             # new outer edges: the subtree's outermost state extends the tree
             new_left = tuple(
-                jnp.where(
-                    (gr if a.ndim == 2 else go_right), l, sr
-                )
+                jnp.where((gr if a.ndim == 2 else go_right), l, sr)
                 for a, l, sr in zip(left, left, sub_right)
             )
             new_right = tuple(
@@ -212,16 +285,17 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10):
             ok = active & ~s_turning & ~s_diverging
             u = jax.random.uniform(k_merge, (C,), dtype)
             accept_new = ok & (jnp.log(u) < s_log_w - log_w)
-            prop_q = jnp.where(accept_new[:, None], s_prop_q, prop_q)
+            an = L.bexp(accept_new)
+            prop_q = jnp.where(an, s_prop_q, prop_q)
             prop_logp = jnp.where(accept_new, s_prop_logp, prop_logp)
-            prop_grad = jnp.where(accept_new[:, None], s_prop_grad, prop_grad)
+            prop_grad = jnp.where(an, s_prop_grad, prop_grad)
             log_w = jnp.logaddexp(
                 log_w, jnp.where(ok, s_log_w, jnp.full((C,), -jnp.inf, dtype))
             )
             dq = new_right[0] - new_left[0]
             full_turn = (
-                (jnp.sum(dq * apply_inv_mass(inv_mass, new_left[1]), -1) < 0)
-                | (jnp.sum(dq * apply_inv_mass(inv_mass, new_right[1]), -1) < 0)
+                (L.vdot(dq, L.aim(inv_mass, new_left[1])) < 0)
+                | (L.vdot(dq, L.aim(inv_mass, new_right[1])) < 0)
             )
             turning = turning | (active & s_turning) | (ok & full_turn)
             diverging = diverging | (active & s_diverging)

@@ -80,6 +80,37 @@ class Model:
         logdensity.batch_capable = True  # consumed by as_batched
         return logdensity
 
+    def batched_logdensity_t_fn(self):
+        """Like batched_logdensity_fn but on the TRANSPOSED (dim, chains)
+        state — the TPU-native orientation (chains on the 128-wide lane
+        axis). For kernel-supported priors the density AND its reverse pass
+        each run as ONE whole-model Pallas kernel (vectorize/fused_kernel.py),
+        which is what the transposed NUTS leapfrog
+        (hmc_batched.nuts_kernel_batched(transposed=True)) evaluates.
+
+        With a log-likelihood, the constrained sample is materialized
+        batch-major for the user callable (its leaves carry trailing event
+        dims), so the likelihood term re-runs the inverse link; the fused
+        prior density/gradient still dominates prior-heavy models."""
+        u = self.unconstrainer()
+        loglik = self.loglik
+
+        if loglik is None:
+
+            def prior_logdensity_t(vT):
+                return u.linked_logdensity_t(vT)
+
+            prior_logdensity_t.batch_capable = True
+            return prior_logdensity_t
+
+        def logdensity_t(vT):
+            lp = u.linked_logdensity_t(vT)
+            x = u.from_linked_vec(jnp.swapaxes(vT, 0, 1))[0]
+            return lp + jax.vmap(loglik)(x)
+
+        logdensity_t.batch_capable = True
+        return logdensity_t
+
     def constrain(self, v):
         """Flat unconstrained vector(s) -> sample pytree."""
         return self.unconstrainer().from_linked_vec(v)[0]

@@ -119,18 +119,40 @@ def warmup_and_sample(
         from .hmc_batched import nuts_kernel_batched
 
         step_kernel = nuts_kernel_batched(logdensity_fn, max_depth=max_depth)
+    elif kernel == "nuts_batched_t":
+        # transposed-layout multi-chain: logdensity_fn must map
+        # (dim, chains) -> (chains,) (e.g. Model.batched_logdensity_t_fn).
+        # The whole tree runs on (dim, chains) state, so the whole-model
+        # fused Pallas kernels evaluate the density and its reverse pass as
+        # one kernel each per leapfrog; state transposes only at the
+        # transition boundary (amortized over the up-to-2^depth leapfrogs).
+        from .hmc_batched import nuts_kernel_batched
+
+        step_kernel = nuts_kernel_batched(
+            logdensity_fn, max_depth=max_depth, transposed=True
+        )
     elif kernel == "hmc":
         step_kernel = hmc_kernel(logdensity_fn, n_leapfrog=n_leapfrog)
     else:
         raise ValueError(kernel)
     if kernel == "nuts_batched":
         vkernel = lambda keys, q, lp, g, eps, im: step_kernel(keys[0], q, lp, g, eps, im)
+    elif kernel == "nuts_batched_t":
+
+        def vkernel(keys, q, lp, g, eps, im):
+            q1t, lp1, g1t, info = step_kernel(keys[0], q.T, lp, g.T, eps, im)
+            return q1t.T, lp1, g1t.T, info
+
     else:
         vkernel = jax.vmap(step_kernel, in_axes=(0, 0, 0, 0, None, None))
 
+    if kernel == "nuts_batched_t":
+        init_logdensity = lambda q: logdensity_fn(q.T)
+    else:
+        init_logdensity = logdensity_fn
     state = init_sampler(
-        logdensity_fn, key, q0, eps0, metric=metric,
-        batched=(kernel == "nuts_batched"),
+        init_logdensity, key, q0, eps0, metric=metric,
+        batched=kernel.startswith("nuts_batched"),
     )
     window_id, window_end = build_schedule(n_warmup)
     dense = metric == "dense"

@@ -464,9 +464,19 @@ class TreeUnconstrainer(Unconstrainer):
         return acc
 
     def linked_logdensity_t(self, vT):
-        # transposed layout: each child's block is a CONTIGUOUS row slice
-        # (vs the strided lane slices of the (B, dim) orientation, which
-        # cost about one extra full pass over v at B=131072)
+        # the fused whole-model kernel when eligible: ONE Pallas pass over
+        # the (dim, batch) state — the HBM floor — instead of per-leaf
+        # kernels that each force their operand slice to materialize
+        from .fused_kernel import try_mega
+
+        out = try_mega(self, vT)
+        if out is not None:
+            return out
+        return self._linked_logdensity_t_children(vT)
+
+    def _linked_logdensity_t_children(self, vT):
+        # composed per-leaf path: each child's block is a contiguous row
+        # slice; also the tangent basis for the fused kernel's custom_jvp
         acc = None
         for c, (s, l) in zip(self.children, self.linked_offsets):
             a = c.linked_logdensity_t(vT[s : s + l, :])
