@@ -10,21 +10,29 @@ traffic floor is dim*B*4 bytes in + B*4 out (~100 us at B=131072,
 dim=151 on a v5e), with every leaf's recurrence register-resident.
 
 Trace-time compilation: `_plan(u)` walks the unconstrainer tree and maps
-each leaf onto an in-kernel emitter (same eps-algebra/numerics as the
-per-leaf kernels in kernels/ — bijectors/simplex.py, kernels/lkj.py,
-kernels/pd.py). Distribution parameters (traced jit arguments welcome)
-ride as ONE stacked lane-broadcast operand; host-side constants
-(normalizers, log sigmas) are folded outside the kernel. Unsupported
-structure -> plan is None -> the composed per-leaf path runs instead.
+each leaf onto either a SLAB entry (per-row coefficients of one shared
+closed form — see _COEF_KEYS — evaluated over the full (dim, W) block at
+8/8 sublane utilization: ONE softplus, ONE exp, ONE log1p pass covers
+every scalar family and the LKJ logcosh slots at once) or a LOOP entry
+(cross-row recurrences — simplex stick-breaking, PD Cholesky algebra —
+with per-row ref reads; same eps-algebra/numerics as the per-leaf kernels
+in kernels/). Distribution parameters (traced jit arguments welcome) ride
+in the coefficient matrix / a stacked lane-broadcast operand; host-side
+constants (normalizers, log sigmas) are folded outside the kernel.
+Unsupported structure -> plan is None -> the composed per-leaf path runs.
 
-Supported leaves: Normal (identity link), LogNormal/Gamma/Exponential/
-InverseGamma (log link, telescoped), Dirichlet (simplex), LKJ (vec-corr),
-LKJCholesky (vec-chol), Wishart / InverseWishart (PD link), incl. IID
-blocks of the scalar families.
+Supported leaves (incl. IID blocks of any scalar family): 21 scalar
+families — Normal/StudentT/Cauchy/Laplace/Logistic/Gumbel (identity
+link), LogNormal/Gamma/Exponential/InverseGamma/HalfNormal/HalfCauchy/
+Weibull/Chi/Rayleigh/Frechet (log link, telescoped), Beta/Uniform/
+LogitNormal (logit link), Pareto/Levy (shifted-log link) — plus
+Dirichlet (simplex), LKJ (vec-corr), LKJCholesky (vec-chol),
+Wishart / InverseWishart (PD link).
 
-Differentiation: custom_jvp — Pallas primal, tangent via jax.jvp of the
-composed per-leaf path (whose own rules use Pallas primals + closed-form
-linear tangents; see bijectors/corr.py::_lkj_logdet_tangent et al.).
+Differentiation: custom_jvp — Pallas primal; the tangent is a fused JVP
+kernel paired via linear_call with a fused TRANSPOSE kernel (jax.vjp — the
+NUTS leapfrog — is one kernel each way), both reusing the slab partial /
+loop partials maps.
 """
 
 from __future__ import annotations
@@ -50,264 +58,82 @@ class _Unsupported(Exception):
 class _Entry:
     row0: int  # first vT row
     rows: int  # rows consumed
-    prow0: int  # first params row
+    prow0: int  # first params row (loop entries only; slab entries take 0)
     n_params: int
-    emit: object  # (readrow, readparam, W, dtype) -> (1, W)
-    params: object  # () -> list of jnp scalars/vectors (total n_params entries)
-    partials: object  # (readrow, readparam, W, dtype) -> [rows x (1, W)]
+    emit: object = None  # loop entries: (readrow, readparam, W, dtype) -> (1, W)
+    params: object = None  # loop entries: (dtype) -> list of jnp scalars/vectors
+    partials: object = None  # loop entries: (...) -> [rows x (1, W)]
     # partials[i] = d lp / d v_{row0+i} — the per-slot gradient map. Because
     # lp is a sum over leaves and each leaf's lp is an explicit function of
     # its own rows, ONE partials map serves both directions: the JVP kernel
     # contracts it with dv, the transpose kernel scales it by the output
     # cotangent (linear_call pairs the two).
+    slab: object = None  # slab entries: (dtype) -> {coef key: (rows,) array}
+    # Slab entries are evaluated by the SLAB ENGINE: one full-block
+    # (dim, W) pass with per-row coefficient columns (see _COEF_KEYS /
+    # _slab_value) — every transcendental runs on all 8 sublanes per VREG
+    # instead of one (1, W) row at a time. Loop entries (cross-row
+    # recurrences: simplex, PD) keep per-row ref reads.
+
+
+# Per-row coefficient kinds of the slab engine. With D = V - m, U = |D|,
+# every kernel-supported scalar family's linked log-density (and the
+# LKJ/chol-LKJ per-slot logcosh terms) is exactly
+#
+#   lp_row = c0 + c1*V + cq*D^2 + where(D>=0, c3p, c3n)*U
+#          + c4*softplus(sa*U + sb) + c5*exp(ea*V + eb)
+#          + c6*log1p((la*D)^2)
+#
+# using softplus(x) = max(x, 0) + softplus(-|x|) to fold signed softplus
+# args into the U form (so sa <= 0 always: the softplus never overflows),
+# and logcosh(y) = |y| + softplus(-2|y|) - log 2. Rows not owned by a slab
+# entry carry all-zero coefficients: every term is then exactly 0 with no
+# inf*0 hazard (exp(0)=1, softplus(0)=log2, both weighted by 0).
+_COEF_KEYS = (
+    "m", "c0", "c1", "cq", "c3p", "c3n", "c4", "sa", "sb", "c5", "ea", "eb",
+    "c6", "la",
+)
+_CI = {k: i for i, k in enumerate(_COEF_KEYS)}
+NK = len(_COEF_KEYS)
+
+
+def _slab_value(V, cf):
+    """(dim, W) slab log-density: per-row coefficients broadcast over lanes."""
+    col = lambda k: cf[:, _CI[k]][:, None]
+    D = V - col("m")
+    U = jnp.abs(D)
+    sel3 = jnp.where(D >= 0, col("c3p"), col("c3n"))
+    acc = col("c0") + col("c1") * V + col("cq") * (D * D) + sel3 * U
+    acc = acc + col("c4") * jax.nn.softplus(col("sa") * U + col("sb"))
+    acc = acc + col("c5") * jnp.exp(col("ea") * V + col("eb"))
+    t = col("la") * D
+    acc = acc + col("c6") * jnp.log1p(t * t)
+    return acc
+
+
+def _slab_partial(V, cf):
+    """(dim, W) d lp / d V of the slab form. Matches the composed path's
+    tie conventions where they are defined by jnp.abs (sign(0) = 0); the
+    signed-softplus decomposition makes the partial 0 at the measure-zero
+    point D == 0 for Beta/Pareto/HalfCauchy (the composed path's smooth
+    sigmoid form is nonzero there) — irrelevant off that exact point."""
+    col = lambda k: cf[:, _CI[k]][:, None]
+    D = V - col("m")
+    U = jnp.abs(D)
+    sgn = jnp.sign(D)
+    sel3 = jnp.where(D >= 0, col("c3p"), col("c3n"))
+    g = col("c1") + 2.0 * col("cq") * D + sel3 * sgn
+    g = g + col("c4") * col("sa") * sgn * jax.nn.sigmoid(col("sa") * U + col("sb"))
+    g = g + col("c5") * col("ea") * jnp.exp(col("ea") * V + col("eb"))
+    la = col("la")
+    t = la * D
+    g = g + col("c6") * (2.0 * la * la * D) / (1.0 + t * t)
+    return g
 
 
 # ---------------------------------------------------------------------------
 # emitters (bodies mirror the per-leaf kernels; numerics are load-bearing)
 # ---------------------------------------------------------------------------
-
-
-def _emit_gauss(n):
-    # Normal AND telescoped LogNormal: z = (v - mu) * inv_sigma;
-    # lp += -0.5 z^2 + const (const = -0.5 log 2pi - log sigma). SLAB form:
-    # one (n, W) elementwise op uses all 8 sublanes per VREG (a (1, W) row
-    # loop runs one sublane at a time).
-    def emit(rr, rp, W, dtype):
-        mu, inv_s, const = rp(0), rp(1), rp(2)
-        acc = float(n) * const
-        for i in range(n):
-            z = (rr(i) - mu) * inv_s
-            acc = acc - 0.5 * z * z
-        return acc
-
-    return emit
-
-
-def _emit_gamma(n):
-    def emit(rr, rp, W, dtype):
-        a, r, const = rp(0), rp(1), rp(2)
-        acc = float(n) * const
-        for i in range(n):
-            v = rr(i)
-            acc = acc + a * v - r * jnp.exp(v)
-        return acc
-
-    return emit
-
-
-def _emit_expo(n):
-    def emit(rr, rp, W, dtype):
-        r, const = rp(0), rp(1)
-        acc = float(n) * const
-        for i in range(n):
-            v = rr(i)
-            acc = acc + v - r * jnp.exp(v)
-        return acc
-
-    return emit
-
-
-def _emit_invgamma(n):
-    def emit(rr, rp, W, dtype):
-        a, b, const = rp(0), rp(1), rp(2)
-        acc = float(n) * const
-        for i in range(n):
-            v = rr(i)
-            acc = acc - a * v - b * jnp.exp(-v)
-        return acc
-
-    return emit
-
-
-def _emit_beta(n):
-    # telescoped unit-logit form (Beta.fused_linked_logdensity):
-    # a log sigmoid(v) + b log sigmoid(-v) - log B(a, b)
-    def emit(rr, rp, W, dtype):
-        a, b, const = rp(0), rp(1), rp(2)
-        acc = float(n) * const
-        for i in range(n):
-            v = rr(i)
-            acc = acc - a * jax.nn.softplus(-v) - b * jax.nn.softplus(v)
-        return acc
-
-    return emit
-
-
-def _emit_unif(n):
-    # telescoped interval-logit form (Uniform.fused_linked_logdensity):
-    # -|v| - 2 log1pexp(-|v|) — parameter-free (const rides as a params row
-    # only to keep the stacked-params assembly uniform; it is 0)
-    def emit(rr, rp, W, dtype):
-        acc = float(n) * rp(0)
-        for i in range(n):
-            ay = jnp.abs(rr(i))
-            acc = acc - ay - 2.0 * jax.nn.softplus(-ay)
-        return acc
-
-    return emit
-
-
-def _emit_gumbel(n):
-    def emit(rr, rp, W, dtype):
-        mu, inv_s, const = rp(0), rp(1), rp(2)
-        acc = float(n) * const
-        for i in range(n):
-            z = (rr(i) - mu) * inv_s
-            acc = acc - z - jnp.exp(-z)
-        return acc
-
-    return emit
-
-
-def _emit_rayleigh(n):
-    # telescoped log-link form (Rayleigh.fused_linked_logdensity)
-    def emit(rr, rp, W, dtype):
-        ls, const = rp(0), rp(1)
-        acc = float(n) * const
-        for i in range(n):
-            v = rr(i)
-            acc = acc + 2.0 * v - 0.5 * jnp.exp(2.0 * (v - ls))
-        return acc
-
-    return emit
-
-
-def _emit_frechet(n):
-    # telescoped log-link form (Frechet.fused_linked_logdensity):
-    # log a - a w - e^{-a w}, w = v - log s
-    def emit(rr, rp, W, dtype):
-        a, ls, const = rp(0), rp(1), rp(2)
-        acc = float(n) * const
-        for i in range(n):
-            w = rr(i) - ls
-            acc = acc - a * w - jnp.exp(-a * w)
-        return acc
-
-    return emit
-
-
-def _emit_pareto(n):
-    # telescoped shifted-log form (Pareto.fused_linked_logdensity):
-    # const + v - (a+1) logaddexp(log m, v)
-    def emit(rr, rp, W, dtype):
-        a1, lm, const = rp(0), rp(1), rp(2)
-        acc = float(n) * const
-        for i in range(n):
-            v = rr(i)
-            acc = acc + v - a1 * jnp.logaddexp(lm, v)
-        return acc
-
-    return emit
-
-
-def _emit_levy(n):
-    # telescoped shifted-log form (Levy.fused_linked_logdensity):
-    # const - 0.5 s e^{-v} - 0.5 v
-    def emit(rr, rp, W, dtype):
-        s, const = rp(0), rp(1)
-        acc = float(n) * const
-        for i in range(n):
-            v = rr(i)
-            acc = acc - 0.5 * s * jnp.exp(-v) - 0.5 * v
-        return acc
-
-    return emit
-
-
-def _emit_student(n):
-    def emit(rr, rp, W, dtype):
-        mu, inv_s, df, const = rp(0), rp(1), rp(2), rp(3)
-        acc = float(n) * const
-        for i in range(n):
-            z = (rr(i) - mu) * inv_s
-            acc = acc - 0.5 * (df + 1.0) * jnp.log1p(z * z / df)
-        return acc
-
-    return emit
-
-
-def _emit_cauchy(n):
-    def emit(rr, rp, W, dtype):
-        mu, inv_s, const = rp(0), rp(1), rp(2)
-        acc = float(n) * const
-        for i in range(n):
-            z = (rr(i) - mu) * inv_s
-            acc = acc - jnp.log1p(z * z)
-        return acc
-
-    return emit
-
-
-def _emit_laplace(n):
-    def emit(rr, rp, W, dtype):
-        mu, inv_s, const = rp(0), rp(1), rp(2)
-        acc = float(n) * const
-        for i in range(n):
-            acc = acc - jnp.abs((rr(i) - mu) * inv_s)
-        return acc
-
-    return emit
-
-
-def _emit_logistic(n):
-    def emit(rr, rp, W, dtype):
-        mu, inv_s, const = rp(0), rp(1), rp(2)
-        acc = float(n) * const
-        for i in range(n):
-            z = (rr(i) - mu) * inv_s
-            acc = acc - z - 2.0 * jax.nn.softplus(-z)
-        return acc
-
-    return emit
-
-
-def _emit_halfnormal(n):
-    # telescoped log-link form (HalfNormal.fused_linked_logdensity)
-    def emit(rr, rp, W, dtype):
-        ls, const = rp(0), rp(1)
-        acc = float(n) * const
-        for i in range(n):
-            v = rr(i)
-            acc = acc + v - 0.5 * jnp.exp(2.0 * (v - ls))
-        return acc
-
-    return emit
-
-
-def _emit_halfcauchy(n):
-    def emit(rr, rp, W, dtype):
-        ls, const = rp(0), rp(1)
-        acc = float(n) * const
-        for i in range(n):
-            v = rr(i)
-            acc = acc + v - jax.nn.softplus(2.0 * (v - ls))
-        return acc
-
-    return emit
-
-
-def _emit_weibull(n):
-    def emit(rr, rp, W, dtype):
-        k, c1, const = rp(0), rp(1), rp(2)
-        acc = float(n) * const
-        for i in range(n):
-            v = rr(i)
-            acc = acc + k * v - jnp.exp(k * v - c1)
-        return acc
-
-    return emit
-
-
-def _emit_chi(n):
-    def emit(rr, rp, W, dtype):
-        df, const = rp(0), rp(1)
-        acc = float(n) * const
-        for i in range(n):
-            v = rr(i)
-            acc = acc + df * v - 0.5 * jnp.exp(2.0 * v)
-        return acc
-
-    return emit
 
 
 def _emit_simplex(K, eps):
@@ -343,35 +169,6 @@ def _emit_simplex(K, eps):
         x_last = jnp.clip(1.0 - s, 0.0, 1.0)
         wl = wl + rp(K - 1) * jnp.log(x_last + eps)
         return lp + wl + rp(K)  # ld_inv + wlog + const
-
-    return emit
-
-
-def _logcosh(yv):
-    a = jnp.abs(yv)
-    return a + jax.nn.softplus(-2.0 * a) - LOG2
-
-
-def _emit_lkj(K, chol: bool):
-    # For the logdensity-only path the whole LKJ contribution telescopes to
-    # ONE weighted reduction of logcosh over the packed slab -- no column
-    # recurrence at all: logJ = -sum_s cJ_s lc_s with cJ_s = K - i_s (vec,
-    # corr.jl:474-483) or j - i + 1 (chol, corr.jl:485-501), and every
-    # column's final running sum is -sum_{s in col} lc_s, so the density
-    # term is another weighted sum. SLAB form: logcosh over (P, W) uses all
-    # 8 sublanes per VREG.
-    P = K * (K - 1) // 2
-
-    def emit(rr, rp, W, dtype):
-        # params: [w_0..w_{P-1} (per-slot total weight, _lkj_weights), const]
-        # — Pallas kernels cannot capture array constants, so the weights
-        # ride in the params operand; per-row ref loads (Mosaic lowers
-        # arbitrary-sublane row reads well; unaligned multi-row register
-        # slices it does not — measured 2x slower)
-        acc = rp(P)
-        for s in range(P):
-            acc = acc - rp(s) * _logcosh(rr(s))
-        return acc
 
     return emit
 
@@ -451,198 +248,6 @@ def _clipmask01(p, dtype):
 
 def _maxmask(u, c, dtype):
     return 0.5 * ((u > c).astype(dtype) + (u >= c).astype(dtype))
-
-
-def _partials_gauss(n):
-    def partials(rr, rp, W, dtype):
-        mu, inv_s = rp(0), rp(1)
-        return [-(rr(i) - mu) * inv_s * inv_s for i in range(n)]
-
-    return partials
-
-
-def _partials_gamma(n):
-    def partials(rr, rp, W, dtype):
-        a, r = rp(0), rp(1)
-        return [a - r * jnp.exp(rr(i)) for i in range(n)]
-
-    return partials
-
-
-def _partials_expo(n):
-    def partials(rr, rp, W, dtype):
-        r = rp(0)
-        return [1.0 - r * jnp.exp(rr(i)) for i in range(n)]
-
-    return partials
-
-
-def _partials_invgamma(n):
-    def partials(rr, rp, W, dtype):
-        a, b = rp(0), rp(1)
-        return [-a + b * jnp.exp(-rr(i)) for i in range(n)]
-
-    return partials
-
-
-def _partials_beta(n):
-    def partials(rr, rp, W, dtype):
-        a, b = rp(0), rp(1)
-        return [
-            a * jax.nn.sigmoid(-rr(i)) - b * jax.nn.sigmoid(rr(i)) for i in range(n)
-        ]
-
-    return partials
-
-
-def _partials_unif(n):
-    # d(-|y| - 2 sp(-|y|))/dy = sign(y) (2 sigmoid(-|y|) - 1); jnp.abs's
-    # jvp uses sign(0) = 0, matched here
-    def partials(rr, rp, W, dtype):
-        out = []
-        for i in range(n):
-            v = rr(i)
-            ay = jnp.abs(v)
-            out.append(jnp.sign(v) * (2.0 * jax.nn.sigmoid(-ay) - 1.0))
-        return out
-
-    return partials
-
-
-def _partials_student(n):
-    def partials(rr, rp, W, dtype):
-        mu, inv_s, df = rp(0), rp(1), rp(2)
-        out = []
-        for i in range(n):
-            z = (rr(i) - mu) * inv_s
-            out.append(-(df + 1.0) * z / (df + z * z) * inv_s)
-        return out
-
-    return partials
-
-
-def _partials_cauchy(n):
-    def partials(rr, rp, W, dtype):
-        mu, inv_s = rp(0), rp(1)
-        out = []
-        for i in range(n):
-            z = (rr(i) - mu) * inv_s
-            out.append(-2.0 * z / (1.0 + z * z) * inv_s)
-        return out
-
-    return partials
-
-
-def _partials_laplace(n):
-    def partials(rr, rp, W, dtype):
-        mu, inv_s = rp(0), rp(1)
-        return [-jnp.sign((rr(i) - mu) * inv_s) * inv_s for i in range(n)]
-
-    return partials
-
-
-def _partials_logistic(n):
-    def partials(rr, rp, W, dtype):
-        mu, inv_s = rp(0), rp(1)
-        out = []
-        for i in range(n):
-            z = (rr(i) - mu) * inv_s
-            out.append((2.0 * jax.nn.sigmoid(-z) - 1.0) * inv_s)
-        return out
-
-    return partials
-
-
-def _partials_halfnormal(n):
-    def partials(rr, rp, W, dtype):
-        ls = rp(0)
-        return [1.0 - jnp.exp(2.0 * (rr(i) - ls)) for i in range(n)]
-
-    return partials
-
-
-def _partials_halfcauchy(n):
-    def partials(rr, rp, W, dtype):
-        ls = rp(0)
-        return [1.0 - 2.0 * jax.nn.sigmoid(2.0 * (rr(i) - ls)) for i in range(n)]
-
-    return partials
-
-
-def _partials_gumbel(n):
-    def partials(rr, rp, W, dtype):
-        mu, inv_s = rp(0), rp(1)
-        out = []
-        for i in range(n):
-            z = (rr(i) - mu) * inv_s
-            out.append((jnp.exp(-z) - 1.0) * inv_s)
-        return out
-
-    return partials
-
-
-def _partials_rayleigh(n):
-    def partials(rr, rp, W, dtype):
-        ls = rp(0)
-        return [2.0 - jnp.exp(2.0 * (rr(i) - ls)) for i in range(n)]
-
-    return partials
-
-
-def _partials_frechet(n):
-    def partials(rr, rp, W, dtype):
-        a, ls = rp(0), rp(1)
-        return [a * (jnp.exp(-a * (rr(i) - ls)) - 1.0) for i in range(n)]
-
-    return partials
-
-
-def _partials_pareto(n):
-    # d/dv [v - (a+1) logaddexp(lm, v)] = 1 - (a+1) sigmoid(v - lm)
-    def partials(rr, rp, W, dtype):
-        a1, lm = rp(0), rp(1)
-        return [1.0 - a1 * jax.nn.sigmoid(rr(i) - lm) for i in range(n)]
-
-    return partials
-
-
-def _partials_levy(n):
-    def partials(rr, rp, W, dtype):
-        s = rp(0)
-        return [0.5 * s * jnp.exp(-rr(i)) - 0.5 for i in range(n)]
-
-    return partials
-
-
-def _partials_weibull(n):
-    def partials(rr, rp, W, dtype):
-        k, c1 = rp(0), rp(1)
-        return [k - k * jnp.exp(k * rr(i) - c1) for i in range(n)]
-
-    return partials
-
-
-def _partials_chi(n):
-    def partials(rr, rp, W, dtype):
-        df = rp(0)
-        return [df - jnp.exp(2.0 * rr(i)) for i in range(n)]
-
-    return partials
-
-
-def _partials_lkj(K, chol: bool):
-    # d lp / d y_{i,j} = -tanh(y) * (c_{ij} + column weight): the emitted
-    # logJ telescopes to the closed form (vec: K - i; chol: j - i + 1,
-    # bijectors/corr.py::_lkj_logdet_tangent), and every slot in column j
-    # contributes -tanh(y) to that column's final running sum.
-    P = K * (K - 1) // 2
-
-    def partials(rr, rp, W, dtype):
-        # d lp / d y_s = -w_s tanh(y_s) (weights from params — the same
-        # stacked w_s rows the emit uses)
-        return [-rp(s) * jnp.tanh(rr(s)) for s in range(P)]
-
-    return partials
 
 
 def _partials_pd(K, mode: str):
@@ -772,11 +377,10 @@ def _partials_simplex(K, eps):
 
 
 def _scalar_entry(dist, link, n, row0, prow0):
-    """Emitter wiring for every kernel-supported scalar family. Each row:
-    link predicate, scalar-param guard, params builder (host/trace-time
-    constants folded: reciprocals, log-normalizers), emit + partials pair.
-    The formulas are EXACTLY the composed path's (the family's
-    `fused_linked_logdensity` hook, or plain logpdf for identity links) —
+    """Slab-coefficient wiring for every kernel-supported scalar family
+    (the closed form is documented at _COEF_KEYS). The coefficients encode
+    EXACTLY the composed path's math (the family's `fused_linked_logdensity`
+    hook, or plain logpdf for identity links) up to float reassociation —
     load-bearing for the kernel == composed equivalence tests."""
     from ..bijectors.base import Identity
     from ..dists import univariate as uv
@@ -788,188 +392,247 @@ def _scalar_entry(dist, link, n, row0, prow0):
         if not pred or any(jnp.ndim(p) for p in param_vals):
             raise _Unsupported
 
-    def mk(n_params, emit, params, partials):
-        return _Entry(row0, n, prow0, n_params, emit(n), params, partials(n))
+    def mk(fn):
+        def slab(dtype):
+            return {
+                k: jnp.broadcast_to(jnp.asarray(v, dtype), (n,))
+                for k, v in fn(dtype).items()
+            }
 
-    def loc_scale_params(loc, scale, extra_const):
-        def params(dtype):
-            mu = jnp.asarray(loc, dtype)
-            sig = jnp.asarray(scale, dtype)
-            return [mu, 1.0 / sig, extra_const - jnp.log(sig)]
-
-        return params
+        return _Entry(row0, n, prow0, 0, slab=slab)
 
     ident = type(link) is Identity
 
     # --- real line (identity link: linked density = logpdf) ---
     if t is uv.Normal:
         guard(ident, d.loc, d.scale)
-        return mk(3, _emit_gauss, loc_scale_params(d.loc, d.scale, -0.5 * LOG2PI),
-                  _partials_gauss)
+
+        def cf(dtype, loc=d.loc, scale=d.scale):
+            sig = jnp.asarray(scale, dtype)
+            inv_s = 1.0 / sig
+            return {"m": jnp.asarray(loc, dtype), "cq": -0.5 * inv_s * inv_s,
+                    "c0": -0.5 * LOG2PI - jnp.log(sig)}
+
+        return mk(cf)
     if t is uv.StudentT:
         guard(ident, d.df, d.loc, d.scale)
 
-        def params(dtype):
+        def cf(dtype):
             from jax.scipy import special as jsp
 
             v = jnp.asarray(d.df, dtype)
             sig = jnp.asarray(d.scale, dtype)
-            const = (
+            inv_s = 1.0 / sig
+            lognorm = (
                 jsp.gammaln(0.5 * (v + 1.0))
                 - jsp.gammaln(0.5 * v)
                 - 0.5 * (jnp.log(v) + LOGPI)
-                - jnp.log(sig)
             )
-            return [jnp.asarray(d.loc, dtype), 1.0 / sig, v, const]
+            return {"m": jnp.asarray(d.loc, dtype), "c6": -0.5 * (v + 1.0),
+                    "la": inv_s / jnp.sqrt(v), "c0": lognorm - jnp.log(sig)}
 
-        return mk(4, _emit_student, params, _partials_student)
+        return mk(cf)
     if t is uv.Cauchy:
         guard(ident, d.loc, d.scale)
-        return mk(3, _emit_cauchy, loc_scale_params(d.loc, d.scale, -LOGPI),
-                  _partials_cauchy)
+
+        def cf(dtype):
+            sig = jnp.asarray(d.scale, dtype)
+            return {"m": jnp.asarray(d.loc, dtype), "c6": -1.0,
+                    "la": 1.0 / sig, "c0": -LOGPI - jnp.log(sig)}
+
+        return mk(cf)
     if t is uv.Laplace:
         guard(ident, d.loc, d.scale)
-        return mk(3, _emit_laplace, loc_scale_params(d.loc, d.scale, -LOG2),
-                  _partials_laplace)
+
+        def cf(dtype):
+            sig = jnp.asarray(d.scale, dtype)
+            inv_s = 1.0 / sig
+            return {"m": jnp.asarray(d.loc, dtype), "c3p": -inv_s,
+                    "c3n": -inv_s, "c0": -LOG2 - jnp.log(sig)}
+
+        return mk(cf)
     if t is uv.Logistic:
         guard(ident, d.loc, d.scale)
-        return mk(3, _emit_logistic, loc_scale_params(d.loc, d.scale, 0.0),
-                  _partials_logistic)
+
+        def cf(dtype):
+            # -z - 2 sp(-z) == -(|z| + 2 sp(-|z|)) via sp(x) = max(x,0)+sp(-|x|)
+            sig = jnp.asarray(d.scale, dtype)
+            inv_s = 1.0 / sig
+            return {"m": jnp.asarray(d.loc, dtype), "c3p": -inv_s,
+                    "c3n": -inv_s, "c4": -2.0, "sa": -inv_s,
+                    "c0": -jnp.log(sig)}
+
+        return mk(cf)
     if t is uv.Gumbel:
         guard(ident, d.loc, d.scale)
-        return mk(3, _emit_gumbel, loc_scale_params(d.loc, d.scale, 0.0),
-                  _partials_gumbel)
+
+        def cf(dtype):
+            sig = jnp.asarray(d.scale, dtype)
+            inv_s = 1.0 / sig
+            mi = jnp.asarray(d.loc, dtype) * inv_s
+            return {"c1": -inv_s, "c5": -1.0, "ea": -inv_s, "eb": mi,
+                    "c0": mi - jnp.log(sig)}
+
+        return mk(cf)
 
     # --- positive half-line (log link, telescoped hooks) ---
     if t is uv.LogNormal:
         guard(uv._is_log_link(link), d.mu, d.sigma)
-        return mk(3, _emit_gauss, loc_scale_params(d.mu, d.sigma, -0.5 * LOG2PI),
-                  _partials_gauss)
+
+        def cf(dtype):
+            sig = jnp.asarray(d.sigma, dtype)
+            inv_s = 1.0 / sig
+            return {"m": jnp.asarray(d.mu, dtype), "cq": -0.5 * inv_s * inv_s,
+                    "c0": -0.5 * LOG2PI - jnp.log(sig)}
+
+        return mk(cf)
     if t is uv.Gamma:
         guard(uv._is_log_link(link), d.concentration, d.rate)
 
-        def params(dtype):
+        def cf(dtype):
             from jax.scipy import special as jsp
 
             a = jnp.asarray(d.concentration, dtype)
             r = jnp.asarray(d.rate, dtype)
-            return [a, r, a * jnp.log(r) - jsp.gammaln(a)]
+            return {"c1": a, "c5": -r, "ea": 1.0,
+                    "c0": a * jnp.log(r) - jsp.gammaln(a)}
 
-        return mk(3, _emit_gamma, params, _partials_gamma)
+        return mk(cf)
     if t is uv.Exponential:
         guard(uv._is_log_link(link), d.rate)
 
-        def params(dtype):
+        def cf(dtype):
             r = jnp.asarray(d.rate, dtype)
-            return [r, jnp.log(r)]
+            return {"c1": 1.0, "c5": -r, "ea": 1.0, "c0": jnp.log(r)}
 
-        return mk(2, _emit_expo, params, _partials_expo)
+        return mk(cf)
     if t is uv.InverseGamma:
         guard(uv._is_log_link(link), d.concentration, d.scale)
 
-        def params(dtype):
+        def cf(dtype):
             from jax.scipy import special as jsp
 
             a = jnp.asarray(d.concentration, dtype)
             b = jnp.asarray(d.scale, dtype)
-            return [a, b, a * jnp.log(b) - jsp.gammaln(a)]
+            return {"c1": -a, "c5": -b, "ea": -1.0,
+                    "c0": a * jnp.log(b) - jsp.gammaln(a)}
 
-        return mk(3, _emit_invgamma, params, _partials_invgamma)
+        return mk(cf)
     if t is uv.HalfNormal:
         guard(uv._is_log_link(link), d.scale)
 
-        def params(dtype):
+        def cf(dtype):
             ls = jnp.log(jnp.asarray(d.scale, dtype))
-            return [ls, (LOG2 - 0.5 * LOG2PI) - ls]
+            return {"c1": 1.0, "c5": -0.5, "ea": 2.0, "eb": -2.0 * ls,
+                    "c0": (LOG2 - 0.5 * LOG2PI) - ls}
 
-        return mk(2, _emit_halfnormal, params, _partials_halfnormal)
+        return mk(cf)
     if t is uv.HalfCauchy:
         guard(uv._is_log_link(link), d.scale)
 
-        def params(dtype):
+        def cf(dtype):
+            # const + v - sp(2(v-ls)) with sp folded into the U form
             ls = jnp.log(jnp.asarray(d.scale, dtype))
-            return [ls, (LOG2 - LOGPI) - ls]
+            return {"m": ls, "c1": 1.0, "c3p": -2.0, "c4": -1.0, "sa": -2.0,
+                    "c0": (LOG2 - LOGPI) - ls}
 
-        return mk(2, _emit_halfcauchy, params, _partials_halfcauchy)
+        return mk(cf)
     if t is uv.Weibull:
         guard(uv._is_log_link(link), d.concentration, d.scale)
 
-        def params(dtype):
+        def cf(dtype):
             k = jnp.asarray(d.concentration, dtype)
-            c1 = k * jnp.log(jnp.asarray(d.scale, dtype))
-            return [k, c1, jnp.log(k) - c1]
+            c1_ = k * jnp.log(jnp.asarray(d.scale, dtype))
+            return {"c1": k, "c5": -1.0, "ea": k, "eb": -c1_,
+                    "c0": jnp.log(k) - c1_}
 
-        return mk(3, _emit_weibull, params, _partials_weibull)
+        return mk(cf)
     if t is uv.Chi:
         guard(uv._is_log_link(link), d.df)
 
-        def params(dtype):
+        def cf(dtype):
             from jax.scipy import special as jsp
 
             df = jnp.asarray(d.df, dtype)
             k2 = 0.5 * df
-            return [df, -(k2 - 1.0) * LOG2 - jsp.gammaln(k2)]
+            return {"c1": df, "c5": -0.5, "ea": 2.0,
+                    "c0": -(k2 - 1.0) * LOG2 - jsp.gammaln(k2)}
 
-        return mk(2, _emit_chi, params, _partials_chi)
+        return mk(cf)
     if t is uv.Rayleigh:
         guard(uv._is_log_link(link), d.scale)
 
-        def params(dtype):
+        def cf(dtype):
             ls = jnp.log(jnp.asarray(d.scale, dtype))
-            return [ls, -2.0 * ls]
+            return {"c1": 2.0, "c5": -0.5, "ea": 2.0, "eb": -2.0 * ls,
+                    "c0": -2.0 * ls}
 
-        return mk(2, _emit_rayleigh, params, _partials_rayleigh)
+        return mk(cf)
     if t is uv.Frechet:
         guard(uv._is_log_link(link), d.shape_, d.scale)
 
-        def params(dtype):
+        def cf(dtype):
             a = jnp.asarray(d.shape_, dtype)
-            return [a, jnp.log(jnp.asarray(d.scale, dtype)), jnp.log(a)]
+            als = a * jnp.log(jnp.asarray(d.scale, dtype))
+            return {"c1": -a, "c5": -1.0, "ea": -a, "eb": als,
+                    "c0": jnp.log(a) + als}
 
-        return mk(3, _emit_frechet, params, _partials_frechet)
+        return mk(cf)
 
     # --- unit interval / bounded (logit link, telescoped hooks) ---
     if t is uv.Beta:
         guard(uv._is_interval_logit_link(link, 0.0, 1.0), d.a, d.b)
 
-        def params(dtype):
+        def cf(dtype):
+            # -a sp(-v) - b sp(v) == -(b 1[v>0] + a 1[v<0])|v| - (a+b) sp(-|v|)
             from jax.scipy import special as jsp
 
             a = jnp.asarray(d.a, dtype)
             b = jnp.asarray(d.b, dtype)
-            return [a, b, -(jsp.gammaln(a) + jsp.gammaln(b) - jsp.gammaln(a + b))]
+            return {"c3p": -b, "c3n": -a, "c4": -(a + b), "sa": -1.0,
+                    "c0": -(jsp.gammaln(a) + jsp.gammaln(b) - jsp.gammaln(a + b))}
 
-        return mk(3, _emit_beta, params, _partials_beta)
+        return mk(cf)
     if t is uv.LogitNormal:
         guard(uv._is_interval_logit_link(link, 0.0, 1.0), d.mu, d.sigma)
-        return mk(3, _emit_gauss, loc_scale_params(d.mu, d.sigma, -0.5 * LOG2PI),
-                  _partials_gauss)
+
+        def cf(dtype):
+            sig = jnp.asarray(d.sigma, dtype)
+            inv_s = 1.0 / sig
+            return {"m": jnp.asarray(d.mu, dtype), "cq": -0.5 * inv_s * inv_s,
+                    "c0": -0.5 * LOG2PI - jnp.log(sig)}
+
+        return mk(cf)
     if t is uv.Uniform:
         guard(uv._is_interval_logit_link(link, d.low, d.high), d.low, d.high)
 
-        def params(dtype):
-            return [jnp.zeros((), dtype)]
+        def cf(dtype):
+            # -|v| - 2 sp(-|v|): parameter-free
+            return {"c3p": -1.0, "c3n": -1.0, "c4": -2.0, "sa": -1.0}
 
-        return mk(1, _emit_unif, params, _partials_unif)
+        return mk(cf)
 
     # --- lower-bounded (shifted-log link, telescoped hooks) ---
     if t is uv.Pareto:
         guard(uv._is_shifted_log_link(link, d.scale), d.alpha, d.scale)
 
-        def params(dtype):
+        def cf(dtype):
+            # log a - lm + v - (a+1) sp(v - lm), sp folded into the U form
             a = jnp.asarray(d.alpha, dtype)
             lm = jnp.log(jnp.asarray(d.scale, dtype))
-            return [a + 1.0, lm, jnp.log(a) + a * lm]
+            return {"m": lm, "c1": 1.0, "c3p": -(a + 1.0), "c4": -(a + 1.0),
+                    "sa": -1.0, "c0": jnp.log(a) - lm}
 
-        return mk(3, _emit_pareto, params, _partials_pareto)
+        return mk(cf)
     if t is uv.Levy:
         guard(uv._is_shifted_log_link(link, d.mu), d.mu, d.sigma)
 
-        def params(dtype):
+        def cf(dtype):
             s = jnp.asarray(d.sigma, dtype)
-            return [s, 0.5 * (jnp.log(s) - LOG2PI)]
+            return {"c1": -0.5, "c5": -0.5 * s, "ea": -1.0,
+                    "c0": 0.5 * (jnp.log(s) - LOG2PI)}
 
-        return mk(2, _emit_levy, params, _partials_levy)
+        return mk(cf)
     raise _Unsupported
 
 
@@ -998,40 +661,34 @@ def _leaf_entry(leaf, row0, prow0, eps):
             return [a - 1.0, -lognorm]
 
         return _Entry(row0, K - 1, prow0, K + 1, _emit_simplex(K, eps), params, _partials_simplex(K, eps))
-    if t is mx.LKJ and type(b) is VecCorrBijector:
+    if (t is mx.LKJ and type(b) is VecCorrBijector) or (
+        t is mx.LKJCholesky and type(b) is VecCholeskyBijector
+    ):
+        # For the logdensity-only path the whole LKJ contribution telescopes
+        # to ONE weighted logcosh reduction over the packed slab -- no column
+        # recurrence at all: logJ = -sum_s cJ_s lc_s with cJ_s = K - i_s
+        # (vec, corr.jl:474-483) or j - i + 1 (chol, corr.jl:485-501), and
+        # every column's final running sum is -sum_{s in col} lc_s, so the
+        # density term is another weighted sum. Slab form: logcosh(y) =
+        # |y| + sp(-2|y|) - log 2 maps onto (c3, c4/sa, c0); d lp/d y_s =
+        # -w_s tanh(y_s) falls out of the same coefficients (the slab
+        # partial's sign(y)(1 - 2 sigmoid(-2|y|)) IS tanh).
+        chol = t is mx.LKJCholesky
         K = int(d.dim)
         if jnp.ndim(d.eta) or K > kernels.MAX_K["lkj"]:
             raise _Unsupported
         P = K * (K - 1) // 2
 
-        def params(dtype):
+        def slab(dtype, chol=chol, K=K, P=P):
             eta = jnp.asarray(d.eta, dtype)
-            return [
-                _lkj_weights(K, False, eta, dtype),
-                -mx._lkj_log_normalizer(K, eta, dtype),
-            ]
+            w = _lkj_weights(K, chol, eta, dtype)
+            const = -mx._lkj_log_normalizer(K, eta, dtype)
+            e0 = jnp.zeros((P,), dtype).at[0].set(1.0)
+            return {"c3p": -w, "c3n": -w, "c4": -w,
+                    "sa": jnp.full((P,), -2.0, dtype),
+                    "c0": w * LOG2 + const * e0}
 
-        return _Entry(
-            row0, P, prow0, P + 1, _emit_lkj(K, chol=False),
-            params, _partials_lkj(K, chol=False),
-        )
-    if t is mx.LKJCholesky and type(b) is VecCholeskyBijector:
-        K = int(d.dim)
-        if jnp.ndim(d.eta) or K > kernels.MAX_K["lkj"]:
-            raise _Unsupported
-        P = K * (K - 1) // 2
-
-        def params(dtype):
-            eta = jnp.asarray(d.eta, dtype)
-            return [
-                _lkj_weights(K, True, eta, dtype),
-                -mx._lkj_log_normalizer(K, eta, dtype),
-            ]
-
-        return _Entry(
-            row0, P, prow0, P + 1, _emit_lkj(K, chol=True),
-            params, _partials_lkj(K, chol=True),
-        )
+        return _Entry(row0, P, prow0, 0, slab=slab)
     if t is mx.Wishart and type(b) is PDVecBijector:
         if jnp.ndim(d.scale) != 2 or jnp.ndim(d.df) != 0:
             raise _Unsupported
@@ -1126,12 +783,8 @@ def _plan(u, eps):
 # ---------------------------------------------------------------------------
 
 
-def mega_logdensity_t(u, vT, *, interpret: bool = False):
-    """Run the fused whole-model kernel. Caller must have checked
-    eligibility (plan not None); raises _Unsupported otherwise."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
+def _prep(u, vT):
+    """Shared plan/coefficient/params assembly for the three kernels."""
     from ..kernels.layout import block_lanes, pad_to, padded_batch
     from ..utils import _eps
 
@@ -1142,28 +795,62 @@ def mega_logdensity_t(u, vT, *, interpret: bool = False):
     if plan is None:
         raise _Unsupported
     assert sum(e.rows for e in plan) == dim
-
-    P = sum(e.n_params for e in plan)
-    pvec = jnp.concatenate(
-        [jnp.ravel(jnp.asarray(p, dtype)) for e in plan for p in e.params(dtype)]
-    )
+    loop = [e for e in plan if e.slab is None]
+    # loop-entry params ride as one stacked lane-broadcast operand (row
+    # indices = prow0, which skips slab entries: their n_params is 0)
+    parts = [
+        jnp.ravel(jnp.asarray(p, dtype)) for e in loop for p in e.params(dtype)
+    ]
+    if not parts:
+        parts = [jnp.zeros((1,), dtype)]  # keep the operand non-empty
+    pvec = jnp.concatenate(parts)
+    Pn = pvec.shape[0]
+    # slab coefficient matrix (dim, NK); loop rows stay all-zero (their
+    # slab terms evaluate to exactly 0 — see _COEF_KEYS)
+    cf = jnp.zeros((dim, NK), dtype)
+    for e in plan:
+        if e.slab is None:
+            continue
+        for k, v in e.slab(dtype).items():
+            cf = cf.at[e.row0 : e.row0 + e.rows, _CI[k]].set(v)
     Bp = padded_batch(B)
     W = block_lanes(Bp)
-    # VMEM guard: v block + params block + double buffering
-    while W > 128 and (dim + P + 2) * W * 4 * 3 > 12 * 2**20:
+    # VMEM guard: v (+dv) block + params + coefficient block + double buffering
+    while W > 128 and (2 * dim + Pn + 4) * W * 4 * 3 > 12 * 2**20:
         W //= 2
     while Bp % W:
         W //= 2
-    vp = pad_to(vT.astype(dtype), Bp, 1)
-    pb = jnp.broadcast_to(pvec[:, None], (P, W))
+    pb = jnp.broadcast_to(pvec[:, None], (Pn, W))
+    return loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to
 
-    def kernel(v_ref, p_ref, lp_ref):
-        # per-ROW ref reads: Mosaic lowers arbitrary-sublane row loads
-        # well; unaligned multi-row register slices cost 2x (measured)
-        acc = jnp.zeros((1, W), dtype)
-        for e in plan:
-            rr = _partial(lambda e, i: v_ref[e.row0 + i, :].reshape(1, W), e)
-            rp = _partial(lambda e, j: p_ref[e.prow0 + j, :].reshape(1, W), e)
+
+def _loop_readers(e, v_ref, p_ref, W):
+    rr = _partial(lambda e, i: v_ref[e.row0 + i, :].reshape(1, W), e)
+    rp = _partial(lambda e, j: p_ref[e.prow0 + j, :].reshape(1, W), e)
+    return rr, rp
+
+
+def mega_logdensity_t(u, vT, *, interpret: bool = False):
+    """Run the fused whole-model kernel. Caller must have checked
+    eligibility (plan not None); raises _Unsupported otherwise.
+
+    One pass: the slab engine evaluates every scalar/LKJ row of the block
+    at full VREG utilization; loop entries (simplex, PD — cross-row
+    recurrences) read their rows individually (per-ROW ref loads: Mosaic
+    lowers arbitrary-sublane row reads well; unaligned MULTI-row register
+    slices cost 2x, measured)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to = _prep(u, vT)
+    vp = pad_to(vT.astype(dtype), Bp, 1)
+
+    def kernel(v_ref, p_ref, cf_ref, lp_ref):
+        acc = jnp.sum(_slab_value(v_ref[:, :], cf_ref[:, :]), axis=0).reshape(
+            1, W
+        )
+        for e in loop:
+            rr, rp = _loop_readers(e, v_ref, p_ref, W)
             acc = acc + e.emit(rr, rp, W, dtype)
         lp_ref[0, :] = acc[0, :]
 
@@ -1173,55 +860,30 @@ def mega_logdensity_t(u, vT, *, interpret: bool = False):
         grid=(Bp // W,),
         in_specs=[
             pl.BlockSpec((dim, W), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Pn, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, NK), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(vp, pb)
+    )(vp, pb, cf)
     return out[0, :B]
 
 
-def _prep(u, vT):
-    """Shared padding/params assembly for the three kernels."""
-    from ..kernels.layout import block_lanes, pad_to, padded_batch
-    from ..utils import _eps
-
-    dim, B = vT.shape
-    dtype = jnp.result_type(vT, float)
-    eps = _eps(dtype)
-    plan = _plan(u, eps)
-    if plan is None:
-        raise _Unsupported
-    assert sum(e.rows for e in plan) == dim
-    P = sum(e.n_params for e in plan)
-    pvec = jnp.concatenate(
-        [jnp.ravel(jnp.asarray(p, dtype)) for e in plan for p in e.params(dtype)]
-    )
-    Bp = padded_batch(B)
-    W = block_lanes(Bp)
-    while W > 128 and (dim + P + 2) * W * 4 * 3 > 12 * 2**20:
-        W //= 2
-    while Bp % W:
-        W //= 2
-    pb = jnp.broadcast_to(pvec[:, None], (P, W))
-    return plan, dim, B, Bp, W, P, dtype, pb, pad_to
-
-
 def mega_jvp_t(u, vT, dvT, *, interpret: bool = False):
-    """Fused tangent kernel: dlp = sum_leaf partials . dv, one pass over
+    """Fused tangent kernel: dlp = sum_rows (d lp / d v) . dv, one pass over
     (vT, dvT). Linear in dvT; paired with mega_vjp_t through linear_call."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    plan, dim, B, Bp, W, P, dtype, pb, pad_to = _prep(u, vT)
+    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to = _prep(u, vT)
     vp = pad_to(vT.astype(dtype), Bp, 1)
     dvp = pad_to(dvT.astype(dtype), Bp, 1)
 
-    def kernel(v_ref, dv_ref, p_ref, out_ref):
-        acc = jnp.zeros((1, W), dtype)
-        for e in plan:
-            rr = _partial(lambda e, i: v_ref[e.row0 + i, :].reshape(1, W), e)
-            rp = _partial(lambda e, j: p_ref[e.prow0 + j, :].reshape(1, W), e)
+    def kernel(v_ref, dv_ref, p_ref, cf_ref, out_ref):
+        g = _slab_partial(v_ref[:, :], cf_ref[:, :])
+        acc = jnp.sum(g * dv_ref[:, :], axis=0).reshape(1, W)
+        for e in loop:
+            rr, rp = _loop_readers(e, v_ref, p_ref, W)
             ps = e.partials(rr, rp, W, dtype)
             for i, pi in enumerate(ps):
                 acc = acc + pi * dv_ref[e.row0 + i, :].reshape(1, W)
@@ -1234,29 +896,32 @@ def mega_jvp_t(u, vT, dvT, *, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((dim, W), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((dim, W), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Pn, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, NK), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(vp, dvp, pb)
+    )(vp, dvp, pb, cf)
     return out[0, :B]
 
 
 def mega_vjp_t(u, vT, gbar, *, interpret: bool = False):
-    """Fused transpose kernel: dvT = partials * gbar — the whole-model
-    reverse pass as one Pallas pass (what NUTS's jax.vjp runs)."""
+    """Fused transpose kernel: dvT = (d lp / d v) * gbar — the whole-model
+    reverse pass as one Pallas pass (what NUTS's jax.vjp runs). The slab
+    partial fills the entire out block (loop rows get exact 0 there), then
+    loop entries overwrite their own rows."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    plan, dim, B, Bp, W, P, dtype, pb, pad_to = _prep(u, vT)
+    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to = _prep(u, vT)
     vp = pad_to(vT.astype(dtype), Bp, 1)
     gb = pad_to(gbar.astype(dtype).reshape(1, B), Bp, 1)
 
-    def kernel(v_ref, g_ref, p_ref, out_ref):
+    def kernel(v_ref, g_ref, p_ref, cf_ref, out_ref):
         g = g_ref[0, :].reshape(1, W)
-        for e in plan:
-            rr = _partial(lambda e, i: v_ref[e.row0 + i, :].reshape(1, W), e)
-            rp = _partial(lambda e, j: p_ref[e.prow0 + j, :].reshape(1, W), e)
+        out_ref[:, :] = _slab_partial(v_ref[:, :], cf_ref[:, :]) * g
+        for e in loop:
+            rr, rp = _loop_readers(e, v_ref, p_ref, W)
             ps = e.partials(rr, rp, W, dtype)
             for i, pi in enumerate(ps):
                 out_ref[e.row0 + i, :] = (pi * g)[0, :]
@@ -1268,11 +933,12 @@ def mega_vjp_t(u, vT, gbar, *, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((dim, W), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Pn, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, NK), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((dim, W), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(vp, gb, pb)
+    )(vp, gb, pb, cf)
     return out[:, :B]
 
 
