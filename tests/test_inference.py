@@ -356,3 +356,71 @@ def test_nuts_batched_t_kernel_matches_moments(key):
     s = np.asarray(samples).reshape(-1, 2)
     np.testing.assert_allclose(np.cov(s.T), np.asarray(cov), atol=0.12)
     assert np.asarray(stats.diverging).sum() == 0
+
+
+def test_smc_transposed_matches(key):
+    """Transposed SMC ((dim, N) particles, batch-capable densities) recovers
+    the same conjugate-Gaussian posterior and evidence; both mutation kinds
+    (the HMC one drives hmc_kernel_batched(transposed=True))."""
+    x_obs, s_lik = 1.0, 0.5
+
+    def log_prior_t(vT):
+        return -0.5 * jnp.sum(vT * vT, 0) - 0.5 * jnp.log(2 * jnp.pi)
+
+    def log_lik_t(vT):
+        return -0.5 * ((x_obs - vT[0]) / s_lik) ** 2 - jnp.log(
+            s_lik * jnp.sqrt(2 * jnp.pi)
+        )
+
+    log_prior_t.batch_capable = True
+    log_lik_t.batch_capable = True
+    n = 4096
+    p0 = jax.random.normal(key, (1, n), jnp.float64)
+    post_var = 1.0 / (1.0 + 1.0 / s_lik**2)
+    post_mean = post_var * x_obs / s_lik**2
+    exact_logev = -0.5 * x_obs**2 / (1 + s_lik**2) - 0.5 * np.log(
+        2 * np.pi * (1 + s_lik**2)
+    )
+    for mutation in ("rwm", "hmc"):
+        res = jax.jit(
+            lambda k, p, m=mutation: run_smc(
+                log_prior_t, log_lik_t, k, p, n_mutations=10, rw_scale=0.5,
+                mutation=m, hmc_eps=0.4, hmc_leapfrog=8, transposed=True,
+            )
+        )(jax.random.PRNGKey(11), p0)
+        assert res.particles.shape == (1, n)
+        p = np.asarray(res.particles[0])
+        np.testing.assert_allclose(p.mean(), post_mean, atol=0.05)
+        np.testing.assert_allclose(p.var(), post_var, rtol=0.2)
+        np.testing.assert_allclose(float(res.log_evidence), exact_logev, atol=0.1)
+        assert float(res.final_beta) == 1.0
+    # per-sample (non-batch-capable) densities are rejected in transposed mode
+    with pytest.raises(ValueError):
+        run_smc(lambda v: v.sum(), lambda v: v.sum(), key, p0, transposed=True)
+
+
+def test_advi_transposed_matches(key):
+    """Transposed ADVI (MC samples drawn (dim, n), batch-capable density)
+    fits the same Beta-Binomial posterior as the batch-major path."""
+    a, b, n_trials, heads = 2.0, 2.0, 50, 17
+    model = Model(
+        priors=dists.NamedProduct.of(p=dists.Beta(a, b)),
+        loglik=lambda x: heads * jnp.log(x["p"]) + (n_trials - heads) * jnp.log1p(-x["p"]),
+    )
+    res = jax.jit(
+        lambda k: fit_advi(
+            model.batched_logdensity_t_fn(), k, model.dim(), n_steps=1500,
+            n_mc=16, learning_rate=2e-2, dtype=jnp.float64, transposed=True,
+        )
+    )(jax.random.PRNGKey(3))
+    # posterior over p: Beta(a+heads, b+n-heads); compare transformed moments
+    keys = jax.random.split(jax.random.PRNGKey(4), 1)
+    v = res.q.sample(keys[0], 4000)
+    p = np.asarray(model.constrain(v)["p"]).ravel()
+    a_post, b_post = a + heads, b + n_trials - heads
+    exact_mean = a_post / (a_post + b_post)
+    np.testing.assert_allclose(p.mean(), exact_mean, atol=0.03)
+    # flow posteriors and per-sample densities are rejected in transposed mode
+    with pytest.raises(ValueError):
+        fit_advi(model.logdensity_fn(), jax.random.PRNGKey(0), model.dim(),
+                 transposed=True)

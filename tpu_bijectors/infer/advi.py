@@ -39,6 +39,12 @@ class MeanFieldGaussian:
         eps = jax.random.normal(key, (n,) + self.loc.shape, self.loc.dtype)
         return self.loc + jnp.exp(self.log_scale) * eps
 
+    def sample_t(self, key, n: int):
+        """(dim, n) draws — MC samples on the 128-wide lane axis, the
+        orientation the whole-model fused kernels want."""
+        eps = jax.random.normal(key, self.loc.shape + (n,), self.loc.dtype)
+        return self.loc[:, None] + jnp.exp(self.log_scale)[:, None] * eps
+
     def entropy(self):
         d = self.loc.shape[-1]
         return jnp.sum(self.log_scale) + 0.5 * d * (1.0 + jnp.log(2.0 * jnp.pi))
@@ -66,6 +72,11 @@ class FullRankGaussian:
     def sample(self, key, n: int):
         eps = jax.random.normal(key, (n,) + self.loc.shape, self.loc.dtype)
         return self.loc + eps @ self._L().T
+
+    def sample_t(self, key, n: int):
+        """(dim, n) draws (see MeanFieldGaussian.sample_t)."""
+        eps = jax.random.normal(key, self.loc.shape + (n,), self.loc.dtype)
+        return self.loc[:, None] + self._L() @ eps
 
     def entropy(self):
         d = self.loc.shape[-1]
@@ -105,21 +116,37 @@ def fit_advi(
     learning_rate: float = 1e-2,
     optimizer=None,
     dtype=jnp.float32,
+    transposed: bool = False,
 ) -> ADVIResult:
-    """Maximize the ELBO with Adam; whole loop is one lax.scan under jit."""
+    """Maximize the ELBO with Adam; whole loop is one lax.scan under jit.
+
+    transposed=True draws the MC samples directly in the (dim, n_mc)
+    orientation (sample_t) and requires a batch-capable logdensity_fn
+    mapping (dim, n) -> (n,) (e.g. Model.batched_logdensity_t_fn): for
+    eligible priors the ELBO's density term and its backward pass each run
+    as ONE whole-model Pallas kernel per step. Gaussian families only
+    (flows operate on trailing event axes)."""
     if q is None:
         q = MeanFieldGaussian.init(dim, dtype)
     opt = optimizer or optax.adam(learning_rate)
 
     from .model import as_batched
 
+    if transposed:
+        if isinstance(q, FlowPosterior):
+            raise ValueError("transposed=True supports Gaussian families only")
+        if not getattr(logdensity_fn, "batch_capable", False):
+            raise ValueError(
+                "transposed=True requires a batch-capable log density "
+                "mapping (dim, n) -> (n,) (e.g. Model.batched_logdensity_t_fn)"
+            )
     blogp = as_batched(logdensity_fn)
 
     def neg_elbo(q, key):
         if isinstance(q, FlowPosterior):
             v, logq = q.sample_with_logq(key, n_mc, dim)
             return -jnp.mean(blogp(v) - logq)
-        v = q.sample(key, n_mc)
+        v = q.sample_t(key, n_mc) if transposed else q.sample(key, n_mc)
         return -(jnp.mean(blogp(v)) + q.entropy())
 
     opt_state = opt.init(q)

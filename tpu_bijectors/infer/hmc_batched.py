@@ -332,3 +332,64 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10, transposed: bool = Fa
         return prop_q, prop_logp, prop_grad, info
 
     return kernel
+
+
+def hmc_kernel_batched(
+    logp_batched,
+    n_leapfrog: int = 32,
+    jitter: float = 0.2,
+    transposed: bool = False,
+):
+    """Natively multi-chain fixed-trajectory HMC (the batched counterpart of
+    vmap(hmc_kernel(...)): per-chain step-size jitter, momentum refresh, and
+    Metropolis accept, with the log-density and its ONE backward pass
+    evaluated on the whole block per leapfrog). Layouts as in
+    nuts_kernel_batched: (chains, dim) or, with transposed=True, (dim,
+    chains) — the orientation the whole-model fused kernels want (used by
+    SMC's HMC mutation over large particle blocks)."""
+    lg = _batched_logp_and_grad(logp_batched)
+    L = _Layout(transposed)
+
+    def kernel(key, q, logp, grad, eps, inv_mass):
+        C, dim = L.dims(q)
+        dtype = q.dtype
+        k_mom, k_acc, k_jit = jax.random.split(key, 3)
+        eps_c = eps * (
+            1.0 + jitter * (2.0 * jax.random.uniform(k_jit, (C,), dtype) - 1.0)
+        )
+        eb = L.bexp(eps_c)
+        p0 = L.momentum(k_mom, q, inv_mass)
+        kin = lambda p: 0.5 * L.vdot(p, L.aim(inv_mass, p))
+        energy0 = -logp + kin(p0)
+
+        def step(carry, _):
+            sq, sp, slp, sg = carry
+            p_half = sp + 0.5 * eb * sg
+            q_new = sq + eb * L.aim(inv_mass, p_half)
+            lp_new, g_new = lg(q_new)
+            p_new = p_half + 0.5 * eb * g_new
+            return (q_new, p_new, lp_new, g_new), None
+
+        (q1, p1, lp1, g1), _ = jax.lax.scan(
+            step, (q, p0, logp, grad), None, length=n_leapfrog
+        )
+        delta = (-lp1 + kin(p1)) - energy0
+        accept_prob = jnp.minimum(1.0, jnp.exp(jnp.minimum(-delta, 0.0)))
+        accept_prob = jnp.where(jnp.isfinite(delta), accept_prob, 0.0)
+        accept = jax.random.uniform(k_acc, (C,), dtype) < accept_prob
+        am = L.bexp(accept)
+        info = NutsInfo(
+            accept_prob=accept_prob,
+            diverging=delta > MAX_ENERGY_DELTA,
+            n_steps=jnp.full((C,), n_leapfrog, jnp.int32),
+            energy=energy0,
+            tree_depth=jnp.zeros((C,), jnp.int32),
+        )
+        return (
+            jnp.where(am, q1, q),
+            jnp.where(accept, lp1, logp),
+            jnp.where(am, g1, grad),
+            info,
+        )
+
+    return kernel

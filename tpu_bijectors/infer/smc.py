@@ -21,9 +21,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .hmc import hmc_kernel
-
-
 def systematic_resample(key, log_weights):
     """Systematic resampling: returns parent indices (N,). Prefix-sum based
     (cumsum + searchsorted) — parallel on TPU."""
@@ -43,7 +40,7 @@ def ess(log_weights):
 
 class SMCState(NamedTuple):
     key: jax.Array
-    particles: jax.Array  # (N, dim)
+    particles: jax.Array  # (N, dim), or (dim, N) in transposed mode
     log_prior: jax.Array
     log_lik: jax.Array
     beta: jax.Array
@@ -91,54 +88,87 @@ def run_smc(
     mutation: str = "rwm",
     hmc_eps: float = 0.2,
     hmc_leapfrog: int = 8,
+    transposed: bool = False,
 ) -> SMCResult:
     """Tempered SMC from `log_prior_fn` to `log_prior_fn + log_lik_fn` on flat
-    unconstrained vectors. particles0: (N, dim) draws from the prior."""
-    n, dim = particles0.shape
+    unconstrained vectors. particles0: (N, dim) draws from the prior — or,
+    with transposed=True, (dim, N) in the TPU-native orientation (particles
+    on the 128-wide lane axis: density evaluation, the RWM/HMC mutation
+    log-densities, and the HMC leapfrog's reverse pass all run on the whole
+    particle block, engaging the whole-model fused kernels for eligible
+    priors — pass Model.batched_logdensity_t_fn-style callables).
+
+    Both densities are evaluated BATCHED everywhere (weights and mutation
+    acceptance): per-sample callables are lifted with as_batched (vmap
+    fallback); transposed mode requires batch-capable callables (there is
+    no per-sample (dim,) semantics to vmap)."""
+    if transposed:
+        dim, n = particles0.shape
+    else:
+        n, dim = particles0.shape
     dtype = particles0.dtype
 
     from .model import as_batched
 
+    if transposed and not (
+        getattr(log_prior_fn, "batch_capable", False)
+        and getattr(log_lik_fn, "batch_capable", False)
+    ):
+        raise ValueError(
+            "transposed=True requires batch-capable log densities mapping "
+            "(dim, N) -> (N,) (e.g. Model.batched_logdensity_t_fn)"
+        )
     blp, bll = as_batched(log_prior_fn), as_batched(log_lik_fn)
     lp0 = blp(particles0)
     ll0 = bll(particles0)
 
-    def tempered_logp(beta):
+    bexp = (lambda m: m[None, :]) if transposed else (lambda m: m[:, None])
+    gather = (lambda P, i: P[:, i]) if transposed else (lambda P, i: P[i])
+
+    def btempered(beta):
         def f(v):
-            return log_prior_fn(v) + beta * log_lik_fn(v)
+            return blp(v) + beta * bll(v)
 
         return f
 
     def mutate_rwm(key, particles, beta):
+        f = btempered(beta)
+
         def one_step(carry, k):
             particles, lp = carry
             k1, k2 = jax.random.split(k)
             prop = particles + rw_scale * jax.random.normal(
                 k1, particles.shape, dtype
             )
-            lp_prop = jax.vmap(tempered_logp(beta))(prop)
+            lp_prop = f(prop)
             accept = (
                 jnp.log(jax.random.uniform(k2, (n,), dtype)) < lp_prop - lp
             )
-            particles = jnp.where(accept[:, None], prop, particles)
+            particles = jnp.where(bexp(accept), prop, particles)
             lp = jnp.where(accept, lp_prop, lp)
             return (particles, lp), jnp.mean(accept)
 
-        lp = jax.vmap(tempered_logp(beta))(particles)
+        lp = f(particles)
         keys = jax.random.split(key, n_mutations)
         (particles, _), acc = jax.lax.scan(one_step, (particles, lp), keys)
         return particles
 
     def mutate_hmc(key, particles, beta):
-        kern = hmc_kernel(tempered_logp(beta), n_leapfrog=hmc_leapfrog)
-        vk = jax.vmap(kern, in_axes=(0, 0, 0, 0, None, None))
-        lp, grad = jax.vmap(jax.value_and_grad(tempered_logp(beta)))(particles)
+        from .hmc_batched import hmc_kernel_batched
+
+        f = btempered(beta)
+        kern = hmc_kernel_batched(
+            f, n_leapfrog=hmc_leapfrog, transposed=transposed
+        )
+        lp, vjpf = jax.vjp(f, particles)
+        (grad,) = vjpf(jnp.ones_like(lp))
         inv_mass = jnp.ones(dim, dtype)
 
         def one(carry, k):
             q, lp, grad = carry
-            keys = jax.random.split(k, n)
-            q, lp, grad, _ = vk(keys, q, lp, grad, jnp.asarray(hmc_eps, dtype), inv_mass)
+            q, lp, grad, _ = kern(
+                k, q, lp, grad, jnp.asarray(hmc_eps, dtype), inv_mass
+            )
             return (q, lp, grad), None
 
         keys = jax.random.split(key, n_mutations)
@@ -155,7 +185,7 @@ def run_smc(
             jax.scipy.special.logsumexp(inc) - jnp.log(float(n))
         )
         idx = systematic_resample(k_res, inc)
-        particles = state.particles[idx]
+        particles = gather(state.particles, idx)
         particles = mutate(k_mut, particles, new_beta)
         lp = blp(particles)
         ll = bll(particles)
