@@ -167,6 +167,10 @@ def chain_parallel_smc(
     if n % n_dev:
         raise ValueError(f"particles {n} not divisible by mesh {n_dev}")
 
+    from ..infer.model import as_batched
+
+    blp, bll = as_batched(log_prior_fn), as_batched(log_lik_fn)
+
     def local_smc(key, parts_local):
         idx = jax.lax.axis_index(axis_name)
         key = jax.random.fold_in(key, idx)
@@ -174,7 +178,9 @@ def chain_parallel_smc(
         dtype = parts_local.dtype
 
         def tempered(beta):
-            return lambda v: log_prior_fn(v) + beta * log_lik_fn(v)
+            # batched over the local particle block (batch kernels engage
+            # when the caller passes batch-capable densities)
+            return lambda v: blp(v) + beta * bll(v)
 
         def ess_global(lw_local):
             m = jax.lax.pmax(jnp.max(lw_local), axis_name)
@@ -197,13 +203,14 @@ def chain_parallel_smc(
             return jnp.where(full_ok, jnp.ones_like(beta), lo)
 
         def mutate(key, parts, beta):
-            lp = jax.vmap(tempered(beta))(parts)
+            f = tempered(beta)
+            lp = f(parts)
 
             def one(carry, k):
                 parts, lp = carry
                 k1, k2 = jax.random.split(k)
                 prop = parts + rw_scale * jax.random.normal(k1, parts.shape, dtype)
-                lp_prop = jax.vmap(tempered(beta))(prop)
+                lp_prop = f(prop)
                 acc = jnp.log(jax.random.uniform(k2, (n_local,), dtype)) < lp_prop - lp
                 return (jnp.where(acc[:, None], prop, parts),
                         jnp.where(acc, lp_prop, lp)), None
@@ -231,14 +238,14 @@ def chain_parallel_smc(
             all_parts = jax.lax.all_gather(parts, axis_name).reshape(-1, dim)
             parts = all_parts[parents]
             parts = mutate(k_mut, parts, nb)
-            ll = jax.vmap(log_lik_fn)(parts)
+            ll = bll(parts)
             return (k, parts, ll, nb, log_ev, it + 1)
 
         def cond(state):
             _, _, _, beta, _, it = state
             return (beta < 1.0) & (it < max_stages)
 
-        ll0 = jax.vmap(log_lik_fn)(parts_local)
+        ll0 = bll(parts_local)
         init = (
             key, parts_local, ll0,
             jnp.zeros((), dtype), jnp.zeros((), dtype), jnp.asarray(0, jnp.int32),
