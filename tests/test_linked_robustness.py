@@ -43,6 +43,8 @@ def _model():
         ln=dists.LogitNormal(0.2, 0.9),
         par=dists.Pareto(2.2, 1.5),
         lv=dists.Levy(0.4, 1.3),
+        mvd=dists.MvNormalDiag(jnp.asarray([0.3, -0.2]), jnp.asarray([0.8, 1.4])),
+        mvln=dists.MvLogNormal(jnp.asarray([0.1, -0.4]), jnp.asarray([0.6, 1.2])),
     )
 
 
@@ -91,6 +93,7 @@ def test_dirichlet_linked_matches_registry_nudge(rng):
         dists.LogitNormal(0.2, 0.9),
         dists.Pareto(2.2, 1.5),
         dists.Levy(0.4, 1.3),
+        dists.MvLogNormal(jnp.asarray([0.1, -0.4, 0.7]), jnp.asarray([0.6, 1.2, 0.9])),
     ],
     ids=lambda d: type(d).__name__,
 )
@@ -98,7 +101,7 @@ def test_telescoped_scalar_hooks_match_generic(rng, d):
     """Telescoped hook values == logpdf(inverse(v)) + logdet at moderate v,
     and grads agree (the hook replaces the exp/log round-trip exactly)."""
     u = unconstrain(d)
-    v = jnp.asarray(rng.standard_normal(200) * 1.5)[:, None]
+    v = jnp.asarray(rng.standard_normal((200, u.linked_vec_length)) * 1.5)
     lp = np.asarray(u.linked_logdensity(v))
 
     def generic(vv):

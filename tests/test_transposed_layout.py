@@ -163,6 +163,30 @@ def _mega_model():
         ln=dists.LogitNormal(0.2, 0.9),
         par=dists.Pareto(2.2, 1.5),
         lv=dists.Levy(0.4, 1.3),
+        # per-row-independent multivariates -> slab rows (exact same algebra)
+        mvd=dists.MvNormalDiag(jnp.asarray([0.3, -0.2, 1.1]), jnp.asarray([0.8, 1.4, 0.5])),
+        mvln=dists.MvLogNormal(jnp.asarray([0.1, -0.4]), jnp.asarray([0.6, 1.2])),
+    )
+
+
+def _mega_model_mv(rng):
+    """Dense-covariance multivariate leaves (loop entries: triangular matvec
+    against the host-precomputed L^-1 / chol(J)^T)."""
+    A = np.tril(rng.standard_normal((4, 4)) * 0.3) + 2.0 * np.eye(4)
+    J = A @ A.T
+    return dists.NamedProduct.of(
+        mvt3=dists.MvNormalTril(
+            jnp.asarray([0.5, -1.0, 0.2]),
+            jnp.asarray([[1.3, 0.0, 0.0], [0.4, 0.9, 0.0], [-0.2, 0.3, 1.6]]),
+        ),
+        mu=dists.Normal(0.0, 1.5),
+        canon=dists.MvNormalCanon(jnp.asarray([0.2, -0.1, 0.4, 0.0]), jnp.asarray(J)),
+        t=dists.MvStudentT(
+            5.0,
+            jnp.asarray([0.1, -0.3]),
+            jnp.asarray([[1.1, 0.0], [0.5, 0.7]]),
+        ),
+        w=dists.Dirichlet(jnp.ones(4)),
     )
 
 
@@ -178,6 +202,50 @@ def test_mega_kernel_interpret_matches_composed(rng):
     ref = np.asarray(u._linked_logdensity_t_children(v.T))
     got = np.asarray(mega_logdensity_t(u, v.T, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-13, atol=1e-12)
+
+
+def test_mega_kernel_mv_leaves(rng):
+    """Dense multivariate normal/t leaves (MvNormalTril / MvNormalCanon /
+    MvStudentT): value, JVP, and VJP kernels vs the composed path. The
+    kernel contracts against a host-precomputed triangular inverse, so
+    agreement is to solve-vs-explicit-inverse rounding, not bitwise."""
+    from tpu_bijectors.vectorize.fused_kernel import (
+        _mega_diffable,
+        mega_jvp_t,
+        mega_logdensity_t,
+        mega_vjp_t,
+    )
+
+    d = _mega_model_mv(rng)
+    u = unconstrain(d)
+    dim = u.linked_vec_length
+    vT = jnp.asarray(0.6 * rng.standard_normal((19, dim))).T
+    dvT = jnp.asarray(rng.standard_normal((19, dim))).T
+    gbar = jnp.asarray(rng.standard_normal(19))
+
+    f = lambda vT: u._linked_logdensity_t_children(vT)
+    np.testing.assert_allclose(
+        np.asarray(mega_logdensity_t(u, vT, interpret=True)),
+        np.asarray(f(vT)), rtol=1e-11, atol=1e-11,
+    )
+    _, dlp_ref = jax.jvp(f, (vT,), (dvT,))
+    np.testing.assert_allclose(
+        np.asarray(mega_jvp_t(u, vT, dvT, interpret=True)),
+        np.asarray(dlp_ref), rtol=1e-9, atol=1e-10,
+    )
+    _, vjp = jax.vjp(f, vT)
+    np.testing.assert_allclose(
+        np.asarray(mega_vjp_t(u, vT, gbar, interpret=True)),
+        np.asarray(vjp(gbar)[0]), rtol=1e-9, atol=1e-10,
+    )
+    # grad through the custom_jvp wrapper, in vT and in the dist params
+    g1 = jax.grad(lambda vT: jnp.sum(_mega_diffable(u, vT)))(vT)
+    g2 = jax.grad(lambda vT: jnp.sum(f(vT)))(vT)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-9, atol=1e-10)
+    gu1 = jax.grad(lambda u: jnp.sum(_mega_diffable(u, vT)))(u)
+    gu2 = jax.grad(lambda u: jnp.sum(u._linked_logdensity_t_children(vT)))(u)
+    for a, b in zip(jax.tree_util.tree_leaves(gu1), jax.tree_util.tree_leaves(gu2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-9)
 
 
 def test_mega_kernel_declines_unsupported(rng):

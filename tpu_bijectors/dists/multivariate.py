@@ -255,6 +255,51 @@ class MvLogNormal(Distribution):
         base = MvNormalDiag(self.loc, self.scale_diag)
         return base.logpdf(lx) - jnp.sum(lx, -1)
 
+    def fused_linked_logdensity(self, bijector, y, want_x: bool = True):
+        """Telescoped linked density (vectorize.core hook): under the
+        elementwise log link, logpdf(e^v) + sum v cancels the base's
+        -sum log x Jacobian exactly — the linked density IS the underlying
+        MvNormalDiag density of v. Finite at |v| ~ 1e10 where exp(v)
+        over/underflows and the generic composition returns NaN (see
+        LogNormal.fused_linked_logdensity)."""
+        from ..bijectors.base import Block
+        from .univariate import _is_log_link
+
+        if not (
+            type(bijector) is Block
+            and bijector.ndims == 1
+            and _is_log_link(bijector.bijector)
+        ):
+            return None
+        lp = MvNormalDiag(self.loc, self.scale_diag).logpdf(y)
+        return (jnp.exp(y) if want_x else None), lp
+
+    def fused_linked_logdensity_t(self, bijector, yT):
+        """Transposed-layout variant: yT is (K, B)."""
+        from ..bijectors.base import Block
+        from .univariate import _is_log_link
+
+        if not (
+            type(bijector) is Block
+            and bijector.ndims == 1
+            and _is_log_link(bijector.bijector)
+        ):
+            return None
+        if jnp.ndim(self.loc) != 1:
+            return None
+        dtype = jnp.result_type(yT, float)
+        mu = jnp.asarray(self.loc, dtype)[:, None]
+        sig = jnp.broadcast_to(
+            jnp.asarray(self.scale_diag, dtype), (jnp.shape(self.loc)[-1],)
+        )[:, None]
+        z = (yT - mu) / sig
+        K = jnp.shape(self.loc)[-1]
+        return (
+            -0.5 * jnp.sum(z * z, 0)
+            - 0.5 * K * LOG2PI
+            - jnp.sum(jnp.log(sig))
+        )
+
     def sample(self, key, sample_shape=()):
         return jnp.exp(MvNormalDiag(self.loc, self.scale_diag).sample(key, sample_shape))
 

@@ -28,6 +28,7 @@ MAX_K = {
     "simplex": 32,  # kernels/simplex.py: K-1 sublane steps
     "lkj": 16,  # kernels/lkj.py: K(K-1)/2 packed recurrence
     "pd": 16,  # kernels/pd.py: dense K x K tile per step
+    "mvn": 16,  # vectorize/fused_kernel.py: triangular K x K matvec per leaf
 }
 
 

@@ -26,8 +26,11 @@ families — Normal/StudentT/Cauchy/Laplace/Logistic/Gumbel (identity
 link), LogNormal/Gamma/Exponential/InverseGamma/HalfNormal/HalfCauchy/
 Weibull/Chi/Rayleigh/Frechet (log link, telescoped), Beta/Uniform/
 LogitNormal (logit link), Pareto/Levy (shifted-log link) — plus
-Dirichlet (simplex), LKJ (vec-corr), LKJCholesky (vec-chol),
-Wishart / InverseWishart (PD link).
+MvNormalDiag / MvLogNormal (per-row slab rows, telescoped),
+MvNormalTril / MvNormalCanon / MvStudentT (triangular-matvec quadratic
+forms against a host-precomputed factor inverse), Dirichlet (simplex),
+LKJ (vec-corr), LKJCholesky (vec-chol), Wishart / InverseWishart
+(PD link).
 
 Differentiation: custom_jvp — Pallas primal; the tangent is a fused JVP
 kernel paired via linear_call with a fused TRANSPOSE kernel (jax.vjp — the
@@ -97,38 +100,79 @@ _CI = {k: i for i, k in enumerate(_COEF_KEYS)}
 NK = len(_COEF_KEYS)
 
 
-def _slab_value(V, cf):
-    """(dim, W) slab log-density: per-row coefficients broadcast over lanes."""
+_ALL_KEYS = frozenset(_COEF_KEYS)
+
+
+def _slab_value(V, cf, used=_ALL_KEYS):
+    """(dim, W) slab log-density: per-row coefficients broadcast over lanes.
+
+    `used` is the trace-time set of coefficient keys any slab entry assigns
+    (see _prep): terms whose weight column is statically all-zero are not
+    emitted at all, so e.g. a Normal/LKJ-only model skips the exp and log1p
+    passes entirely — the transcendentals are the kernel's bound, not HBM."""
     col = lambda k: cf[:, _CI[k]][:, None]
-    D = V - col("m")
+    D = (V - col("m")) if "m" in used else V
     U = jnp.abs(D)
-    sel3 = jnp.where(D >= 0, col("c3p"), col("c3n"))
-    acc = col("c0") + col("c1") * V + col("cq") * (D * D) + sel3 * U
-    acc = acc + col("c4") * jax.nn.softplus(col("sa") * U + col("sb"))
-    acc = acc + col("c5") * jnp.exp(col("ea") * V + col("eb"))
-    t = col("la") * D
-    acc = acc + col("c6") * jnp.log1p(t * t)
-    return acc
+    acc = col("c0")
+    if "c1" in used:
+        acc = acc + col("c1") * V
+    if "cq" in used:
+        acc = acc + col("cq") * (D * D)
+    if "c3p" in used or "c3n" in used:
+        sel3 = jnp.where(D >= 0, col("c3p"), col("c3n"))
+        acc = acc + sel3 * U
+    if "c4" in used:
+        sp_arg = col("sa") * U
+        if "sb" in used:
+            sp_arg = sp_arg + col("sb")
+        acc = acc + col("c4") * jax.nn.softplus(sp_arg)
+    if "c5" in used:
+        e_arg = col("ea") * V
+        if "eb" in used:
+            e_arg = e_arg + col("eb")
+        acc = acc + col("c5") * jnp.exp(e_arg)
+    if "c6" in used:
+        t = col("la") * D
+        acc = acc + col("c6") * jnp.log1p(t * t)
+    return jnp.broadcast_to(acc, V.shape)
 
 
-def _slab_partial(V, cf):
+def _slab_partial(V, cf, used=_ALL_KEYS):
     """(dim, W) d lp / d V of the slab form. Matches the composed path's
     tie conventions where they are defined by jnp.abs (sign(0) = 0); the
     signed-softplus decomposition makes the partial 0 at the measure-zero
     point D == 0 for Beta/Pareto/HalfCauchy (the composed path's smooth
-    sigmoid form is nonzero there) — irrelevant off that exact point."""
+    sigmoid form is nonzero there) — irrelevant off that exact point.
+
+    Honors the same statically-used key set as _slab_value: unused
+    sigmoid/exp passes are never emitted."""
     col = lambda k: cf[:, _CI[k]][:, None]
-    D = V - col("m")
+    D = (V - col("m")) if "m" in used else V
     U = jnp.abs(D)
     sgn = jnp.sign(D)
-    sel3 = jnp.where(D >= 0, col("c3p"), col("c3n"))
-    g = col("c1") + 2.0 * col("cq") * D + sel3 * sgn
-    g = g + col("c4") * col("sa") * sgn * jax.nn.sigmoid(col("sa") * U + col("sb"))
-    g = g + col("c5") * col("ea") * jnp.exp(col("ea") * V + col("eb"))
-    la = col("la")
-    t = la * D
-    g = g + col("c6") * (2.0 * la * la * D) / (1.0 + t * t)
-    return g
+    g = jnp.zeros((cf.shape[0], 1), V.dtype)
+    if "c1" in used:
+        g = g + col("c1")
+    if "cq" in used:
+        g = g + 2.0 * col("cq") * D
+    if "c3p" in used or "c3n" in used:
+        sel3 = jnp.where(D >= 0, col("c3p"), col("c3n"))
+        g = g + sel3 * sgn
+    if "c4" in used:
+        sp_arg = col("sa") * U
+        if "sb" in used:
+            sp_arg = sp_arg + col("sb")
+        g = g + col("c4") * col("sa") * sgn * jax.nn.sigmoid(sp_arg)
+    if "c5" in used:
+        e_arg = col("ea") * V
+        if "eb" in used:
+            e_arg = e_arg + col("eb")
+        g = g + col("c5") * col("ea") * jnp.exp(e_arg)
+    if "c6" in used:
+        la = col("la")
+        t = la * D
+        g = g + col("c6") * (2.0 * la * la * D) / (1.0 + t * t)
+    return jnp.broadcast_to(g, V.shape)
 
 
 # ---------------------------------------------------------------------------
@@ -304,6 +348,116 @@ def _partials_pd(K, mode: str):
                         out[base + c] = (K + 1.0 - r) + w + ata * L[(r, r)]
                     else:
                         out[base + c] = ata
+        return out
+
+    return partials
+
+
+def _emit_gauss_quad(K, tri):
+    """Gaussian quadratic-form leaf: lp = -0.5 ||C (v - mu)||^2 + const,
+    with C lower-triangular (MvNormalTril: C = L^-1) or upper-triangular
+    (MvNormalCanon: C = chol(J)^T). `tri` is static — statically-zero
+    C entries are never read. params: C (K*K row-major), mu (K), const."""
+
+    def cols_of(i):
+        if tri == "lower":
+            return range(i + 1)
+        if tri == "upper":
+            return range(i, K)
+        return range(K)
+
+    def emit(rr, rp, W, dtype):
+        KK = K * K
+        r = [rr(i) - rp(KK + i) for i in range(K)]
+        tr = jnp.zeros((1, W), dtype)
+        for i in range(K):
+            w = None
+            for j in cols_of(i):
+                term = rp(i * K + j) * r[j]
+                w = term if w is None else w + term
+            tr = tr + w * w
+        return -0.5 * tr + rp(KK + K)
+
+    return emit
+
+
+def _partials_gauss_quad(K, tri):
+    # d lp / d v_j = -(C^T C (v - mu))_j = -(C^T w)_j
+    def cols_of(i):
+        if tri == "lower":
+            return range(i + 1)
+        if tri == "upper":
+            return range(i, K)
+        return range(K)
+
+    def partials(rr, rp, W, dtype):
+        KK = K * K
+        r = [rr(i) - rp(KK + i) for i in range(K)]
+        w = [None] * K
+        for i in range(K):
+            acc = None
+            for j in cols_of(i):
+                term = rp(i * K + j) * r[j]
+                acc = term if acc is None else acc + term
+            w[i] = acc
+        out = [None] * K
+        for j in range(K):
+            acc = None
+            for i in range(K):
+                if j not in cols_of(i):
+                    continue
+                term = rp(i * K + j) * w[i]
+                acc = term if acc is None else acc + term
+            out[j] = -acc if acc is not None else jnp.zeros((1, W), dtype)
+        return out
+
+    return partials
+
+
+def _emit_mvt(K):
+    """Multivariate Student-t leaf (identity link): with w = C (v - mu),
+    q = ||w||^2, lp = const - 0.5 (df + K) log1p(q / df). C = L^-1 lower.
+    params: C (K*K row-major, lower), mu (K), df, const."""
+
+    def emit(rr, rp, W, dtype):
+        KK = K * K
+        r = [rr(i) - rp(KK + i) for i in range(K)]
+        q = jnp.zeros((1, W), dtype)
+        for i in range(K):
+            w = None
+            for j in range(i + 1):
+                term = rp(i * K + j) * r[j]
+                w = term if w is None else w + term
+            q = q + w * w
+        df = rp(KK + K)
+        return rp(KK + K + 1) - 0.5 * (df + K) * jnp.log1p(q / df)
+
+    return emit
+
+
+def _partials_mvt(K):
+    # d lp / d v_j = -((df + K) / (df + q)) * (C^T w)_j
+    def partials(rr, rp, W, dtype):
+        KK = K * K
+        r = [rr(i) - rp(KK + i) for i in range(K)]
+        w = [None] * K
+        q = jnp.zeros((1, W), dtype)
+        for i in range(K):
+            acc = None
+            for j in range(i + 1):
+                term = rp(i * K + j) * r[j]
+                acc = term if acc is None else acc + term
+            w[i] = acc
+            q = q + acc * acc
+        df = rp(KK + K)
+        s = -(df + K) / (df + q)
+        out = [None] * K
+        for j in range(K):
+            acc = None
+            for i in range(j, K):
+                term = rp(i * K + j) * w[i]
+                acc = term if acc is None else acc + term
+            out[j] = s * acc
         return out
 
     return partials
@@ -638,16 +792,122 @@ def _scalar_entry(dist, link, n, row0, prow0):
 
 def _leaf_entry(leaf, row0, prow0, eps):
     from .. import kernels
+    from ..bijectors.base import Block, Identity
     from ..bijectors.corr import VecCholeskyBijector, VecCorrBijector
     from ..bijectors.pd import PDVecBijector
     from ..bijectors.simplex import SimplexBijector
     from ..dists import matrix as mx
+    from ..dists import multivariate as mv
+    from ..dists import univariate as uv
     from ..dists.multivariate import Dirichlet
 
     d, b = leaf.dist, leaf.link
     if leaf.event_shape == () and leaf.linked_shape == ():
         return _scalar_entry(d, b, 1, row0, prow0)
     t = type(d)
+    # real-vector / positive-orthant families: unwrap the elementwise Block
+    eb = b.bijector if (type(b) is Block and b.ndims == 1) else None
+    eb_ident = type(eb) is Identity
+    if t in (mv.MvNormalDiag, mv.MvLogNormal):
+        # Per-row-independent Gaussians -> slab rows. MvLogNormal's linked
+        # density telescopes exactly to the underlying normal's logpdf on v
+        # (logpdf(e^v) + sum v: the -sum log x Jacobian of the base and the
+        # +sum v link log-det cancel; reference src/vector/multivariate/
+        # mvlognormal.jl / transformed_distribution.jl:93-101).
+        ok_link = eb_ident if t is mv.MvNormalDiag else (
+            eb is not None and uv._is_log_link(eb)
+        )
+        if not ok_link or jnp.ndim(d.loc) != 1 or jnp.ndim(d.scale_diag) > 1:
+            raise _Unsupported
+        K = int(jnp.shape(d.loc)[-1])
+
+        def slab(dtype, d=d, K=K):
+            mu = jnp.asarray(d.loc, dtype)
+            sig = jnp.broadcast_to(jnp.asarray(d.scale_diag, dtype), (K,))
+            inv_s = 1.0 / sig
+            return {"m": mu, "cq": -0.5 * inv_s * inv_s,
+                    "c0": -0.5 * LOG2PI - jnp.log(sig)}
+
+        return _Entry(row0, K, prow0, 0, slab=slab)
+    if t is mv.MvNormalTril and eb_ident:
+        # lp = -0.5 ||L^-1 (v - mu)||^2 - sum log diag L - K/2 log 2pi
+        # (multivariate.py::MvNormalTril.logpdf); C = L^-1 is host-side.
+        if jnp.ndim(d.loc) != 1 or jnp.ndim(d.scale_tril) != 2:
+            raise _Unsupported
+        K = int(jnp.shape(d.loc)[-1])
+        if K > kernels.MAX_K["mvn"]:
+            raise _Unsupported
+
+        def params(dtype, d=d, K=K):
+            L = jnp.tril(jnp.asarray(d.scale_tril, dtype))
+            C = jax.scipy.linalg.solve_triangular(
+                L, jnp.eye(K, dtype=dtype), lower=True
+            )
+            const = -0.5 * K * LOG2PI - jnp.sum(
+                jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1
+            )
+            return [jnp.ravel(C), jnp.asarray(d.loc, dtype), const]
+
+        return _Entry(
+            row0, K, prow0, K * K + K + 1, _emit_gauss_quad(K, "lower"),
+            params, _partials_gauss_quad(K, "lower"),
+        )
+    if t is mv.MvNormalCanon and eb_ident:
+        # J = L L^T, lp = -0.5 ||L^T (v - mu)||^2 + sum log diag L - K/2
+        # log 2pi with mu = J^-1 h (multivariate.py::MvNormalCanon.logpdf).
+        if jnp.ndim(d.h) != 1 or jnp.ndim(d.prec) != 2:
+            raise _Unsupported
+        K = int(jnp.shape(d.h)[-1])
+        if K > kernels.MAX_K["mvn"]:
+            raise _Unsupported
+
+        def params(dtype, d=d, K=K):
+            from ..utils import cholesky_lower
+
+            L = cholesky_lower(jnp.asarray(d.prec, dtype))
+            mu = jax.scipy.linalg.cho_solve((L, True), jnp.asarray(d.h, dtype))
+            const = -0.5 * K * LOG2PI + jnp.sum(
+                jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1
+            )
+            return [jnp.ravel(L.T), mu, const]
+
+        return _Entry(
+            row0, K, prow0, K * K + K + 1, _emit_gauss_quad(K, "upper"),
+            params, _partials_gauss_quad(K, "upper"),
+        )
+    if t is mv.MvStudentT and eb_ident:
+        # lp = const - 0.5 (df + K) log1p(q / df), q = ||L^-1 (v - mu)||^2
+        # (multivariate.py::MvStudentT.logpdf).
+        if (
+            jnp.ndim(d.loc) != 1
+            or jnp.ndim(d.scale_tril) != 2
+            or jnp.ndim(d.df) != 0
+        ):
+            raise _Unsupported
+        K = int(jnp.shape(d.loc)[-1])
+        if K > kernels.MAX_K["mvn"]:
+            raise _Unsupported
+
+        def params(dtype, d=d, K=K):
+            from jax.scipy import special as jsp
+
+            L = jnp.tril(jnp.asarray(d.scale_tril, dtype))
+            C = jax.scipy.linalg.solve_triangular(
+                L, jnp.eye(K, dtype=dtype), lower=True
+            )
+            v = jnp.asarray(d.df, dtype)
+            const = (
+                jsp.gammaln(0.5 * (v + K))
+                - jsp.gammaln(0.5 * v)
+                - 0.5 * K * (jnp.log(v) + LOGPI)
+                - jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), -1)
+            )
+            return [jnp.ravel(C), jnp.asarray(d.loc, dtype), v, const]
+
+        return _Entry(
+            row0, K, prow0, K * K + K + 2, _emit_mvt(K),
+            params, _partials_mvt(K),
+        )
     if t is Dirichlet and type(b) is SimplexBijector:
         K = int(jnp.shape(d.alpha)[-1])
         if jnp.ndim(d.alpha) != 1 or K > kernels.MAX_K["simplex"]:
@@ -806,13 +1066,18 @@ def _prep(u, vT):
     pvec = jnp.concatenate(parts)
     Pn = pvec.shape[0]
     # slab coefficient matrix (dim, NK); loop rows stay all-zero (their
-    # slab terms evaluate to exactly 0 — see _COEF_KEYS)
+    # slab terms evaluate to exactly 0 — see _COEF_KEYS). `used` is the
+    # trace-time union of assigned keys: _slab_value/_slab_partial skip
+    # whole transcendental passes whose weight column is statically zero.
     cf = jnp.zeros((dim, NK), dtype)
+    used = set()
     for e in plan:
         if e.slab is None:
             continue
         for k, v in e.slab(dtype).items():
+            used.add(k)
             cf = cf.at[e.row0 : e.row0 + e.rows, _CI[k]].set(v)
+    used = frozenset(used)
     Bp = padded_batch(B)
     W = block_lanes(Bp)
     # VMEM guard: v (+dv) block + params + coefficient block + double buffering
@@ -821,7 +1086,7 @@ def _prep(u, vT):
     while Bp % W:
         W //= 2
     pb = jnp.broadcast_to(pvec[:, None], (Pn, W))
-    return loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to
+    return loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used
 
 
 def _loop_readers(e, v_ref, p_ref, W):
@@ -842,13 +1107,13 @@ def mega_logdensity_t(u, vT, *, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to = _prep(u, vT)
+    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used = _prep(u, vT)
     vp = pad_to(vT.astype(dtype), Bp, 1)
 
     def kernel(v_ref, p_ref, cf_ref, lp_ref):
-        acc = jnp.sum(_slab_value(v_ref[:, :], cf_ref[:, :]), axis=0).reshape(
-            1, W
-        )
+        acc = jnp.sum(
+            _slab_value(v_ref[:, :], cf_ref[:, :], used), axis=0
+        ).reshape(1, W)
         for e in loop:
             rr, rp = _loop_readers(e, v_ref, p_ref, W)
             acc = acc + e.emit(rr, rp, W, dtype)
@@ -875,12 +1140,12 @@ def mega_jvp_t(u, vT, dvT, *, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to = _prep(u, vT)
+    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used = _prep(u, vT)
     vp = pad_to(vT.astype(dtype), Bp, 1)
     dvp = pad_to(dvT.astype(dtype), Bp, 1)
 
     def kernel(v_ref, dv_ref, p_ref, cf_ref, out_ref):
-        g = _slab_partial(v_ref[:, :], cf_ref[:, :])
+        g = _slab_partial(v_ref[:, :], cf_ref[:, :], used)
         acc = jnp.sum(g * dv_ref[:, :], axis=0).reshape(1, W)
         for e in loop:
             rr, rp = _loop_readers(e, v_ref, p_ref, W)
@@ -913,13 +1178,13 @@ def mega_vjp_t(u, vT, gbar, *, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to = _prep(u, vT)
+    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used = _prep(u, vT)
     vp = pad_to(vT.astype(dtype), Bp, 1)
     gb = pad_to(gbar.astype(dtype).reshape(1, B), Bp, 1)
 
     def kernel(v_ref, g_ref, p_ref, cf_ref, out_ref):
         g = g_ref[0, :].reshape(1, W)
-        out_ref[:, :] = _slab_partial(v_ref[:, :], cf_ref[:, :]) * g
+        out_ref[:, :] = _slab_partial(v_ref[:, :], cf_ref[:, :], used) * g
         for e in loop:
             rr, rp = _loop_readers(e, v_ref, p_ref, W)
             ps = e.partials(rr, rp, W, dtype)
