@@ -248,6 +248,56 @@ def test_mega_kernel_mv_leaves(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-9)
 
 
+def test_mega_kernel_truncated_leaves(rng):
+    """Truncated scalar leaves (traced per-row loop entries with the
+    hoisted cdf normalizer): value/JVP/VJP kernels vs the composed path,
+    all three interval branch kinds + an IID block, and decline for a
+    non-whitelisted base / traced link bounds."""
+    from tpu_bijectors.vectorize.fused_kernel import (
+        _plan,
+        mega_jvp_t,
+        mega_logdensity_t,
+        mega_vjp_t,
+    )
+
+    d = dists.NamedProduct.of(
+        tn=dists.Truncated(dists.Normal(0.3, 1.2), lower=-0.5, upper=2.0),
+        tlo=dists.Truncated(dists.Cauchy(0.0, 1.0), lower=0.4),
+        thi=dists.Truncated(dists.Gumbel(0.1, 0.9), upper=1.5),
+        iid=dists.IIDProduct(
+            dists.Truncated(dists.Logistic(0.0, 0.7), lower=-1.0, upper=1.0), 3
+        ),
+        tln=dists.Truncated(dists.LogNormal(0.2, 0.6), upper=3.0),
+        mu=dists.Normal(0.0, 2.0),
+    )
+    u = unconstrain(d)
+    dim = u.linked_vec_length
+    vT = jnp.asarray(0.8 * rng.standard_normal((21, dim))).T
+    dvT = jnp.asarray(rng.standard_normal((21, dim))).T
+    gbar = jnp.asarray(rng.standard_normal(21))
+
+    f = lambda vT: u._linked_logdensity_t_children(vT)
+    np.testing.assert_allclose(
+        np.asarray(mega_logdensity_t(u, vT, interpret=True)),
+        np.asarray(f(vT)), rtol=1e-12, atol=1e-12,
+    )
+    _, dlp_ref = jax.jvp(f, (vT,), (dvT,))
+    np.testing.assert_allclose(
+        np.asarray(mega_jvp_t(u, vT, dvT, interpret=True)),
+        np.asarray(dlp_ref), rtol=1e-9, atol=1e-10,
+    )
+    _, vjp = jax.vjp(f, vT)
+    np.testing.assert_allclose(
+        np.asarray(mega_vjp_t(u, vT, gbar, interpret=True)),
+        np.asarray(vjp(gbar)[0]), rtol=1e-9, atol=1e-10,
+    )
+    # non-whitelisted base (StudentT: gammaln-on-param-rows) declines
+    d_bad = dists.NamedProduct.of(
+        t=dists.Truncated(dists.StudentT(4.0, 0.0, 1.0), lower=0.0)
+    )
+    assert _plan(unconstrain(d_bad), 1e-16) is None
+
+
 def test_mega_kernel_declines_unsupported(rng):
     """Unsupported leaves (e.g. SkewNormal) -> plan None -> composed
     fallback."""

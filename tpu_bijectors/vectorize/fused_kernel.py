@@ -530,6 +530,86 @@ def _partials_simplex(K, eps):
 # ---------------------------------------------------------------------------
 
 
+def _truncated_entry(d, link, n, row0, prow0):
+    """Truncated scalar leaves (truncated(Normal, lo, hi)-style priors) as
+    traced per-row loop entries: the scalar linked density
+    base.logpdf(invlink(v)) - log Z + ld is traced straight into the kernel
+    body (reference: truncation just renormalizes, Distributions.truncated +
+    /root/reference/src/bijectors/truncated.jl), with the normalizer
+    log(cdf(hi) - cdf(lo)) HOISTED into the params operand — so no erf/ndtr
+    ever runs in-kernel. Base params ride as lane-broadcast rows
+    (tree-unflattened to (1, W) leaves: traced jit args welcome); partials
+    come from jax.jvp of the same traced scalar function (trace-time
+    transformation — elementwise derivative ops only).
+
+    Only bases whose logpdf bodies use Mosaic-safe elementwise ops
+    (exp/log/log1p/abs/softplus/where) are eligible; families with special
+    functions in the v-dependent part (or param-row normalizers like
+    gammaln) decline to the composed path."""
+    import math as _math
+
+    from jax.core import Tracer
+
+    from ..dists import univariate as uv
+
+    safe_bases = (
+        uv.Normal, uv.Cauchy, uv.Laplace, uv.Logistic, uv.Gumbel,
+        uv.Exponential, uv.Uniform, uv.LogNormal, uv.Rayleigh,
+    )
+    base = d.base
+    if type(base) not in safe_bases:
+        raise _Unsupported
+    leaves, treedef = jax.tree_util.tree_flatten(base)
+    if any(jnp.ndim(l) != 0 for l in leaves):
+        raise _Unsupported
+    # the link (bijector) is closed over inside the kernel body, so its
+    # leaves must be concrete (static interval bounds — the usual case)
+    if any(
+        isinstance(l, Tracer) for l in jax.tree_util.tree_leaves(link)
+    ):
+        raise _Unsupported
+    p = len(leaves)
+    lo, up = d.lower, d.upper
+
+    def params(dtype, d=d, leaves=leaves):
+        lo_c, hi_c = d._bounds_cdf()
+        logZ = jnp.log(
+            jnp.asarray(hi_c, dtype) - jnp.asarray(lo_c, dtype)
+        )
+        return [jnp.asarray(l, dtype) for l in leaves] + [logZ]
+
+    def scalar_lp(v, prows):
+        base2 = jax.tree_util.tree_unflatten(treedef, prows[:p])
+        x, ld = link.inverse_and_log_det(v)
+        lp = base2.logpdf(x) - prows[p] + ld
+        inside = jnp.ones(jnp.shape(v), bool)
+        if _math.isfinite(lo):
+            inside &= x >= lo
+        if _math.isfinite(up):
+            inside &= x <= up
+        return jnp.where(inside, lp, -jnp.inf)
+
+    def emit(rr, rp, W, dtype):
+        prows = [rp(j) for j in range(p + 1)]
+        acc = jnp.zeros((1, W), dtype)
+        for i in range(n):
+            acc = acc + scalar_lp(rr(i), prows)
+        return acc
+
+    def partials(rr, rp, W, dtype):
+        prows = [rp(j) for j in range(p + 1)]
+        out = []
+        for i in range(n):
+            v = rr(i)
+            _, dv = jax.jvp(
+                lambda vv: scalar_lp(vv, prows), (v,), (jnp.ones_like(v),)
+            )
+            out.append(dv)
+        return out
+
+    return _Entry(row0, n, prow0, p + 1, emit, params, partials)
+
+
 def _scalar_entry(dist, link, n, row0, prow0):
     """Slab-coefficient wiring for every kernel-supported scalar family
     (the closed form is documented at _COEF_KEYS). The coefficients encode
@@ -541,6 +621,8 @@ def _scalar_entry(dist, link, n, row0, prow0):
 
     d = dist
     t = type(d)
+    if t is uv.Truncated:
+        return _truncated_entry(d, link, n, row0, prow0)
 
     def guard(pred, *param_vals):
         if not pred or any(jnp.ndim(p) for p in param_vals):
