@@ -291,11 +291,67 @@ def test_mega_kernel_truncated_leaves(rng):
         np.asarray(mega_vjp_t(u, vT, gbar, interpret=True)),
         np.asarray(vjp(gbar)[0]), rtol=1e-9, atol=1e-10,
     )
-    # non-whitelisted base (StudentT: gammaln-on-param-rows) declines
+    # truncated StudentT is ALSO eligible (gammaln normalizer hoisted by
+    # partial eval; v-part is log1p-safe) — covered by the generic sweep;
+    # an erf-in-v base (SkewNormal) declines
     d_bad = dists.NamedProduct.of(
-        t=dists.Truncated(dists.StudentT(4.0, 0.0, 1.0), lower=0.0)
+        t=dists.Truncated(dists.SkewNormal(0.0, 1.0, 2.0), lower=0.0)
     )
     assert _plan(unconstrain(d_bad), 1e-16) is None
+
+
+def test_mega_generic_scalar_families_match_composed(rng):
+    """The generic traced scalar entry auto-whitelists families by
+    partial-eval + jaxpr-primitive scan; EVERY family it accepts from the
+    full univariate matrix must match the composed path (value and vjp).
+    Declined families must still route through the composed fallback.
+    This is the safety net for auto-acceptance: a semantics mismatch in
+    any traced family fails here, not in a user's model."""
+    from test_all_matrix import _univariates
+
+    from tpu_bijectors.vectorize.fused_kernel import (
+        _plan,
+        mega_logdensity_t,
+        mega_vjp_t,
+    )
+
+    accepted, declined = [], []
+    for d0 in _univariates():
+        d = dists.NamedProduct.of(x=d0, y=dists.Normal(0.0, 2.0))
+        u = unconstrain(d)
+        name = type(d0).__name__
+        if _plan(u, 1e-16) is None:
+            declined.append(name)
+            continue
+        accepted.append(name)
+        dim = u.linked_vec_length
+        vT = jnp.asarray(0.7 * rng.standard_normal((48, dim))).T
+        f = lambda vT: u._linked_logdensity_t_children(vT)
+        ref = np.asarray(f(vT))
+        got = np.asarray(mega_logdensity_t(u, vT, interpret=True))
+        fin = np.isfinite(ref)
+        np.testing.assert_allclose(
+            got[fin], ref[fin], rtol=1e-10, atol=1e-10, err_msg=name
+        )
+        # composed -inf (out-of-support mixture/discrete rows) must stay
+        # nonpositive-infinite in the kernel too, never NaN
+        assert not np.any(np.isnan(got)), name
+        gbar = jnp.asarray(rng.standard_normal(48))
+        _, vjp = jax.vjp(f, vT)
+        dv_ref = np.asarray(vjp(gbar)[0])
+        dv = np.asarray(mega_vjp_t(u, vT, gbar, interpret=True))
+        m = np.isfinite(dv_ref) & np.broadcast_to(fin, dv_ref.shape)
+        np.testing.assert_allclose(
+            dv[m], dv_ref[m], rtol=1e-8, atol=1e-9, err_msg=name
+        )
+    # the mechanism must actually accept a broad set and decline the
+    # special-function/series families
+    for must in ("Kumaraswamy", "Arcsine", "BetaPrime", "InverseGaussian",
+                 "TriangularDist", "JohnsonSU", "Truncated"):
+        assert must in accepted, (must, accepted)
+    for must_not in ("SkewNormal", "NoncentralChisq", "Rician",
+                     "StudentizedRange"):
+        assert must_not in declined, (must_not, declined)
 
 
 def test_mega_kernel_declines_unsupported(rng):

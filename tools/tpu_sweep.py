@@ -65,10 +65,77 @@ def cases(full: bool):
     return out
 
 
+def mega_smoke():
+    """Compile + run the whole-model fused kernel ON CHIP (not interpret
+    mode) for every leaf-entry kind, incl. the generic traced scalar
+    entries — this is the only place their Mosaic lowering is validated
+    (the CPU suite can only check interpret-mode semantics). Compares the
+    kernel against the composed path in f32 at a dispatch-eligible batch."""
+    import numpy as np
+
+    from tpu_bijectors.vectorize import unconstrain
+    from tpu_bijectors.vectorize.fused_kernel import _plan, try_mega
+
+    models = {
+        "slab+structured": dists.NamedProduct.of(
+            mu=dists.IIDProduct(dists.Normal(0.5, 2.0), 4),
+            sig=dists.LogNormal(0.1, 0.5),
+            w=dists.Dirichlet(jnp.ones(5) * 1.3),
+            c=dists.LKJ(4, 2.0),
+            wi=dists.Wishart(6.0, jnp.eye(3)),
+            mvd=dists.MvNormalDiag(jnp.zeros(3), jnp.ones(3)),
+            mvt=dists.MvNormalTril(
+                jnp.zeros(3),
+                jnp.asarray([[1.3, 0.0, 0.0], [0.4, 0.9, 0.0], [-0.2, 0.3, 1.6]]),
+            ),
+        ),
+        "generic-traced": dists.NamedProduct.of(
+            tn=dists.Truncated(dists.Normal(0.3, 1.2), lower=-0.5, upper=2.0),
+            tst=dists.Truncated(dists.StudentT(4.0, 0.2, 1.1), lower=0.0),
+            ku=dists.Kumaraswamy(2.0, 3.0),
+            bp=dists.BetaPrime(2.0, 3.5),
+            ig=dists.InverseGaussian(1.2, 2.0),
+            js=dists.JohnsonSU(0.1, 1.2, 0.3, 1.1),
+            tri=dists.TriangularDist(-1.0, 2.0, 0.5),
+            mx=dists.Mixture(
+                dists.Normal(e([-2.0, 3.0]), e([1.0, 2.0])),
+                jnp.log(e([0.5, 0.5])),
+            ),
+        ),
+    }
+    failures = []
+    for name, d in models.items():
+        try:
+            u = unconstrain(d)
+            assert _plan(u, 1e-6) is not None, "plan unexpectedly None"
+            dim = u.linked_vec_length
+            key = jax.random.PRNGKey(0)
+            vT = 0.6 * jax.random.normal(key, (dim, 2048), jnp.float32)
+            got = try_mega(u, vT)
+            assert got is not None, "try_mega declined at dispatch shape"
+            ref = u._linked_logdensity_t_children(vT)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+            )
+            g1 = jax.grad(lambda vT: jnp.sum(try_mega(u, vT)))(vT)
+            g2 = jax.grad(
+                lambda vT: jnp.sum(u._linked_logdensity_t_children(vT))
+            )(vT)
+            np.testing.assert_allclose(
+                np.asarray(g1), np.asarray(g2), rtol=2e-4, atol=2e-4
+            )
+            print(f"  OK   mega[{name}] (value + grad on chip)")
+        except Exception as ex:
+            failures.append((f"mega[{name}]", ex))
+            print(f"  FAIL mega[{name}]: {type(ex).__name__}: {str(ex)[:300]}")
+            traceback.print_exc(limit=2)
+    return failures
+
+
 def main():
     full = len(_sys.argv) > 1 and _sys.argv[1] == "full"
     print(f"devices: {jax.devices()}  (f32 sweep, {'full' if full else 'fast'})")
-    failures = []
+    failures = mega_smoke()
     for d in cases(full):
         name = type(d).__name__
         try:

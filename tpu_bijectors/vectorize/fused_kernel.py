@@ -47,6 +47,7 @@ from functools import partial as _partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.extend.core import ClosedJaxpr, Jaxpr
 
 LOG2 = math.log(2.0)
 LOGPI = math.log(math.pi)
@@ -530,84 +531,195 @@ def _partials_simplex(K, eps):
 # ---------------------------------------------------------------------------
 
 
-def _truncated_entry(d, link, n, row0, prow0):
-    """Truncated scalar leaves (truncated(Normal, lo, hi)-style priors) as
-    traced per-row loop entries: the scalar linked density
-    base.logpdf(invlink(v)) - log Z + ld is traced straight into the kernel
-    body (reference: truncation just renormalizes, Distributions.truncated +
-    /root/reference/src/bijectors/truncated.jl), with the normalizer
-    log(cdf(hi) - cdf(lo)) HOISTED into the params operand — so no erf/ndtr
-    ever runs in-kernel. Base params ride as lane-broadcast rows
-    (tree-unflattened to (1, W) leaves: traced jit args welcome); partials
-    come from jax.jvp of the same traced scalar function (trace-time
-    transformation — elementwise derivative ops only).
+# Mosaic-safe elementwise/structural primitives: the v-dependent part of a
+# traced scalar entry may only contain these (anything param-only — gammaln
+# normalizers, cdf bounds of a truncation, bessel constants — is hoisted
+# into the params operand by partial evaluation, so it never hits this
+# check). Reductions over a small trailing axis (mixtures) are allowed.
+_SAFE_PRIMS = frozenset({
+    "add", "add_any", "sub", "mul", "div", "rem", "neg", "abs", "sign",
+    "max", "min",
+    "exp", "exp2", "log", "log1p", "expm1", "logistic", "tanh", "sqrt",
+    "rsqrt", "cbrt", "square", "pow", "integer_pow", "floor", "ceil",
+    "round", "sin", "cos", "tan", "atan", "atan2", "asin", "acos",
+    "sinh", "cosh", "asinh", "acosh", "atanh", "log2", "exp2",
+    "gt", "lt", "ge", "le", "eq", "ne", "and", "or", "not", "xor",
+    "select_n", "clamp", "is_finite", "nextafter", "sign", "copy",
+    "convert_element_type", "broadcast_in_dim", "reshape", "squeeze",
+    "concatenate", "slice", "stop_gradient", "transpose",
+    "reduce_sum", "reduce_max", "reduce_min", "reduce_and", "reduce_or",
+})
+_STRUCTURAL_PRIMS = frozenset({
+    "jit", "pjit", "custom_jvp_call", "custom_vjp_call",
+    "custom_jvp_call_jaxpr", "custom_vjp_call_jaxpr", "closed_call",
+    "core_call", "remat", "checkpoint",
+})
 
-    Only bases whose logpdf bodies use Mosaic-safe elementwise ops
-    (exp/log/log1p/abs/softplus/where) are eligible; families with special
-    functions in the v-dependent part (or param-row normalizers like
-    gammaln) decline to the composed path."""
-    import math as _math
 
-    from jax.core import Tracer
+def _scan_safe(closed_jaxpr, budget=128):
+    """Raise _Unsupported unless every primitive in the jaxpr (recursing
+    through structural wrappers) is Mosaic-safe and the total op count is
+    within budget (keeps kernel compile time and VMEM pressure bounded)."""
+    seen = 0
 
-    from ..dists import univariate as uv
+    def subjaxprs(eqn):
+        out = []
+        for v in eqn.params.values():
+            if isinstance(v, (Jaxpr, ClosedJaxpr)):
+                out.append(v)
+            elif isinstance(v, (list, tuple)):
+                out.extend(x for x in v if isinstance(x, (Jaxpr, ClosedJaxpr)))
+        return out
 
-    safe_bases = (
-        uv.Normal, uv.Cauchy, uv.Laplace, uv.Logistic, uv.Gumbel,
-        uv.Exponential, uv.Uniform, uv.LogNormal, uv.Rayleigh,
-    )
-    base = d.base
-    if type(base) not in safe_bases:
-        raise _Unsupported
-    leaves, treedef = jax.tree_util.tree_flatten(base)
-    if any(jnp.ndim(l) != 0 for l in leaves):
-        raise _Unsupported
-    # the link (bijector) is closed over inside the kernel body, so its
-    # leaves must be concrete (static interval bounds — the usual case)
-    if any(
-        isinstance(l, Tracer) for l in jax.tree_util.tree_leaves(link)
-    ):
-        raise _Unsupported
-    p = len(leaves)
-    lo, up = d.lower, d.upper
+    def walk(j):
+        nonlocal seen
+        for eqn in j.eqns:
+            name = eqn.primitive.name
+            subs = subjaxprs(eqn)
+            if name in _STRUCTURAL_PRIMS and subs:
+                for s in subs:
+                    walk(s.jaxpr if isinstance(s, ClosedJaxpr) else s)
+                continue
+            if name not in _SAFE_PRIMS:
+                raise _Unsupported
+            seen += 1
+            if seen > budget:
+                raise _Unsupported
 
-    def params(dtype, d=d, leaves=leaves):
-        lo_c, hi_c = d._bounds_cdf()
-        logZ = jnp.log(
-            jnp.asarray(hi_c, dtype) - jnp.asarray(lo_c, dtype)
+    walk(closed_jaxpr.jaxpr)
+
+
+def _traced_scalar_entry(d, link, n, row0, prow0):
+    """Generic traced per-row loop entry for ANY scalar (dist, link) leaf
+    whose linked density has a Mosaic-safe v-dependent part.
+
+    The scalar linked density logpdf(invlink(v)) + ld (or the family's
+    telescoped hook) is split by jaxpr partial evaluation with v marked
+    unknown: everything that depends only on the distribution/link
+    parameters — a truncation's cdf(bounds) normalizer, gammaln/betaln
+    normalizers, i0e constants — is HOISTED into the params operand as
+    residuals (traced jit args welcome; concrete params too — omnistaging
+    stages both, the split is on dataflow, not concreteness); only the
+    v-dependent residual jaxpr is traced into the kernel body, and it is
+    admitted only if `_scan_safe` proves both its value and jvp jaxprs
+    elementwise-safe. This auto-whitelists e.g. truncated(ANY such base)
+    (reference: truncation just renormalizes, Distributions.truncated),
+    Triangular/Arcsine/Kumaraswamy/BetaPrime-style families, and
+    auto-declines erf-in-v families (SkewNormal) and unrolled-series
+    densities (noncentral) via the op budget."""
+    from jax._src.interpreters import partial_eval as pe
+    from jax.core import eval_jaxpr
+
+    leaves0, treedef = jax.tree_util.tree_flatten((d, link))
+
+    def lp1(v, dl):
+        d2, l2 = dl
+        hook = getattr(d2, "fused_linked_logdensity", None)
+        if hook is not None:
+            out = hook(l2, v, want_x=False)
+            if out is not None:
+                return out[1]
+        x, ld = l2.inverse_and_log_det(v)
+        return d2.logpdf(x) + ld
+
+    def split(dtype):
+        def cast(l):
+            a = jnp.asarray(l)
+            return a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+
+        ls = [cast(l) for l in leaves0]
+
+        def fn(v, *lv):
+            return lp1(v, jax.tree_util.tree_unflatten(treedef, lv))
+
+        cj = jax.make_jaxpr(fn)(jnp.zeros((), dtype), *ls)
+        known, unknown, out_unk, res_avals = pe.partial_eval_jaxpr_nounits(
+            cj, [True] + [False] * len(ls), False
         )
-        return [jnp.asarray(l, dtype) for l in leaves] + [logZ]
+        if out_unk != [True]:
+            raise _Unsupported
+        return ls, known, unknown, res_avals
 
-    def scalar_lp(v, prows):
-        base2 = jax.tree_util.tree_unflatten(treedef, prows[:p])
-        x, ld = link.inverse_and_log_det(v)
-        lp = base2.logpdf(x) - prows[p] + ld
-        inside = jnp.ones(jnp.shape(v), bool)
-        if _math.isfinite(lo):
-            inside &= x >= lo
-        if _math.isfinite(up):
-            inside &= x <= up
-        return jnp.where(inside, lp, -jnp.inf)
+    try:
+        _, _, unk0, res_avals0 = split(jnp.float32)
+        if any(
+            a.ndim > 1
+            or a.size > 16
+            or not jnp.issubdtype(a.dtype, jnp.floating)
+            for a in res_avals0
+        ):
+            raise _Unsupported
+        specs = [(int(a.size), a.ndim) for a in res_avals0]
+        _scan_safe(unk0)
+
+        def kfn0(v, *res):
+            return eval_jaxpr(unk0.jaxpr, unk0.consts, *res, v)[0]
+
+        res_ex = [jnp.zeros(a.shape, a.dtype) for a in res_avals0]
+        _scan_safe(
+            jax.make_jaxpr(
+                lambda v, *r: jax.jvp(
+                    lambda vv: kfn0(vv, *r), (v,), (jnp.ones_like(v),)
+                )[1]
+            )(jnp.zeros((), jnp.float32), *res_ex)
+        )
+    except _Unsupported:
+        raise
+    except Exception:
+        raise _Unsupported
+    n_params = sum(s for s, _ in specs)
+
+    # the residual-jaxpr fn for the dtype actually traced: params(dtype)
+    # runs in _prep (outer trace: the known jaxpr may compute erf/gammaln
+    # there freely) and stashes the unknown-jaxpr evaluator; emit/partials
+    # (kernel trace) must NOT re-trace — the dist fields may be outer
+    # tracers.
+    cell = {}
+
+    def params(dtype):
+        ls, known, unknown, res_avals = split(dtype)
+        assert [(int(a.size), a.ndim) for a in res_avals] == specs
+        res = eval_jaxpr(known.jaxpr, known.consts, *ls)
+        cell["fn"] = lambda v, *r: eval_jaxpr(
+            unknown.jaxpr, unknown.consts, *r, v
+        )[0]
+        return [jnp.asarray(r, dtype) for r in res]
+
+    def _consts_rows(rp, W):
+        cs, j = [], 0
+        for sz, nd in specs:
+            if nd == 0:
+                cs.append(rp(j).reshape(W))
+                j += 1
+            else:
+                rows = [rp(j + t).reshape(W) for t in range(sz)]
+                cs.append(jnp.stack(rows, axis=-1))  # (W, sz)
+                j += sz
+        return cs
 
     def emit(rr, rp, W, dtype):
-        prows = [rp(j) for j in range(p + 1)]
+        fn = cell["fn"]
+        cs = _consts_rows(rp, W)
         acc = jnp.zeros((1, W), dtype)
         for i in range(n):
-            acc = acc + scalar_lp(rr(i), prows)
+            acc = acc + jax.vmap(fn)(rr(i).reshape(W), *cs).reshape(1, W)
         return acc
 
     def partials(rr, rp, W, dtype):
-        prows = [rp(j) for j in range(p + 1)]
+        fn = cell["fn"]
+        cs = _consts_rows(rp, W)
         out = []
         for i in range(n):
-            v = rr(i)
-            _, dv = jax.jvp(
-                lambda vv: scalar_lp(vv, prows), (v,), (jnp.ones_like(v),)
-            )
-            out.append(dv)
+            v = rr(i).reshape(W)
+
+            def g(vv):
+                return jax.vmap(fn)(vv, *cs)
+
+            _, dv = jax.jvp(g, (v,), (jnp.ones_like(v),))
+            out.append(dv.reshape(1, W))
         return out
 
-    return _Entry(row0, n, prow0, p + 1, emit, params, partials)
+    return _Entry(row0, n, prow0, n_params, emit, params, partials)
 
 
 def _scalar_entry(dist, link, n, row0, prow0):
@@ -622,7 +734,7 @@ def _scalar_entry(dist, link, n, row0, prow0):
     d = dist
     t = type(d)
     if t is uv.Truncated:
-        return _truncated_entry(d, link, n, row0, prow0)
+        return _traced_scalar_entry(d, link, n, row0, prow0)
 
     def guard(pred, *param_vals):
         if not pred or any(jnp.ndim(p) for p in param_vals):
@@ -869,7 +981,8 @@ def _scalar_entry(dist, link, n, row0, prow0):
                     "c0": 0.5 * (jnp.log(s) - LOG2PI)}
 
         return mk(cf)
-    raise _Unsupported
+    # no slab form: generic traced entry (auto-whitelisted by _scan_safe)
+    return _traced_scalar_entry(d, link, n, row0, prow0)
 
 
 def _leaf_entry(leaf, row0, prow0, eps):
