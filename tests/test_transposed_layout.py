@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import tpu_bijectors as tb
 from tpu_bijectors import dists
 from tpu_bijectors.vectorize import unconstrain
 
@@ -166,6 +167,13 @@ def _mega_model():
         # per-row-independent multivariates -> slab rows (exact same algebra)
         mvd=dists.MvNormalDiag(jnp.asarray([0.3, -0.2, 1.1]), jnp.asarray([0.8, 1.4, 0.5])),
         mvln=dists.MvLogNormal(jnp.asarray([0.1, -0.4]), jnp.asarray([0.6, 1.2])),
+        # IID blocks of STRUCTURED leaves: shifted-row copies sharing one
+        # params block (slab copies: LKJ; loop copies: Dirichlet, Wishart)
+        iidc=dists.IIDProduct(dists.LKJ(3, 1.5), 2),
+        iidd=dists.IIDProduct(dists.Dirichlet(jnp.asarray([1.3, 2.0, 0.8, 1.1])), 2),
+        iidw=dists.IIDProduct(dists.Wishart(6.0, jnp.eye(3)), 2),
+        # transformed(d) telescopes to its base's rows
+        td=tb.transformed(dists.Beta(2.0, 3.0)),
     )
 
 

@@ -30,7 +30,11 @@ MvNormalDiag / MvLogNormal (per-row slab rows, telescoped),
 MvNormalTril / MvNormalCanon / MvStudentT (triangular-matvec quadratic
 forms against a host-precomputed factor inverse), Dirichlet (simplex),
 LKJ (vec-corr), LKJCholesky (vec-chol), Wishart / InverseWishart
-(PD link).
+(PD link). Any OTHER scalar family goes through the generic traced
+entry (`_traced_scalar_entry`): auto-whitelisted when jaxpr partial
+evaluation proves its v-dependent part Mosaic-safe (truncated bases,
+Kumaraswamy/Arcsine/BetaPrime/Triangular/JohnsonSU/..., scalar
+mixtures); erf-in-v and unrolled-series densities decline.
 
 Differentiation: custom_jvp — Pallas primal; the tangent is a fused JVP
 kernel paired via linear_call with a fused TRANSPOSE kernel (jax.vjp — the
@@ -685,39 +689,41 @@ def _traced_scalar_entry(d, link, n, row0, prow0):
         )[0]
         return [jnp.asarray(r, dtype) for r in res]
 
-    def _consts_rows(rp, W):
+    def _consts_flat(rp, W):
+        # consts tiled to the flattened (n * W) element axis: the traced
+        # body runs ONCE over all n rows of the block (full sublane
+        # utilization), not once per row.
         cs, j = [], 0
         for sz, nd in specs:
             if nd == 0:
-                cs.append(rp(j).reshape(W))
+                cs.append(jnp.tile(rp(j).reshape(W), n))
                 j += 1
             else:
                 rows = [rp(j + t).reshape(W) for t in range(sz)]
-                cs.append(jnp.stack(rows, axis=-1))  # (W, sz)
+                c = jnp.stack(rows, axis=-1)  # (W, sz)
+                cs.append(jnp.tile(c, (n, 1)))
                 j += sz
         return cs
 
+    def _vflat(rr, W):
+        if n == 1:
+            return rr(0).reshape(W)
+        return jnp.concatenate([rr(i) for i in range(n)], axis=0).reshape(n * W)
+
     def emit(rr, rp, W, dtype):
         fn = cell["fn"]
-        cs = _consts_rows(rp, W)
-        acc = jnp.zeros((1, W), dtype)
-        for i in range(n):
-            acc = acc + jax.vmap(fn)(rr(i).reshape(W), *cs).reshape(1, W)
-        return acc
+        out = jax.vmap(fn)(_vflat(rr, W), *_consts_flat(rp, W))
+        return jnp.sum(out.reshape(n, W), axis=0).reshape(1, W)
 
     def partials(rr, rp, W, dtype):
         fn = cell["fn"]
-        cs = _consts_rows(rp, W)
-        out = []
-        for i in range(n):
-            v = rr(i).reshape(W)
-
-            def g(vv):
-                return jax.vmap(fn)(vv, *cs)
-
-            _, dv = jax.jvp(g, (v,), (jnp.ones_like(v),))
-            out.append(dv.reshape(1, W))
-        return out
+        cs = _consts_flat(rp, W)
+        v = _vflat(rr, W)
+        _, dv = jax.jvp(
+            lambda vv: jax.vmap(fn)(vv, *cs), (v,), (jnp.ones_like(v),)
+        )
+        dv = dv.reshape(n, W)
+        return [dv[i].reshape(1, W) for i in range(n)]
 
     return _Entry(row0, n, prow0, n_params, emit, params, partials)
 
@@ -1199,7 +1205,12 @@ def _leaf_entry(leaf, row0, prow0, eps):
 def _plan(u, eps):
     """List of _Entry covering every linked row, or None if any leaf is
     unsupported. Static — depends only on tree structure and shapes."""
-    from .core import IIDUnconstrainer, LeafUnconstrainer, TreeUnconstrainer
+    from .core import (
+        IIDUnconstrainer,
+        LeafUnconstrainer,
+        TransformedUnconstrainer,
+        TreeUnconstrainer,
+    )
 
     entries = []
 
@@ -1209,17 +1220,38 @@ def _plan(u, eps):
             for c, (s, _) in zip(node.children, node.linked_offsets):
                 visit(c, row0 + s)
             return
+        if isinstance(node, TransformedUnconstrainer):
+            # linked density telescopes to the base's (core.py::
+            # TransformedUnconstrainer.linked_logdensity_t) — same rows
+            visit(node.base, row0)
+            return
         if isinstance(node, IIDUnconstrainer):
             inner = node.inner
-            if not (
-                isinstance(inner, LeafUnconstrainer)
-                and inner.event_shape == ()
-                and inner.linked_shape == ()
-            ):
+            if not isinstance(inner, LeafUnconstrainer):
                 raise _Unsupported
-            entries.append(
-                _scalar_entry(inner.dist, inner.link, node.n, row0, prow0)
-            )
+            if inner.event_shape == () and inner.linked_shape == ():
+                entries.append(
+                    _scalar_entry(inner.dist, inner.link, node.n, row0, prow0)
+                )
+                return
+            # IID blocks of STRUCTURED leaves (per-group LKJ/Wishart/
+            # Dirichlet/MvNormal...): n independent copies at shifted row
+            # offsets. All copies share ONE params block (same dist), so
+            # copy i > 0 contributes no params rows and reads the first
+            # copy's prow0; slab copies just re-emit their coefficient
+            # rows at the shifted offset.
+            e0 = _leaf_entry(inner, row0, prow0, eps)
+            entries.append(e0)
+            per = inner.linked_vec_length
+            for i in range(1, node.n):
+                entries.append(
+                    dataclasses.replace(
+                        e0,
+                        row0=row0 + i * per,
+                        n_params=0,
+                        params=(lambda dtype: []) if e0.params is not None else None,
+                    )
+                )
             return
         if isinstance(node, LeafUnconstrainer):
             entries.append(_leaf_entry(node, row0, prow0, eps))
