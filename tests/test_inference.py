@@ -424,3 +424,29 @@ def test_advi_transposed_matches(key):
     with pytest.raises(ValueError):
         fit_advi(model.logdensity_fn(), jax.random.PRNGKey(0), model.dim(),
                  transposed=True)
+
+
+def test_model_sample_auto_kernel(key):
+    """Model.sample one-call API: kernel='auto' picks the transposed fused
+    kernel for plan-eligible priors and reproduces the conjugate posterior;
+    constrained=True returns the sample pytree with (n_kept, chains) axes."""
+    a, b, n_trials, heads = 2.0, 2.0, 50, 17
+    model = Model(
+        priors=dists.NamedProduct.of(p=dists.Beta(a, b)),
+        loglik=lambda x: heads * jnp.log(x["p"]) + (n_trials - heads) * jnp.log1p(-x["p"]),
+    )
+    samples, state, stats = jax.jit(
+        lambda k: model.sample(k, n_chains=8, n_warmup=400, n_samples=600)
+    )(key)
+    p = np.asarray(samples["p"])
+    assert p.shape == (600, 8)
+    a_post, b_post = a + heads, b + n_trials - heads
+    exact_mean = a_post / (a_post + b_post)
+    exact_var = a_post * b_post / ((a_post + b_post) ** 2 * (a_post + b_post + 1))
+    np.testing.assert_allclose(p.mean(), exact_mean, atol=4 * np.sqrt(exact_var / 500))
+    # raw (linked) return path + an explicit kernel name both work
+    raw, _, _ = model.sample(
+        jax.random.PRNGKey(3), n_chains=4, n_warmup=50, n_samples=50,
+        kernel="nuts", constrained=False,
+    )
+    assert raw.shape == (50, 4, model.dim())

@@ -362,6 +362,51 @@ def test_mega_generic_scalar_families_match_composed(rng):
         assert must_not in declined, (must_not, declined)
 
 
+def test_mega_generic_vector_leaves(rng):
+    """Small vector leaves with no hand-written kernel form go through the
+    generic traced VECTOR entry (partial-eval + primitive scan; partials
+    from one reverse pass): JointOrderStatistics' ordered link (cumsum/rev
+    recurrences) is the canonical case. Matrix-solve leaves (MatrixNormal)
+    must decline (triangular_solve is not Mosaic-whitelisted)."""
+    from tpu_bijectors.vectorize.fused_kernel import (
+        _plan,
+        mega_jvp_t,
+        mega_logdensity_t,
+        mega_vjp_t,
+    )
+
+    d = dists.NamedProduct.of(
+        jo=dists.JointOrderStatistics(dists.Normal(0.2, 1.3), 4),
+        jg=dists.JointOrderStatistics(dists.Gamma(2.0, 1.0), 3),
+        mu=dists.Normal(0.0, 2.0),
+    )
+    u = unconstrain(d)
+    assert _plan(u, 1e-16) is not None
+    dim = u.linked_vec_length
+    vT = jnp.asarray(0.6 * rng.standard_normal((15, dim))).T
+    dvT = jnp.asarray(rng.standard_normal((15, dim))).T
+    gbar = jnp.asarray(rng.standard_normal(15))
+    f = lambda vT: u._linked_logdensity_t_children(vT)
+    np.testing.assert_allclose(
+        np.asarray(mega_logdensity_t(u, vT, interpret=True)),
+        np.asarray(f(vT)), rtol=1e-12, atol=1e-12,
+    )
+    _, dlp_ref = jax.jvp(f, (vT,), (dvT,))
+    np.testing.assert_allclose(
+        np.asarray(mega_jvp_t(u, vT, dvT, interpret=True)),
+        np.asarray(dlp_ref), rtol=1e-9, atol=1e-10,
+    )
+    _, vjp = jax.vjp(f, vT)
+    np.testing.assert_allclose(
+        np.asarray(mega_vjp_t(u, vT, gbar, interpret=True)),
+        np.asarray(vjp(gbar)[0]), rtol=1e-9, atol=1e-10,
+    )
+    d_bad = dists.NamedProduct.of(
+        mn=dists.MatrixNormal(jnp.zeros((2, 3)), jnp.eye(2), jnp.eye(3))
+    )
+    assert _plan(unconstrain(d_bad), 1e-16) is None
+
+
 def test_mega_kernel_declines_unsupported(rng):
     """Unsupported leaves (e.g. SkewNormal) -> plan None -> composed
     fallback."""

@@ -101,6 +101,7 @@ def mega_smoke():
                 dists.Normal(e([-2.0, 3.0]), e([1.0, 2.0])),
                 jnp.log(e([0.5, 0.5])),
             ),
+            jo=dists.JointOrderStatistics(dists.Normal(0.2, 1.3), 4),
         ),
     }
     failures = []

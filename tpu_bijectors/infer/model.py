@@ -120,6 +120,55 @@ class Model:
             key, (n_chains, self.dim()), jnp.result_type(float)
         )
 
+    def sample(
+        self,
+        key,
+        n_chains: int = 8,
+        n_warmup: int = 500,
+        n_samples: int = 500,
+        kernel: str = "auto",
+        constrained: bool = True,
+        **kwargs,
+    ):
+        """One-call NUTS: windowed-adaptation warmup + sampling with the
+        right kernel/log-density pairing chosen for you.
+
+        kernel='auto' picks the transposed-layout multi-chain kernel
+        (`nuts_batched_t` — whole-model fused Pallas density + one-kernel
+        reverse pass per leapfrog) whenever the prior is plan-eligible
+        (vectorize/fused_kernel.py), else the batch-major multi-chain
+        kernel. Any explicit sampler.warmup_and_sample kernel name is
+        accepted too. Returns (samples, state, stats): samples is the
+        constrained pytree with leading (n_kept, n_chains) axes when
+        `constrained=True`, else the raw (n_kept, n_chains, dim) linked
+        array."""
+        from .sampler import warmup_and_sample
+
+        if kernel == "auto":
+            from ..utils import _eps
+            from ..vectorize.fused_kernel import _plan
+
+            eligible = (
+                _plan(self.unconstrainer(), _eps(jnp.result_type(float)))
+                is not None
+            )
+            kernel = "nuts_batched_t" if eligible else "nuts_batched"
+        fn = {
+            "nuts": self.logdensity_fn,
+            "hmc": self.logdensity_fn,
+            "nuts_batched": self.batched_logdensity_fn,
+            "nuts_batched_t": self.batched_logdensity_t_fn,
+        }[kernel]()
+        k_init, k_run = jax.random.split(key)
+        q0 = self.init_positions(k_init, n_chains)
+        samples, state, stats = warmup_and_sample(
+            fn, k_run, q0, n_warmup=n_warmup, n_samples=n_samples,
+            kernel=kernel, **kwargs,
+        )
+        if constrained:
+            samples = self.constrain(samples)
+        return samples, state, stats
+
 
 def as_batched(logdensity_fn):
     """Wrap a log-density so it evaluates whole (batch, dim) arrays at once

@@ -550,8 +550,9 @@ _SAFE_PRIMS = frozenset({
     "gt", "lt", "ge", "le", "eq", "ne", "and", "or", "not", "xor",
     "select_n", "clamp", "is_finite", "nextafter", "sign", "copy",
     "convert_element_type", "broadcast_in_dim", "reshape", "squeeze",
-    "concatenate", "slice", "stop_gradient", "transpose",
+    "concatenate", "split", "slice", "stop_gradient", "transpose",
     "reduce_sum", "reduce_max", "reduce_min", "reduce_and", "reduce_or",
+    "cumsum", "rev", "iota", "pad",
 })
 _STRUCTURAL_PRIMS = frozenset({
     "jit", "pjit", "custom_jvp_call", "custom_vjp_call",
@@ -647,13 +648,11 @@ def _traced_scalar_entry(d, link, n, row0, prow0):
     try:
         _, _, unk0, res_avals0 = split(jnp.float32)
         if any(
-            a.ndim > 1
-            or a.size > 16
-            or not jnp.issubdtype(a.dtype, jnp.floating)
+            a.size > 16 or not jnp.issubdtype(a.dtype, jnp.floating)
             for a in res_avals0
         ):
             raise _Unsupported
-        specs = [(int(a.size), a.ndim) for a in res_avals0]
+        specs = [(int(a.size), tuple(a.shape)) for a in res_avals0]
         _scan_safe(unk0)
 
         def kfn0(v, *res):
@@ -677,16 +676,23 @@ def _traced_scalar_entry(d, link, n, row0, prow0):
     # runs in _prep (outer trace: the known jaxpr may compute erf/gammaln
     # there freely) and stashes the unknown-jaxpr evaluator; emit/partials
     # (kernel trace) must NOT re-trace — the dist fields may be outer
-    # tracers.
+    # tracers. Residuals ride FLATTENED as lane-broadcast rows; the
+    # stashed fn reshapes each per-element const back to its aval shape.
     cell = {}
 
     def params(dtype):
         ls, known, unknown, res_avals = split(dtype)
-        assert [(int(a.size), a.ndim) for a in res_avals] == specs
+        assert [(int(a.size), tuple(a.shape)) for a in res_avals] == specs
         res = eval_jaxpr(known.jaxpr, known.consts, *ls)
-        cell["fn"] = lambda v, *r: eval_jaxpr(
-            unknown.jaxpr, unknown.consts, *r, v
-        )[0]
+        shapes = [tuple(a.shape) for a in res_avals]
+
+        def fn(v, *r):
+            rs = [
+                ri if s == () else ri.reshape(s) for ri, s in zip(r, shapes)
+            ]
+            return eval_jaxpr(unknown.jaxpr, unknown.consts, *rs, v)[0]
+
+        cell["fn"] = fn
         return [jnp.asarray(r, dtype) for r in res]
 
     def _consts_flat(rp, W):
@@ -694,8 +700,8 @@ def _traced_scalar_entry(d, link, n, row0, prow0):
         # body runs ONCE over all n rows of the block (full sublane
         # utilization), not once per row.
         cs, j = [], 0
-        for sz, nd in specs:
-            if nd == 0:
+        for sz, shp in specs:
+            if shp == ():
                 cs.append(jnp.tile(rp(j).reshape(W), n))
                 j += 1
             else:
@@ -726,6 +732,118 @@ def _traced_scalar_entry(d, link, n, row0, prow0):
         return [dv[i].reshape(1, W) for i in range(n)]
 
     return _Entry(row0, n, prow0, n_params, emit, params, partials)
+
+
+def _traced_vector_entry(leaf, row0, prow0):
+    """Generic traced entry for small VECTOR leaves (linked length L <= 16)
+    with no hand-written kernel form — e.g. JointOrderStatistics (ordered
+    link: cumsum/rev recurrences). Same partial-eval + primitive-scan
+    admission as `_traced_scalar_entry`, but the traced function maps the
+    whole (L,) linked event to its scalar linked density; partials come
+    from ONE reverse pass (`jax.grad` of the traced function), whose
+    transpose jaxpr is scanned for safety too. In-kernel the L rows are
+    stacked to (W, L) and the body vmapped over lanes."""
+    from jax._src.interpreters import partial_eval as pe
+    from jax.core import eval_jaxpr
+
+    L = int(leaf.linked_vec_length)
+    if L < 2 or L > 16:
+        raise _Unsupported
+    leaves0, treedef = jax.tree_util.tree_flatten(leaf)
+
+    def lp1(v, leaf2):
+        return leaf2.linked_logdensity(v[None, :])[0]
+
+    def split(dtype):
+        def cast(l):
+            a = jnp.asarray(l)
+            return a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a
+
+        ls = [cast(l) for l in leaves0]
+
+        def fn(v, *lv):
+            return lp1(v, jax.tree_util.tree_unflatten(treedef, lv))
+
+        cj = jax.make_jaxpr(fn)(jnp.zeros((L,), dtype), *ls)
+        known, unknown, out_unk, res_avals = pe.partial_eval_jaxpr_nounits(
+            cj, [True] + [False] * len(ls), False
+        )
+        if out_unk != [True]:
+            raise _Unsupported
+        return ls, known, unknown, res_avals
+
+    try:
+        _, _, unk0, res_avals0 = split(jnp.float32)
+        if any(
+            a.size > 16 or not jnp.issubdtype(a.dtype, jnp.floating)
+            for a in res_avals0
+        ):
+            raise _Unsupported
+        specs = [(int(a.size), tuple(a.shape)) for a in res_avals0]
+        _scan_safe(unk0)
+
+        def kfn0(v, *res):
+            return eval_jaxpr(unk0.jaxpr, unk0.consts, *res, v)[0]
+
+        res_ex = [jnp.zeros(a.shape, a.dtype) for a in res_avals0]
+        _scan_safe(
+            jax.make_jaxpr(
+                lambda v, *r: jax.grad(lambda vv: kfn0(vv, *r))(v)
+            )(jnp.zeros((L,), jnp.float32), *res_ex)
+        )
+    except _Unsupported:
+        raise
+    except Exception:
+        raise _Unsupported
+    n_params = sum(s for s, _ in specs)
+
+    cell = {}
+
+    def params(dtype):
+        ls, known, unknown, res_avals = split(dtype)
+        assert [(int(a.size), tuple(a.shape)) for a in res_avals] == specs
+        res = eval_jaxpr(known.jaxpr, known.consts, *ls)
+        shapes = [tuple(a.shape) for a in res_avals]
+
+        def fn(v, *r):
+            rs = [
+                ri if s == () else ri.reshape(s) for ri, s in zip(r, shapes)
+            ]
+            return eval_jaxpr(unknown.jaxpr, unknown.consts, *rs, v)[0]
+
+        cell["fn"] = fn
+        return [jnp.asarray(r, dtype) for r in res]
+
+    def _consts(rp, W):
+        cs, j = [], 0
+        for sz, shp in specs:
+            if shp == ():
+                cs.append(rp(j).reshape(W))
+                j += 1
+            else:
+                rows = [rp(j + t).reshape(W) for t in range(sz)]
+                cs.append(jnp.stack(rows, axis=-1))  # (W, sz)
+                j += sz
+        return cs
+
+    def _vstack(rr, W):
+        # (W, L): lanes major, the traced event on the minor axis
+        return jnp.stack([rr(i).reshape(W) for i in range(L)], axis=-1)
+
+    def emit(rr, rp, W, dtype):
+        fn = cell["fn"]
+        out = jax.vmap(fn)(_vstack(rr, W), *_consts(rp, W))
+        return out.reshape(1, W)
+
+    def partials(rr, rp, W, dtype):
+        fn = cell["fn"]
+        cs = _consts(rp, W)
+        G = jax.vmap(lambda v, *c: jax.grad(lambda vv: fn(vv, *c))(v))(
+            _vstack(rr, W), *cs
+        )  # (W, L)
+        return [G[:, i].reshape(1, W) for i in range(L)]
+
+    return _Entry(row0, L, prow0, n_params, emit, params, partials)
 
 
 def _scalar_entry(dist, link, n, row0, prow0):
@@ -1199,7 +1317,9 @@ def _leaf_entry(leaf, row0, prow0, eps):
             row0, K * (K + 1) // 2, prow0, K * K + 2, _emit_pd(K, "solve"),
             params, _partials_pd(K, "solve"),
         )
-    raise _Unsupported
+    # no hand-written form: generic traced VECTOR entry (auto-whitelisted
+    # by the same partial-eval + primitive scan as the scalar one)
+    return _traced_vector_entry(leaf, row0, prow0)
 
 
 def _plan(u, eps):
