@@ -157,6 +157,12 @@ def _products():
     return [
         dists.IIDProduct(dists.Beta(2.0, 2.0), 10),
         dists.IIDProduct(dists.Dirichlet(jnp.ones(3)), 4),
+        # arraydist: per-element-parameter products (identity / log /
+        # logit / interval-with-array-bounds links)
+        dists.arraydist(dists.Normal(e([-1.0, 0.0, 2.0]), e([0.5, 1.0, 2.0]))),
+        dists.arraydist(dists.LogNormal(e([0.0, 0.3]), e([0.5, 1.2]))),
+        dists.arraydist(dists.Beta(e([2.0, 5.0, 1.5]), e([2.0, 1.0, 3.0]))),
+        dists.arraydist(dists.Uniform(e([-1.0, 0.0]), e([1.0, 3.0]))),
         dists.Product((dists.LogNormal(), dists.Beta(2.0, 2.0), dists.Normal())),
         dists.NamedProduct.of(mu=dists.Normal(), sigma=dists.LogNormal(), w=dists.Dirichlet(jnp.ones(4))),
         dists.NamedProduct.of(

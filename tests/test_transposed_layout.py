@@ -167,6 +167,9 @@ def _mega_model():
         # per-row-independent multivariates -> slab rows (exact same algebra)
         mvd=dists.MvNormalDiag(jnp.asarray([0.3, -0.2, 1.1]), jnp.asarray([0.8, 1.4, 0.5])),
         mvln=dists.MvLogNormal(jnp.asarray([0.1, -0.4]), jnp.asarray([0.6, 1.2])),
+        # arraydist: per-element-parameter slab coefficients
+        ad=dists.arraydist(dists.Normal(jnp.asarray([-1.0, 0.0, 2.0]), jnp.asarray([0.5, 1.0, 2.0]))),
+        adg=dists.arraydist(dists.Gamma(jnp.asarray([2.0, 3.5]), jnp.asarray([1.0, 0.7]))),
         # IID blocks of STRUCTURED leaves: shifted-row copies sharing one
         # params block (slab copies: LKJ; loop copies: Dirichlet, Wishart)
         iidc=dists.IIDProduct(dists.LKJ(3, 1.5), 2),

@@ -58,6 +58,66 @@ class IIDProduct(Distribution):
 
 
 @pytree_dataclass
+class ElementwiseProduct(Distribution):
+    """product_distribution of an ARRAY of same-family scalar distributions
+    with per-element parameters — the Distributions.jl `arraydist` /
+    `product_distribution(Normal.(mu, sigma))` analogue (reference
+    src/vector/product/product.jl array variant). `base` is the scalar
+    family with 1-D batch_shape (n,); the sample is an (n,) array and
+    logpdf sums the per-element densities.
+
+    For SHARED parameters use IIDProduct (same semantics, scalar base);
+    for heterogeneous families use Product/NamedProduct."""
+
+    base: Distribution
+
+    @property
+    def n(self) -> int:
+        return int(self.base.batch_shape[-1])
+
+    @property
+    def event_ndims(self):  # type: ignore[override]
+        return self.base.event_ndims + 1
+
+    @property
+    def event_shape(self):
+        return (self.n,) + tuple(self.base.event_shape)
+
+    @property
+    def batch_shape(self):
+        return ()
+
+    def logpdf(self, x):
+        return jnp.sum(self.base.logpdf(x), axis=-1)
+
+    def sample(self, key, sample_shape=()):
+        # base.sample returns sample_shape + batch_shape == (..., n)
+        return self.base.sample(key, sample_shape)
+
+    @property
+    def support(self) -> Support:
+        return self.base.support
+
+    def in_support(self, x, atol: float = 1e-8):
+        return jnp.all(self.base.in_support(x, atol), axis=-1)
+
+
+def arraydist(base: Distribution) -> ElementwiseProduct:
+    """Distributions.jl `arraydist(Normal.(mu, sigma))` analogue: the
+    per-element-parameter product of a scalar family. Validates the base."""
+    if tuple(base.event_shape) != ():
+        raise ValueError(
+            f"arraydist needs a scalar-event base; got event {base.event_shape}"
+        )
+    if len(base.batch_shape) != 1:
+        raise ValueError(
+            "arraydist needs a base with 1-D batch_shape (per-element "
+            f"parameters); got {base.batch_shape}"
+        )
+    return ElementwiseProduct(base)
+
+
+@pytree_dataclass
 class Product(Distribution):
     """Heterogeneous product; sample is a tuple of component samples."""
 

@@ -36,7 +36,7 @@ import numpy as np
 
 from ..bijectors.base import Bijector, inverse as _inverse
 from ..dists.base import Distribution
-from ..dists.product import IIDProduct, NamedProduct, Product
+from ..dists.product import ElementwiseProduct, IIDProduct, NamedProduct, Product
 from ..registry import bijector
 from ..transformed import TransformedDistribution
 from ..tree import pytree_dataclass
@@ -363,11 +363,17 @@ class IIDUnconstrainer(Unconstrainer):
 
     def linked_logdensity_t(self, vT):
         inner = self.inner
-        if inner.linked_shape == () and inner.event_shape == ():
+        if (
+            inner.linked_shape == ()
+            and inner.event_shape == ()
+            and tuple(inner.dist.batch_shape) == ()
+        ):
             # scalar inner: vT is (n, B) and everything is elementwise —
             # evaluate in place (batch stays on lanes, no 16x sublane
             # padding waste of the (B, n) orientation) and reduce the block
             # axis. The dummy trailing event axis feeds the leaf protocol.
+            # (arraydist inners carry (n,)-batched params that would
+            # misalign against (n, B); they take the swapaxes branch.)
             lpld = inner.linked_logdensity(vT[..., None])  # (n, B)
             return jnp.sum(lpld, axis=0)
         return self.linked_logdensity(jnp.swapaxes(vT, 0, 1))
@@ -603,6 +609,22 @@ def unconstrain(d: Distribution) -> Unconstrainer:
         if not isinstance(inner, LeafUnconstrainer):
             # nested products: treat as tuple of n children (rare, still static)
             return TreeUnconstrainer.build(tuple(inner for _ in range(d.n)))
+        return IIDUnconstrainer(inner, d.n)
+    if isinstance(d, ElementwiseProduct):
+        # arraydist: per-element parameters broadcast along the block axis —
+        # the inner leaf's dist/link carry (n,)-batched params that align
+        # with the (..., n) reshape every IIDUnconstrainer method applies
+        if len(d.base.batch_shape) != 1 or tuple(d.base.event_shape) != ():
+            raise ValueError(
+                "ElementwiseProduct needs a scalar-event base with 1-D "
+                f"batch_shape; got event {d.base.event_shape}, "
+                f"batch {d.base.batch_shape}"
+            )
+        inner = unconstrain(d.base)
+        if not isinstance(inner, LeafUnconstrainer):
+            raise NotImplementedError(
+                "ElementwiseProduct of a non-leaf base is not supported"
+            )
         return IIDUnconstrainer(inner, d.n)
     if isinstance(d, Product):
         return TreeUnconstrainer.build(tuple(unconstrain(c) for c in d.components))

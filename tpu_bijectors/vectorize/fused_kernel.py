@@ -638,6 +638,11 @@ def _traced_scalar_entry(d, link, n, row0, prow0):
             return lp1(v, jax.tree_util.tree_unflatten(treedef, lv))
 
         cj = jax.make_jaxpr(fn)(jnp.zeros((), dtype), *ls)
+        if tuple(cj.out_avals[0].shape) != ():
+            # e.g. a dist with batched params broadcasting a scalar v into
+            # a vector density — not a scalar leaf; decline loudly here
+            # rather than crash at kernel assembly
+            raise _Unsupported
         known, unknown, out_unk, res_avals = pe.partial_eval_jaxpr_nounits(
             cj, [True] + [False] * len(ls), False
         )
@@ -765,6 +770,8 @@ def _traced_vector_entry(leaf, row0, prow0):
             return lp1(v, jax.tree_util.tree_unflatten(treedef, lv))
 
         cj = jax.make_jaxpr(fn)(jnp.zeros((L,), dtype), *ls)
+        if tuple(cj.out_avals[0].shape) != ():
+            raise _Unsupported
         known, unknown, out_unk, res_avals = pe.partial_eval_jaxpr_nounits(
             cj, [True] + [False] * len(ls), False
         )
@@ -861,7 +868,11 @@ def _scalar_entry(dist, link, n, row0, prow0):
         return _traced_scalar_entry(d, link, n, row0, prow0)
 
     def guard(pred, *param_vals):
-        if not pred or any(jnp.ndim(p) for p in param_vals):
+        # scalar params, or per-element (n,) params (arraydist IID blocks:
+        # the slab's per-row coefficient columns absorb them directly)
+        if not pred or any(
+            jnp.shape(p) not in ((), (n,)) for p in param_vals
+        ):
             raise _Unsupported
 
     def mk(fn):
