@@ -163,6 +163,9 @@ def _products():
         dists.arraydist(dists.LogNormal(e([0.0, 0.3]), e([0.5, 1.2]))),
         dists.arraydist(dists.Beta(e([2.0, 5.0, 1.5]), e([2.0, 1.0, 3.0]))),
         dists.arraydist(dists.Uniform(e([-1.0, 0.0]), e([1.0, 3.0]))),
+        # vector/matrix-event arraydist: per-group params
+        dists.arraydist(dists.Dirichlet(e([[1.3, 2.0, 0.8], [2.5, 1.0, 1.7]]))),
+        dists.arraydist(dists.LKJ(3, e([1.5, 2.5]))),
         dists.Product((dists.LogNormal(), dists.Beta(2.0, 2.0), dists.Normal())),
         dists.NamedProduct.of(mu=dists.Normal(), sigma=dists.LogNormal(), w=dists.Dirichlet(jnp.ones(4))),
         dists.NamedProduct.of(

@@ -103,12 +103,10 @@ class ElementwiseProduct(Distribution):
 
 
 def arraydist(base: Distribution) -> ElementwiseProduct:
-    """Distributions.jl `arraydist(Normal.(mu, sigma))` analogue: the
-    per-element-parameter product of a scalar family. Validates the base."""
-    if tuple(base.event_shape) != ():
-        raise ValueError(
-            f"arraydist needs a scalar-event base; got event {base.event_shape}"
-        )
+    """Distributions.jl `arraydist` analogue: the per-element-parameter
+    product of a family — `arraydist(Normal.(mu, sigma))` for scalar
+    events, or e.g. a stack of per-group Dirichlets/LKJs for vector/matrix
+    events (batched parameters, one block axis). Validates the base."""
     if len(base.batch_shape) != 1:
         raise ValueError(
             "arraydist needs a base with 1-D batch_shape (per-element "

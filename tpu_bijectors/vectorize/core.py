@@ -613,12 +613,12 @@ def unconstrain(d: Distribution) -> Unconstrainer:
     if isinstance(d, ElementwiseProduct):
         # arraydist: per-element parameters broadcast along the block axis —
         # the inner leaf's dist/link carry (n,)-batched params that align
-        # with the (..., n) reshape every IIDUnconstrainer method applies
-        if len(d.base.batch_shape) != 1 or tuple(d.base.event_shape) != ():
+        # with the (..., n, ...) reshape every IIDUnconstrainer method
+        # applies (scalar OR vector/matrix events: per-group Dirichlet/LKJ)
+        if len(d.base.batch_shape) != 1:
             raise ValueError(
-                "ElementwiseProduct needs a scalar-event base with 1-D "
-                f"batch_shape; got event {d.base.event_shape}, "
-                f"batch {d.base.batch_shape}"
+                "ElementwiseProduct needs a base with 1-D batch_shape; "
+                f"got batch {d.base.batch_shape}"
             )
         inner = unconstrain(d.base)
         if not isinstance(inner, LeafUnconstrainer):
