@@ -90,8 +90,44 @@ def _slope(step_fn, v, priors, n1, n2, reps=3, transposed=False):
     return pers[reps // 2]
 
 
+def _arm_watchdog(seconds=900):
+    """Emit a fallback JSON line and exit if the device never responds.
+
+    The axon tunnel can go down for hours (device enumeration / the first
+    transfer then hangs indefinitely). A bench that hangs records nothing;
+    this guarantees the driver always captures ONE parseable line. The
+    timeout is far above the worst observed healthy handshake (~500 s), so
+    it cannot fire on a slow-but-alive tunnel."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if done.wait(seconds):
+            return
+        print(
+            json.dumps(
+                {
+                    "metric": "hierarchical transform+logdetJ evals/s/chip "
+                    "(TPU tunnel unreachable for %ds — no measurement)" % seconds,
+                    "value": 0.0,
+                    "unit": "evals/s/chip",
+                    "vs_baseline": 0.0,
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done
+
+
 def main():
     from tpu_bijectors.vectorize import unconstrain
+
+    watchdog_done = _arm_watchdog()
 
     priors = _model()
     dim = unconstrain(priors).linked_vec_length
@@ -119,6 +155,7 @@ def main():
     t0 = time.perf_counter()
     _t2f(_scan_prog(fused_fn, 1, transposed=True), vt, priors)
     print("handshake %.0fs" % (time.perf_counter() - t0), file=sys.stderr)
+    watchdog_done.set()  # device is alive; measurement proceeds unbounded
 
     # fused is ~150 us/iter: a 384-iteration spread is ~60 ms of signal
     t_fused = _slope(fused_fn, vt, priors, 16, 400, transposed=True)

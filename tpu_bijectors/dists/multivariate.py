@@ -167,6 +167,20 @@ class MvNormalDiag(Distribution):
             - jnp.sum(jnp.log(jnp.asarray(self.scale_diag, z.dtype)), -1)
         )
 
+    def fused_linked_logdensity_t(self, bijector, yT):
+        """Transposed-layout identity-link density (vectorize.core hook):
+        the linked density IS the logpdf; evaluating it on (K, B) directly
+        avoids the generic fallback's swapaxes HBM relayout."""
+        from ..bijectors.base import Block, Identity
+
+        if not (
+            type(bijector) is Block
+            and bijector.ndims == 1
+            and type(bijector.bijector) is Identity
+        ):
+            return None
+        return _mvdiag_logpdf_t(self.loc, self.scale_diag, yT)
+
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.batch_shape + self.event_shape
         dtype = jnp.result_type(self.loc, self.scale_diag, float)
@@ -175,6 +189,19 @@ class MvNormalDiag(Distribution):
     @property
     def support(self):
         return REAL_VECTOR
+
+
+def _mvdiag_logpdf_t(loc, scale_diag, yT):
+    """Diagonal-normal density of transposed (K, B) state; None if loc is
+    batched (the caller falls back to the broadcasting path)."""
+    if jnp.ndim(loc) != 1:
+        return None
+    dtype = jnp.result_type(yT, float)
+    K = jnp.shape(loc)[-1]
+    mu = jnp.asarray(loc, dtype)[:, None]
+    sig = jnp.broadcast_to(jnp.asarray(scale_diag, dtype), (K,))[:, None]
+    z = (yT - mu) / sig
+    return -0.5 * jnp.sum(z * z, 0) - 0.5 * K * LOG2PI - jnp.sum(jnp.log(sig))
 
 
 @pytree_dataclass
@@ -275,7 +302,8 @@ class MvLogNormal(Distribution):
         return (jnp.exp(y) if want_x else None), lp
 
     def fused_linked_logdensity_t(self, bijector, yT):
-        """Transposed-layout variant: yT is (K, B)."""
+        """Transposed-layout variant: yT is (K, B); telescopes to the base
+        diagonal normal (shared `_mvdiag_logpdf_t` closed form)."""
         from ..bijectors.base import Block
         from .univariate import _is_log_link
 
@@ -285,20 +313,7 @@ class MvLogNormal(Distribution):
             and _is_log_link(bijector.bijector)
         ):
             return None
-        if jnp.ndim(self.loc) != 1:
-            return None
-        dtype = jnp.result_type(yT, float)
-        mu = jnp.asarray(self.loc, dtype)[:, None]
-        sig = jnp.broadcast_to(
-            jnp.asarray(self.scale_diag, dtype), (jnp.shape(self.loc)[-1],)
-        )[:, None]
-        z = (yT - mu) / sig
-        K = jnp.shape(self.loc)[-1]
-        return (
-            -0.5 * jnp.sum(z * z, 0)
-            - 0.5 * K * LOG2PI
-            - jnp.sum(jnp.log(sig))
-        )
+        return _mvdiag_logpdf_t(self.loc, self.scale_diag, yT)
 
     def sample(self, key, sample_shape=()):
         return jnp.exp(MvNormalDiag(self.loc, self.scale_diag).sample(key, sample_shape))

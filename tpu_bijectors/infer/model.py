@@ -135,22 +135,31 @@ class Model:
 
         kernel='auto' picks the transposed-layout multi-chain kernel
         (`nuts_batched_t` — whole-model fused Pallas density + one-kernel
-        reverse pass per leapfrog) whenever the prior is plan-eligible
-        (vectorize/fused_kernel.py), else the batch-major multi-chain
-        kernel. Any explicit sampler.warmup_and_sample kernel name is
-        accepted too. Returns (samples, state, stats): samples is the
-        constrained pytree with leading (n_kept, n_chains) axes when
-        `constrained=True`, else the raw (n_kept, n_chains, dim) linked
-        array."""
+        reverse pass per leapfrog) only when that fused kernel can
+        actually dispatch: prior plan-eligible (vectorize/fused_kernel.py)
+        AND on the TPU backend AND n_chains fills the lane-batch threshold
+        (`kernels.MIN_BATCH`). Otherwise the batch-major multi-chain
+        kernel (whose per-leaf Pallas kernels have the same batch gate,
+        but whose layout does not pay the transposed path's sublane
+        padding at small chain counts). Any explicit
+        sampler.warmup_and_sample kernel name is accepted too. Returns
+        (samples, state, stats): samples is the constrained pytree with
+        leading (n_kept, n_chains) axes when `constrained=True`, else the
+        raw (n_kept, n_chains, dim) linked array."""
         from .sampler import warmup_and_sample
 
         if kernel == "auto":
+            from .. import kernels
             from ..utils import _eps
+            from ..vectorize.core import TreeUnconstrainer
             from ..vectorize.fused_kernel import _plan
 
+            u = self.unconstrainer()
             eligible = (
-                _plan(self.unconstrainer(), _eps(jnp.result_type(float)))
-                is not None
+                jax.default_backend() == "tpu"
+                and n_chains >= kernels.MIN_BATCH
+                and isinstance(u, TreeUnconstrainer)
+                and _plan(u, _eps(jnp.result_type(float))) is not None
             )
             kernel = "nuts_batched_t" if eligible else "nuts_batched"
         fn = {
