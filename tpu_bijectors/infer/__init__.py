@@ -22,6 +22,13 @@ from .advi import (
     fit_advi,
 )
 from .hmc import IntegratorState, NutsInfo, hmc_kernel, leapfrog, nuts_kernel
+from .map_laplace import (
+    LaplaceApprox,
+    MAPResult,
+    fit_map,
+    laplace_approximation,
+    map_laplace,
+)
 from .model import Model
 from .sampler import RunStats, SamplerState, init_sampler, warmup_and_sample
 from .smc import SMCResult, run_smc, systematic_resample
@@ -45,6 +52,11 @@ __all__ = [
     "run_smc",
     "SMCResult",
     "systematic_resample",
+    "fit_map",
+    "MAPResult",
+    "laplace_approximation",
+    "LaplaceApprox",
+    "map_laplace",
     # adaptation
     "stepsize_init",
     "stepsize_update",
