@@ -30,6 +30,7 @@ from .map_laplace import (
     map_laplace,
 )
 from .model import Model
+from .pathfinder import PathfinderResult, fit_pathfinder, multipath_pathfinder
 from .sampler import RunStats, SamplerState, init_sampler, warmup_and_sample
 from .smc import SMCResult, run_smc, systematic_resample
 
@@ -54,6 +55,9 @@ __all__ = [
     "systematic_resample",
     "fit_map",
     "MAPResult",
+    "fit_pathfinder",
+    "multipath_pathfinder",
+    "PathfinderResult",
     "laplace_approximation",
     "LaplaceApprox",
     "map_laplace",
