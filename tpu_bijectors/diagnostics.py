@@ -136,3 +136,65 @@ def _ess_1d(x):
         k += 1
     tau = max(2.0 * gamma_sum - 1.0, 1.0 / np.log10(n * m + 10.0))
     return float(n * m / tau)
+
+
+def summarize(samples, quantiles=(0.05, 0.5, 0.95)):
+    """Per-parameter posterior summary of a constrained sample pytree.
+
+    `samples`: what `Model.sample` returns — a pytree whose leaves have
+    leading (draws, chains) axes (trailing event axes allowed) — or a bare
+    array. Returns {parameter path: {"mean", "sd", "q5"/"q50"/..., "rhat",
+    "ess_bulk"}} with one numpy entry per event coordinate. Host-side
+    numpy (a diagnostic, not a hot path)."""
+    leaves = jax.tree_util.tree_flatten_with_path(samples)[0]
+    out = {}
+    for path, leaf in leaves:
+        x = np.asarray(leaf)
+        if x.ndim < 2:
+            raise ValueError(
+                "summarize expects (draws, chains, ...) leaves; got shape "
+                f"{x.shape}"
+            )
+        name = "".join(str(p) for p in path) or "value"
+        flat = x.reshape(x.shape[0] * x.shape[1], -1)
+        stats = {
+            "mean": flat.mean(0).reshape(x.shape[2:]),
+            "sd": flat.std(0, ddof=1).reshape(x.shape[2:]),
+        }
+        for q in quantiles:
+            stats[f"q{int(round(q * 100))}"] = np.quantile(
+                flat, q, axis=0
+            ).reshape(x.shape[2:])
+        stats["rhat"] = np.asarray(split_rhat(jnp.asarray(x)))
+        stats["ess_bulk"] = np.asarray(ess_bulk(x))
+        out[name] = stats
+    return out
+
+
+def summary_table(samples, quantiles=(0.05, 0.5, 0.95)) -> str:
+    """`summarize` rendered as a fixed-width text table (one row per event
+    coordinate, numpy-style flattened index labels)."""
+    s = summarize(samples, quantiles)
+    cols = ["mean", "sd"] + [f"q{int(round(q * 100))}" for q in quantiles] + [
+        "rhat", "ess_bulk",
+    ]
+    rows = []
+    for name, stats in s.items():
+        shape = np.shape(stats["mean"])
+        for idx in np.ndindex(shape or (1,)):
+            label = name + (
+                "[" + ",".join(map(str, idx)) + "]" if shape else ""
+            )
+            vals = [
+                float(np.asarray(stats[c])[idx] if shape else stats[c])
+                for c in cols
+            ]
+            rows.append((label, vals))
+    w = max((len(r[0]) for r in rows), default=5)
+    head = " ".join([f"{'':<{w}}"] + [f"{c:>9}" for c in cols])
+    lines = [head]
+    for label, vals in rows:
+        lines.append(
+            " ".join([f"{label:<{w}}"] + [f"{v:9.3g}" for v in vals])
+        )
+    return "\n".join(lines)
