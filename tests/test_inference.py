@@ -450,3 +450,53 @@ def test_model_sample_auto_kernel(key):
         kernel="nuts", constrained=False,
     )
     assert raw.shape == (50, 4, model.dim())
+
+
+def test_model_sample_warm_starts(key):
+    """init='laplace' / 'pathfinder': chains start from the approximation's
+    draws with the inverse mass seeded from its covariance; short warmup
+    still reproduces the conjugate posterior (the seed is a good metric, so
+    far fewer adaptation steps suffice than from identity)."""
+    a, b, n_trials, heads = 2.0, 2.0, 50, 17
+    model = Model(
+        priors=dists.NamedProduct.of(p=dists.Beta(a, b)),
+        loglik=lambda x: heads * jnp.log(x["p"])
+        + (n_trials - heads) * jnp.log1p(-x["p"]),
+    )
+    a_post, b_post = a + heads, b + n_trials - heads
+    exact_mean = a_post / (a_post + b_post)
+    exact_var = a_post * b_post / (
+        (a_post + b_post) ** 2 * (a_post + b_post + 1)
+    )
+    for init in ("laplace", "pathfinder"):
+        samples, _, _ = model.sample(
+            key, n_chains=8, n_warmup=150, n_samples=400, init=init,
+            kernel="nuts",
+        )
+        p = np.asarray(samples["p"])
+        np.testing.assert_allclose(
+            p.mean(), exact_mean, atol=5 * np.sqrt(exact_var / 500)
+        )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown init"):
+        model.sample(key, init="bogus")
+
+
+def test_inv_mass0_seeding_and_validation(key):
+    """warmup_and_sample(inv_mass0=...) uses the seed before adaptation;
+    mismatched shapes fail loudly."""
+    from tpu_bijectors.infer import init_sampler
+
+    logp = lambda v: -0.5 * jnp.sum(v * v)
+    q0 = jax.random.normal(key, (4, 3))
+    st = init_sampler(logp, key, q0, inv_mass0=jnp.array([1.0, 2.0, 3.0]))
+    np.testing.assert_allclose(np.asarray(st.inv_mass), [1.0, 2.0, 3.0])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inv_mass0"):
+        init_sampler(logp, key, q0, inv_mass0=jnp.ones(5))
+    with _pytest.raises(ValueError, match="inv_mass0"):
+        init_sampler(logp, key, q0, metric="dense", inv_mass0=jnp.ones(3))

@@ -155,6 +155,15 @@ class LaplaceApprox:
             self.logdensity_at_mode + 0.5 * self.dim * _LOG2PI - half_logdet_h
         )
 
+    def covariance(self) -> jax.Array:
+        """Dense Σ = H^{-1} = L^{-T}L^{-1} (dim×dim — for dense-metric
+        seeding or reporting; the sampling/density paths never need it)."""
+        inv_l = solve_triangular(
+            self.chol_precision, jnp.eye(self.dim, dtype=self.mean.dtype),
+            lower=True,
+        )
+        return inv_l.T @ inv_l
+
     def marginal_sd(self) -> jax.Array:
         """Per-coordinate posterior sd: sqrt(diag(H^{-1})) via one
         triangular solve against I (dim×dim — fine at typical model dims)."""

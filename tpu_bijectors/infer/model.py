@@ -128,6 +128,7 @@ class Model:
         n_samples: int = 500,
         kernel: str = "auto",
         constrained: bool = True,
+        init: str = "random",
         **kwargs,
     ):
         """One-call NUTS: windowed-adaptation warmup + sampling with the
@@ -145,7 +146,14 @@ class Model:
         sampler.warmup_and_sample kernel name is accepted too. Returns
         (samples, state, stats): samples is the constrained pytree with
         leading (n_kept, n_chains) axes when `constrained=True`, else the
-        raw (n_kept, n_chains, dim) linked array."""
+        raw (n_kept, n_chains, dim) linked array.
+
+        init='random' draws N(0, 1) starting positions; 'laplace' runs
+        map_laplace and starts chains from the Laplace Gaussian with the
+        inverse mass seeded from its covariance (diag or dense to match
+        `metric`); 'pathfinder' runs fit_pathfinder and starts chains from
+        its best-candidate draws with the diagonal of Σ as the mass seed.
+        Warmup still re-adapts; a user-passed `inv_mass0` wins."""
         from .sampler import warmup_and_sample
 
         if kernel == "auto":
@@ -169,7 +177,38 @@ class Model:
             "nuts_batched_t": self.batched_logdensity_t_fn,
         }[kernel]()
         k_init, k_run = jax.random.split(key)
-        q0 = self.init_positions(k_init, n_chains)
+        if init == "random":
+            q0 = self.init_positions(k_init, n_chains)
+        elif init == "laplace":
+            from .map_laplace import map_laplace
+
+            _, lap = map_laplace(self)
+            q0 = lap.sample(k_init, n_chains)
+            if "inv_mass0" not in kwargs:
+                kwargs["inv_mass0"] = (
+                    lap.covariance()
+                    if kwargs.get("metric") == "dense"
+                    else lap.marginal_sd() ** 2
+                )
+        elif init == "pathfinder":
+            from .pathfinder import fit_pathfinder
+
+            kp, k_init = jax.random.split(k_init)
+            res = fit_pathfinder(
+                self.logdensity_fn(),
+                kp,
+                jnp.zeros(self.dim(), jnp.result_type(float)),
+                n_draws=n_chains,
+            )
+            q0 = res.draws
+            if "inv_mass0" not in kwargs and kwargs.get("metric") != "dense":
+                # diag(Σ) = α + rowsum(β ∘ (βγ)) — γ is symmetric
+                diag = res.alpha + jnp.sum(
+                    res.beta * (res.beta @ res.gamma), axis=1
+                )
+                kwargs["inv_mass0"] = jnp.clip(diag, 1e-10, None)
+        else:
+            raise ValueError(f"unknown init {init!r}")
         samples, state, stats = warmup_and_sample(
             fn, k_run, q0, n_warmup=n_warmup, n_samples=n_samples,
             kernel=kernel, **kwargs,

@@ -55,11 +55,14 @@ class RunStats(NamedTuple):
 
 def init_sampler(
     logdensity_fn, key, q0, eps0: float = 0.1, metric: str = "diag",
-    batched: bool = False,
+    batched: bool = False, inv_mass0=None,
 ) -> SamplerState:
     """q0: (chains, dim) initial positions. metric: 'diag' (Welford variance)
     or 'dense' (full covariance, Stan's dense_e). batched: logdensity_fn maps
-    (chains, dim) -> (chains,) directly."""
+    (chains, dim) -> (chains,) directly. inv_mass0 seeds the initial inverse
+    mass (a posterior-covariance estimate, e.g. from Laplace/Pathfinder —
+    (dim,) for diag, (dim, dim) for dense) instead of the identity; warmup
+    still re-adapts it in the mass windows."""
     dtype = q0.dtype
     if batched:
         logp, vjp = jax.vjp(logdensity_fn, q0)
@@ -75,6 +78,14 @@ def init_sampler(
         wf = welford_cov_init(dim, dtype)
     else:
         raise ValueError(f"unknown metric {metric!r}")
+    if inv_mass0 is not None:
+        inv_mass0 = jnp.asarray(inv_mass0, dtype)
+        if inv_mass0.shape != inv_mass.shape:
+            raise ValueError(
+                f"inv_mass0 shape {inv_mass0.shape} does not match the "
+                f"{metric!r} metric shape {inv_mass.shape}"
+            )
+        inv_mass = inv_mass0
     return SamplerState(
         key=key,
         q=q0,
@@ -102,13 +113,15 @@ def warmup_and_sample(
     axis_name: str | None = None,
     thin: int = 1,
     metric: str = "diag",
+    inv_mass0=None,
 ):
     """Run windowed-adaptation warmup then sampling.
 
     Returns (samples (n_samples//thin, chains, dim), SamplerState, RunStats).
     Fully jittable; call under jit/shard_map. With `axis_name` set, step-size
     and mass adaptation share statistics across all devices via collectives
-    inside the step (no host sync).
+    inside the step (no host sync). inv_mass0 seeds the pre-adaptation
+    inverse mass (see init_sampler).
     """
     if kernel == "nuts":
         step_kernel = nuts_kernel(logdensity_fn, max_depth=max_depth)
@@ -152,7 +165,7 @@ def warmup_and_sample(
         init_logdensity = logdensity_fn
     state = init_sampler(
         init_logdensity, key, q0, eps0, metric=metric,
-        batched=kernel.startswith("nuts_batched"),
+        batched=kernel.startswith("nuts_batched"), inv_mass0=inv_mass0,
     )
     window_id, window_end = build_schedule(n_warmup)
     dense = metric == "dense"
