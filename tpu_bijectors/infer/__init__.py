@@ -33,6 +33,7 @@ from .model import Model
 from .pathfinder import PathfinderResult, fit_pathfinder, multipath_pathfinder
 from .sampler import RunStats, SamplerState, init_sampler, warmup_and_sample
 from .smc import SMCResult, run_smc, systematic_resample
+from .tempering import PTResult, default_ladder, run_parallel_tempering
 
 __all__ = [
     "Model",
@@ -58,6 +59,9 @@ __all__ = [
     "fit_pathfinder",
     "multipath_pathfinder",
     "PathfinderResult",
+    "run_parallel_tempering",
+    "PTResult",
+    "default_ladder",
     "laplace_approximation",
     "LaplaceApprox",
     "map_laplace",
