@@ -253,3 +253,32 @@ def test_chain_parallel_smc_batched_density(mesh):
     np.testing.assert_allclose(p.mean(), post_mean, atol=0.06)
     np.testing.assert_allclose(p.var(), post_var, atol=0.06)
     assert float(beta) == 1.0
+
+
+def test_chain_parallel_pt_bimodal(mesh, key):
+    """Sharded parallel tempering: 8 devices × 4 chains on a bimodal
+    target — both modes recovered, swap/step stats identical across
+    devices (replicated out-specs would fail otherwise), evidence finite."""
+    from tpu_bijectors.shard import chain_parallel_pt
+
+    log_prior = lambda v: -0.5 * jnp.sum((v / 3.0) ** 2)
+    log_lik = lambda v: jax.scipy.special.logsumexp(
+        jnp.stack(
+            [
+                -0.5 * jnp.sum(((v - 4.0) / 0.5) ** 2),
+                -0.5 * jnp.sum(((v + 4.0) / 0.5) ** 2),
+            ]
+        )
+    ) - jnp.log(2.0)
+    q0 = shard_chains(mesh, jnp.full((32, 1), 4.0))
+    res = chain_parallel_pt(
+        log_prior, log_lik, mesh, key, q0,
+        n_temps=6, n_warmup=200, n_samples=400, n_leapfrog=8,
+    )
+    draws = np.asarray(res.samples).reshape(-1)
+    frac_neg = float((draws < 0).mean())
+    assert 0.25 < frac_neg < 0.75, frac_neg
+    assert res.samples.shape[1] == 32
+    assert res.swap_accept.shape == (5,)
+    assert np.all(np.isfinite(np.asarray(res.eps)))
+    assert np.isfinite(float(res.log_evidence))

@@ -72,13 +72,20 @@ def run_parallel_tempering(
     eps0: float = 0.2,
     target_accept: float = 0.7,
     thin: int = 1,
+    axis_name: str | None = None,
 ) -> PTResult:
     """q0: (n_chains, dim) initial positions, replicated up the ladder.
     Both density callables are lifted with `as_batched` (vmap fallback),
     so the whole lattice evaluates per call. Fully jittable.
 
     Returns cold-chain draws; `log_evidence` averages E_β[log lik] over
-    the sampling phase and integrates the ladder by trapezoid."""
+    the sampling phase and integrates the ladder by trapezoid.
+
+    With `axis_name` set (inside shard_map — see
+    shard.chain_parallel_pt), chains are the sharded axis: adaptation
+    statistics, swap rates, and the TI means pmean across devices inside
+    the step, so every device adapts identical ladders (swaps themselves
+    are chain-column-local — zero communication)."""
     from .model import as_batched
 
     bprior = as_batched(log_prior_fn)
@@ -91,6 +98,13 @@ def run_parallel_tempering(
         betas = default_ladder(n_temps, dtype=dtype)
     betas = jnp.asarray(betas, dtype)
     k_temps = betas.shape[0]
+
+    def cmean(x):
+        """Mean over the chain axis, shared across devices when sharded."""
+        m = jnp.mean(x, axis=1)
+        if axis_name is not None:
+            m = jax.lax.pmean(m, axis_name)
+        return m
 
     def pieces(q):  # q: (K, N, dim) -> per-replica (log prior, log lik)
         flat = q.reshape(k_temps * n_chains, dim)
@@ -168,7 +182,7 @@ def run_parallel_tempering(
         lp2 = jnp.where(acc, lp[partner], lp)
         ll2 = jnp.where(acc, ll[partner], ll)
         # per-pair acceptance rate, indexed by the lo temperature
-        pair_acc = jnp.mean(acc_lo.astype(dtype), axis=1)[:-1]
+        pair_acc = cmean(acc_lo.astype(dtype))[:-1]
         return q2, lp2, ll2, pair_acc
 
     # --- init ------------------------------------------------------------
@@ -189,11 +203,14 @@ def run_parallel_tempering(
         lp, ll = pieces(q)
         q, lp, ll, pair_acc = swap(k2, q, lp, ll, it % 2)
         logp = tempered(lp, ll)
-        # adaptation (frozen after warmup)
+        # adaptation (frozen after warmup); stats pmean across devices
+        acc_mean = cmean(acc_p)
         ss_new = jax.vmap(
             lambda s, a: stepsize_update(s, a, target=target_accept)
-        )(ss, jnp.mean(acc_p, axis=1))
-        wf_new = jax.vmap(welford_update_batch)(wf, q)
+        )(ss, acc_mean)
+        wf_new = jax.vmap(
+            lambda s, x: welford_update_batch(s, x, axis_name=axis_name)
+        )(wf, q)
         ss = jax.tree_util.tree_map(
             lambda a, b: jnp.where(warm, a, b), ss_new, ss
         )
@@ -202,7 +219,7 @@ def run_parallel_tempering(
         )
         return (
             (key, q, logp, lp, ll, ss, wf, inv_mass, it + 1, warm),
-            (q[-1], acc_p, pair_acc, jnp.mean(ll, axis=1)),
+            (q[-1], acc_mean, pair_acc, cmean(ll)),
         )
 
     warm_carry = (
@@ -225,7 +242,7 @@ def run_parallel_tempering(
     return PTResult(
         samples=cold[:: max(thin, 1)],
         swap_accept=jnp.mean(pair_acc, axis=0),
-        accept=jnp.mean(acc_p, axis=(0, 2)),
+        accept=jnp.mean(acc_p, axis=0),
         log_evidence=log_z,
         betas=betas,
         eps=eps,

@@ -3,6 +3,7 @@
 
 from .chain_parallel import (
     chain_parallel_nuts,
+    chain_parallel_pt,
     chain_parallel_smc,
     make_mesh,
     multihost_init,
@@ -20,6 +21,7 @@ __all__ = [
     "multihost_init",
     "shard_chains",
     "chain_parallel_nuts",
+    "chain_parallel_pt",
     "chain_parallel_smc",
     "shard_params",
     "param_parallel_from_linked",

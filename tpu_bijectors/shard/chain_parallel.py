@@ -261,3 +261,52 @@ def chain_parallel_smc(
         check_vma=False,
     )
     return jax.jit(sharded)(key, particles0)
+
+
+def chain_parallel_pt(
+    log_prior_fn,
+    log_lik_fn,
+    mesh: Mesh,
+    key,
+    q0,
+    axis_name: str = "chain",
+    **kwargs,
+):
+    """Parallel tempering with the CHAIN axis of the (temps × chains)
+    lattice sharded over `mesh` (infer.run_parallel_tempering kwargs
+    forwarded). Replica exchange is chain-column-local — zero exchange
+    communication; only the scalar adaptation/TI statistics pmean across
+    devices inside each sweep. q0: (n_chains, dim), divisible by the mesh
+    size."""
+    from ..infer.tempering import PTResult, run_parallel_tempering
+
+    n_dev = mesh.devices.size
+    if q0.shape[0] % n_dev:
+        raise ValueError(
+            f"n_chains={q0.shape[0]} not divisible by mesh size {n_dev}"
+        )
+
+    def local_run(key, q0_local):
+        idx = jax.lax.axis_index(axis_name)
+        key_local = jax.random.fold_in(key, idx)
+        return run_parallel_tempering(
+            log_prior_fn, log_lik_fn, key_local, q0_local,
+            axis_name=axis_name, **kwargs,
+        )
+
+    out_specs = PTResult(
+        samples=P(None, axis_name, None),
+        swap_accept=P(),
+        accept=P(),
+        log_evidence=P(),
+        betas=P(),
+        eps=P(),
+    )
+    sharded = jax.shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name, None)),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(sharded)(key, q0)
