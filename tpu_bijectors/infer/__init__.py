@@ -21,6 +21,7 @@ from .advi import (
     MeanFieldGaussian,
     fit_advi,
 )
+from .ensemble import EnsembleResult, run_ensemble
 from .hmc import IntegratorState, NutsInfo, hmc_kernel, leapfrog, nuts_kernel
 from .map_laplace import (
     LaplaceApprox,
@@ -62,6 +63,8 @@ __all__ = [
     "run_parallel_tempering",
     "PTResult",
     "default_ladder",
+    "run_ensemble",
+    "EnsembleResult",
     "laplace_approximation",
     "LaplaceApprox",
     "map_laplace",
