@@ -133,10 +133,94 @@ def mega_smoke():
     return failures
 
 
+def engines_smoke():
+    """Run every inference engine briefly ON CHIP in f32: QR/Cholesky/
+    while-loop/linesearch codepaths (map_laplace, pathfinder, parallel
+    tempering, ensemble) are exactly the class the CPU/f64 suite cannot
+    validate on TPU. Checks finite outputs + a loose conjugate moment."""
+    import numpy as np
+
+    from tpu_bijectors.infer import (
+        Model,
+        fit_pathfinder,
+        map_laplace,
+        run_ensemble,
+        run_parallel_tempering,
+    )
+
+    a, b, n_tr, heads = 2.0, 2.0, 50, 17
+    model = Model(
+        priors=dists.NamedProduct.of(
+            p=dists.Beta(a, b), s=dists.LogNormal(0.0, 0.5)
+        ),
+        loglik=lambda x: heads * jnp.log(x["p"])
+        + (n_tr - heads) * jnp.log1p(-x["p"]),
+    )
+    exact_mean = (a + heads) / (a + b + n_tr)
+    key = jax.random.PRNGKey(0)
+    failures = []
+
+    def check(name, fn):
+        try:
+            fn()
+            print(f"  OK   engines[{name}]")
+        except Exception as ex:
+            failures.append((f"engines[{name}]", ex))
+            print(f"  FAIL engines[{name}]: {type(ex).__name__}: {str(ex)[:300]}")
+            traceback.print_exc(limit=2)
+
+    def _map():
+        res, lap = map_laplace(model, n_steps=100)
+        assert float(res.grad_norm) < 1e-2, float(res.grad_norm)
+        assert np.isfinite(float(lap.log_evidence()))
+        assert np.all(np.isfinite(np.asarray(lap.sample(key, 64))))
+
+    def _pf():
+        res = fit_pathfinder(
+            model.logdensity_fn(), key, jnp.zeros(model.dim(), jnp.float32),
+            max_iters=25, n_draws=64,
+        )
+        assert np.isfinite(float(res.elbo[res.best]))
+        p = np.asarray(model.constrain(res.draws)["p"])
+        assert abs(p.mean() - exact_mean) < 0.15, p.mean()
+
+    def _pt():
+        prior_only = Model(priors=model.priors)
+        res = run_parallel_tempering(
+            prior_only.batched_logdensity_fn(),
+            lambda v: model.loglik(model.constrain(v)),
+            key, jnp.zeros((16, model.dim()), jnp.float32),
+            n_temps=6, n_warmup=100, n_samples=200, n_leapfrog=8,
+        )
+        p = np.asarray(
+            model.constrain(res.samples.reshape(-1, model.dim()))["p"]
+        )
+        assert abs(p.mean() - exact_mean) < 0.1, p.mean()
+        assert np.isfinite(float(res.log_evidence))
+
+    def _ens():
+        res = run_ensemble(
+            model.batched_logdensity_fn(), key,
+            0.5 * jax.random.normal(key, (32, model.dim()), jnp.float32),
+            n_warmup=300, n_samples=800,
+        )
+        p = np.asarray(
+            model.constrain(res.samples.reshape(-1, model.dim()))["p"]
+        )
+        assert abs(p.mean() - exact_mean) < 0.1, p.mean()
+
+    check("map_laplace", _map)
+    check("pathfinder", _pf)
+    check("tempering", _pt)
+    check("ensemble", _ens)
+    return failures
+
+
 def main():
     full = len(_sys.argv) > 1 and _sys.argv[1] == "full"
     print(f"devices: {jax.devices()}  (f32 sweep, {'full' if full else 'fast'})")
     failures = mega_smoke()
+    failures += engines_smoke()
     for d in cases(full):
         name = type(d).__name__
         try:
