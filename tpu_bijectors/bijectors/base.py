@@ -294,6 +294,11 @@ def _batch_ndim_of(x, event_ndims):
     """Number of leading batch dims of the chain's input value. None when the
     value is a pytree (UnconstrainerBijector-style members) — those chains
     keep the legacy no-reduction behavior."""
+    if not (hasattr(x, "ndim") or isinstance(x, (int, float, complex))):
+        # pytree input (dict/tuple sample): jnp.ndim(dict) currently returns
+        # 0 under a DeprecationWarning instead of raising, which would wrongly
+        # sum log-dets over batch dims here — detect explicitly.
+        return None
     try:
         nd = jnp.ndim(x)
     except TypeError:

@@ -86,7 +86,7 @@ class NutsInfo(NamedTuple):
     tree_depth: jax.Array
 
 
-def _trailing_zeros(n, max_bits):
+def _trailing_zeros(n):
     """Count trailing zero bits of int32 n (n>0): exact integer bit trick
     (popcount of the lowest-set-bit mask), no float round-off at any depth."""
     return jax.lax.population_count((n & -n) - 1)

@@ -211,13 +211,13 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10, transposed: bool = Fa
                 prop_grad = jnp.where(tm, ng, prop_grad)
 
                 tz = jnp.where(
-                    n == 0, max_depth, _trailing_zeros(jnp.maximum(n, 1), max_depth)
+                    n == 0, max_depth, _trailing_zeros(jnp.maximum(n, 1))
                 )
                 wmask = L.ck_write_mask(slots <= tz, active)
                 ck_q = jnp.where(wmask, L.ck_bcast(nq), ck_q)
                 ck_p = jnp.where(wmask, L.ck_bcast(np_), ck_p)
 
-                tz1 = _trailing_zeros(n + 1, max_depth)
+                tz1 = _trailing_zeros(n + 1)
                 kmask = (slots >= 1) & (slots <= tz1)  # (S,)
                 dq = L.ck_bcast(nq) - ck_q  # checkpoint stack
                 turn_lvls = uturn_cp(dq, ck_p, L.ck_bcast(np_))

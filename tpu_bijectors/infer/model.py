@@ -164,7 +164,9 @@ class Model:
 
             u = self.unconstrainer()
             eligible = (
-                jax.default_backend() == "tpu"
+                kernels.enabled()
+                and jax.default_backend() == "tpu"
+                and jnp.result_type(float) == jnp.float32
                 and n_chains >= kernels.MIN_BATCH
                 and isinstance(u, TreeUnconstrainer)
                 and _plan(u, _eps(jnp.result_type(float))) is not None

@@ -45,7 +45,7 @@ from .hmc import IntegratorState
 
 class PTResult(NamedTuple):
     samples: jax.Array  # (n_kept, n_chains, dim) COLD-chain draws (β = 1)
-    swap_accept: jax.Array  # (K-1,) mean swap acceptance per adjacent pair
+    swap_accept: jax.Array  # (K-1,) per-ATTEMPT swap acceptance per adjacent pair
     accept: jax.Array  # (K,) mean HMC acceptance per temperature
     log_evidence: jax.Array  # thermodynamic-integration estimate of log Z
     betas: jax.Array  # (K,) the ladder
@@ -181,9 +181,13 @@ def run_parallel_tempering(
         q2 = jnp.where(acc[..., None], q[partner], q)
         lp2 = jnp.where(acc, lp[partner], lp)
         ll2 = jnp.where(acc, ll[partner], ll)
-        # per-pair acceptance rate, indexed by the lo temperature
+        # per-pair acceptance rate, indexed by the lo temperature; each pair
+        # is only ATTEMPTED on its parity's sweeps, so also return the
+        # attempt mask — averaging raw per-sweep rates would halve the
+        # per-attempt acceptance the ladder is tuned on
         pair_acc = cmean(acc_lo.astype(dtype))[:-1]
-        return q2, lp2, ll2, pair_acc
+        attempted = is_lo[:-1].astype(dtype)
+        return q2, lp2, ll2, pair_acc, attempted
 
     # --- init ------------------------------------------------------------
     q = jnp.broadcast_to(q0[None], (k_temps, n_chains, dim))
@@ -201,7 +205,7 @@ def run_parallel_tempering(
         eps = jnp.exp(ss.log_eps)
         q, logp, acc_p = hmc_update(k1, q, logp, eps, inv_mass)
         lp, ll = pieces(q)
-        q, lp, ll, pair_acc = swap(k2, q, lp, ll, it % 2)
+        q, lp, ll, pair_acc, attempted = swap(k2, q, lp, ll, it % 2)
         logp = tempered(lp, ll)
         # adaptation (frozen after warmup); stats pmean across devices
         acc_mean = cmean(acc_p)
@@ -219,7 +223,7 @@ def run_parallel_tempering(
         )
         return (
             (key, q, logp, lp, ll, ss, wf, inv_mass, it + 1, warm),
-            (q[-1], acc_mean, pair_acc, cmean(ll)),
+            (q[-1], acc_mean, pair_acc, attempted, cmean(ll)),
         )
 
     warm_carry = (
@@ -234,14 +238,19 @@ def run_parallel_tempering(
     ss = ss._replace(log_eps=ss.log_eps_bar)
     inv_mass = jnp.maximum(jax.vmap(welford_variance)(wf), 1e-10)
     carry = (key, q, logp, lp, ll, ss, wf, inv_mass, it, jnp.asarray(False))
-    carry, (cold, acc_p, pair_acc, mean_ll) = jax.lax.scan(
+    carry, (cold, acc_p, pair_acc, attempted, mean_ll) = jax.lax.scan(
         sweep, carry, None, length=n_samples
     )
 
     log_z = jnp.trapezoid(jnp.mean(mean_ll, axis=0), betas)
+    # per-ATTEMPT acceptance: each adjacent pair is only tried on its
+    # parity's sweeps (every other one)
+    swap_accept = jnp.sum(pair_acc, axis=0) / jnp.maximum(
+        jnp.sum(attempted, axis=0), 1.0
+    )
     return PTResult(
         samples=cold[:: max(thin, 1)],
-        swap_accept=jnp.mean(pair_acc, axis=0),
+        swap_accept=swap_accept,
         accept=jnp.mean(acc_p, axis=0),
         log_evidence=log_z,
         betas=betas,
