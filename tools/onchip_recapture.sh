@@ -13,7 +13,7 @@ timeout 2400 python tools/tpu_sweep.py fast >> "$log" 2>&1
 echo "tpu_sweep exit: $?" >> "$log"
 
 echo "--- bench.py (driver contract line)" >> "$log"
-timeout 1200 python bench.py >> "$log" 2>&1
+timeout 2400 python bench.py >> "$log" 2>&1
 echo "bench exit: $?" >> "$log"
 
 echo "=== recapture end $(date +%F\ %T)" >> "$log"

@@ -22,6 +22,7 @@ from .advi import (
     fit_advi,
 )
 from .ensemble import EnsembleResult, run_ensemble
+from .evidence import BridgeResult, bridge_sampling_evidence
 from .hmc import IntegratorState, NutsInfo, hmc_kernel, leapfrog, nuts_kernel
 from .map_laplace import (
     LaplaceApprox,
@@ -65,6 +66,8 @@ __all__ = [
     "default_ladder",
     "run_ensemble",
     "EnsembleResult",
+    "bridge_sampling_evidence",
+    "BridgeResult",
     "laplace_approximation",
     "LaplaceApprox",
     "map_laplace",

@@ -49,6 +49,17 @@ class MeanFieldGaussian:
         d = self.loc.shape[-1]
         return jnp.sum(self.log_scale) + 0.5 * d * (1.0 + jnp.log(2.0 * jnp.pi))
 
+    def logdensity(self, v):
+        """Normalized log q(v) (leading batch axes ok) — makes the fitted
+        posterior usable as a bridge-sampling / importance proposal."""
+        d = self.loc.shape[-1]
+        z = (jnp.asarray(v) - self.loc) * jnp.exp(-self.log_scale)
+        return (
+            -0.5 * jnp.sum(z * z, -1)
+            - jnp.sum(self.log_scale)
+            - 0.5 * d * jnp.log(2.0 * jnp.pi)
+        )
+
 
 @pytree_dataclass
 class FullRankGaussian:
@@ -82,6 +93,23 @@ class FullRankGaussian:
         d = self.loc.shape[-1]
         return jnp.sum(jnp.diagonal(self.tril_raw)) + 0.5 * d * (
             1.0 + jnp.log(2.0 * jnp.pi)
+        )
+
+    def logdensity(self, v):
+        """Normalized log q(v) (leading batch axes ok; one triangular
+        solve) — bridge-sampling / importance proposal support."""
+        from jax.scipy.linalg import solve_triangular
+
+        d = self.loc.shape[-1]
+        l_mat = self._L()
+        diff = jnp.asarray(v) - self.loc
+        u = solve_triangular(
+            l_mat, diff.reshape(-1, d).T, lower=True
+        ).T.reshape(diff.shape)
+        return (
+            -0.5 * jnp.sum(u * u, -1)
+            - jnp.sum(jnp.diagonal(self.tril_raw))
+            - 0.5 * d * jnp.log(2.0 * jnp.pi)
         )
 
 
