@@ -23,6 +23,7 @@ from .advi import (
 )
 from .ensemble import EnsembleResult, run_ensemble
 from .evidence import BridgeResult, bridge_sampling_evidence
+from .loo import LOOResult, WAICResult, fit_gpd, psis_loo, waic
 from .hmc import IntegratorState, NutsInfo, hmc_kernel, leapfrog, nuts_kernel
 from .map_laplace import (
     LaplaceApprox,
@@ -68,6 +69,11 @@ __all__ = [
     "EnsembleResult",
     "bridge_sampling_evidence",
     "BridgeResult",
+    "psis_loo",
+    "waic",
+    "fit_gpd",
+    "LOOResult",
+    "WAICResult",
     "laplace_approximation",
     "LaplaceApprox",
     "map_laplace",
