@@ -2,6 +2,7 @@
 radial_layer.jl, rational_quadratic_spline.jl, normalise.jl, coupling.jl)."""
 
 from ..bijectors.coupling import Coupling, PartitionMask
+from .maf import MaskedAutoregressive, maf_stack
 from .normalise import InvertibleBatchNorm
 from .planar import PlanarLayer, find_alpha
 from .radial import RadialLayer
@@ -15,4 +16,6 @@ __all__ = [
     "Coupling",
     "PartitionMask",
     "find_alpha",
+    "MaskedAutoregressive",
+    "maf_stack",
 ]
