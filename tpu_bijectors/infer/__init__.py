@@ -33,6 +33,12 @@ from .map_laplace import (
     map_laplace,
 )
 from .model import Model
+from .neutra import (
+    NeutraResult,
+    fit_neutra_flow,
+    neutra_logdensity,
+    neutra_sample,
+)
 from .pathfinder import PathfinderResult, fit_pathfinder, multipath_pathfinder
 from .sampler import RunStats, SamplerState, init_sampler, warmup_and_sample
 from .smc import SMCResult, run_smc, systematic_resample
@@ -77,6 +83,10 @@ __all__ = [
     "laplace_approximation",
     "LaplaceApprox",
     "map_laplace",
+    "neutra_logdensity",
+    "fit_neutra_flow",
+    "neutra_sample",
+    "NeutraResult",
     # adaptation
     "stepsize_init",
     "stepsize_update",
