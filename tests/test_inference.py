@@ -126,6 +126,61 @@ def test_advi_meanfield_gaussian(key):
     assert float(res.losses[-1]) < float(res.losses[0])
 
 
+def test_advi_stl_zero_gradient_at_optimum(key):
+    """Sticking-the-landing (Roeder et al. 2017): when q already equals the
+    target, the STL per-sample gradient is IDENTICALLY zero — so starting at
+    the optimum, the optimizer does not move at all. The standard estimator's
+    entropy-score noise jitters the parameters away."""
+    from tpu_bijectors.infer import MeanFieldGaussian
+
+    mu = jnp.asarray([1.0, -2.0, 0.5], jnp.float64)
+    sd = jnp.asarray([0.5, 2.0, 1.0], jnp.float64)
+    logp = lambda v: -0.5 * jnp.sum(((v - mu) / sd) ** 2, -1)
+    logp.batch_capable = True
+    q_opt = MeanFieldGaussian(loc=mu, log_scale=jnp.log(sd))
+
+    res = jax.jit(
+        lambda k: fit_advi(logp, k, 3, q=q_opt, n_steps=100, n_mc=4,
+                           learning_rate=1e-2, estimator="stl",
+                           dtype=jnp.float64)
+    )(key)
+    np.testing.assert_allclose(np.asarray(res.q.loc), np.asarray(mu), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(res.q.log_scale), np.log(np.asarray(sd)), atol=1e-12
+    )
+    res_std = jax.jit(
+        lambda k: fit_advi(logp, k, 3, q=q_opt, n_steps=100, n_mc=4,
+                           learning_rate=1e-2, dtype=jnp.float64)
+    )(key)
+    assert np.max(np.abs(np.asarray(res_std.q.loc) - np.asarray(mu))) > 1e-3
+
+
+def test_advi_stl_fullrank_correlated(key):
+    """STL + full-rank on a correlated Gaussian recovers the covariance."""
+    from tpu_bijectors.infer import FullRankGaussian
+
+    rho = 0.8
+    cov = jnp.asarray([[1.0, rho], [rho, 1.0]], jnp.float64)
+    prec = jnp.linalg.inv(cov)
+    logp = lambda v: -0.5 * jnp.einsum("...i,ij,...j->...", v, prec, v)
+    res = jax.jit(
+        lambda k: fit_advi(logp, k, 2, q=FullRankGaussian.init(2, jnp.float64),
+                           n_steps=3000, n_mc=16, learning_rate=1e-2,
+                           estimator="stl", dtype=jnp.float64)
+    )(key)
+    L = np.asarray(res.q._L())
+    np.testing.assert_allclose(L @ L.T, np.asarray(cov), atol=0.08)
+    np.testing.assert_allclose(np.asarray(res.q.loc), 0.0, atol=0.08)
+
+
+def test_advi_stl_flow_raises(key):
+    from tpu_bijectors.flows import PlanarLayer
+
+    q = FlowPosterior(PlanarLayer.init(key, 2, jnp.float64))
+    with pytest.raises(ValueError, match="stl"):
+        fit_advi(lambda v: -0.5 * jnp.sum(v * v), key, 2, q=q, estimator="stl")
+
+
 def test_advi_transformed_model(key):
     """ADVI through the unconstraining map: Beta posterior."""
     model = Model(

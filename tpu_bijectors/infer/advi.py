@@ -145,6 +145,7 @@ def fit_advi(
     optimizer=None,
     dtype=jnp.float32,
     transposed: bool = False,
+    estimator: str = "elbo",
 ) -> ADVIResult:
     """Maximize the ELBO with Adam; whole loop is one lax.scan under jit.
 
@@ -153,13 +154,26 @@ def fit_advi(
     mapping (dim, n) -> (n,) (e.g. Model.batched_logdensity_t_fn): for
     eligible priors the ELBO's density term and its backward pass each run
     as ONE whole-model Pallas kernel per step. Gaussian families only
-    (flows operate on trailing event axes)."""
+    (flows operate on trailing event axes).
+
+    estimator='stl' uses the sticking-the-landing path-derivative gradient
+    (Roeder, Wu & Duvenaud 2017): the entropy term is evaluated as
+    -log q_{stop(φ)}(v) at the reparameterized draw v, dropping the score
+    term whose expectation is zero but whose variance is not. The
+    per-sample gradient vanishes IDENTICALLY when q matches the target, so
+    late-stage optimization stops jittering around the optimum. Gaussian
+    families only (a flow's stopped-parameter logq needs its iterative
+    inverse in the hot loop)."""
     if q is None:
         q = MeanFieldGaussian.init(dim, dtype)
     opt = optimizer or optax.adam(learning_rate)
 
     from .model import as_batched
 
+    if estimator not in ("elbo", "stl"):
+        raise ValueError(f"unknown estimator {estimator!r}")
+    if estimator == "stl" and isinstance(q, FlowPosterior):
+        raise ValueError("estimator='stl' supports Gaussian families only")
     if transposed:
         if isinstance(q, FlowPosterior):
             raise ValueError("transposed=True supports Gaussian families only")
@@ -175,6 +189,10 @@ def fit_advi(
             v, logq = q.sample_with_logq(key, n_mc, dim)
             return -jnp.mean(blogp(v) - logq)
         v = q.sample_t(key, n_mc) if transposed else q.sample(key, n_mc)
+        if estimator == "stl":
+            q_stop = jax.lax.stop_gradient(q)
+            vb = jnp.swapaxes(v, 0, 1) if transposed else v
+            return -jnp.mean(blogp(v) - q_stop.logdensity(vb))
         return -(jnp.mean(blogp(v)) + q.entropy())
 
     opt_state = opt.init(q)
