@@ -21,6 +21,7 @@ from .advi import (
     MeanFieldGaussian,
     fit_advi,
 )
+from .chees import CheesState, CheesStats, run_chees
 from .ensemble import EnsembleResult, run_ensemble
 from .evidence import BridgeResult, bridge_sampling_evidence
 from .loo import LOOResult, WAICResult, fit_gpd, psis_loo, waic
@@ -40,6 +41,7 @@ from .neutra import (
     neutra_sample,
 )
 from .pathfinder import PathfinderResult, fit_pathfinder, multipath_pathfinder
+from .sbc import SBCResult, sbc_ranks, sbc_uniformity
 from .sampler import RunStats, SamplerState, init_sampler, warmup_and_sample
 from .smc import SMCResult, run_smc, systematic_resample
 from .tempering import PTResult, default_ladder, run_parallel_tempering
@@ -87,6 +89,12 @@ __all__ = [
     "fit_neutra_flow",
     "neutra_sample",
     "NeutraResult",
+    "sbc_ranks",
+    "sbc_uniformity",
+    "SBCResult",
+    "run_chees",
+    "CheesState",
+    "CheesStats",
     # adaptation
     "stepsize_init",
     "stepsize_update",

@@ -2,6 +2,7 @@
 (net-new vs the reference; SURVEY.md §2.2 "TPU-native plan" column)."""
 
 from .chain_parallel import (
+    chain_parallel_chees,
     chain_parallel_nuts,
     chain_parallel_pt,
     chain_parallel_smc,
@@ -20,6 +21,7 @@ __all__ = [
     "make_mesh",
     "multihost_init",
     "shard_chains",
+    "chain_parallel_chees",
     "chain_parallel_nuts",
     "chain_parallel_pt",
     "chain_parallel_smc",

@@ -123,6 +123,58 @@ def _wf_proto():
     return WelfordState(z, z, z)
 
 
+def chain_parallel_chees(
+    logdensity_fn,
+    mesh: Mesh,
+    key,
+    q0,
+    axis_name: str = "chain",
+    **kwargs,
+):
+    """run_chees with chains sharded over `mesh`: leapfrogs are lockstep
+    ACROSS DEVICES too (the trajectory schedule is a shared scalar), and
+    the ChEES gradient / harmonic acceptance / Welford mass all pmean over
+    the axis inside the step — the same zero-host-sync contract as
+    chain_parallel_nuts."""
+    from ..infer.chees import CheesState, run_chees
+
+    n_dev = mesh.devices.size
+    if q0.shape[0] % n_dev:
+        raise ValueError(
+            f"n_chains={q0.shape[0]} not divisible by mesh size {n_dev}"
+        )
+
+    def local_run(key, q0_local):
+        idx = jax.lax.axis_index(axis_name)
+        key_local = jax.random.fold_in(key, idx)
+        return run_chees(
+            logdensity_fn, key_local, q0_local, axis_name=axis_name, **kwargs
+        )
+
+    z = P()
+    state_specs = CheesState(
+        key=z, q=P(axis_name, None), logp=P(axis_name), grad=P(axis_name, None),
+        eps=z, log_t=z, inv_mass=P(None),
+        ss=jax.tree_util.tree_map(lambda _: z, _ss_proto()),
+        welford=jax.tree_util.tree_map(lambda _: z, _wf_proto()),
+        adam_m=z, adam_v=z, iteration=z,
+    )
+    from ..infer.chees import CheesStats
+
+    sharded = jax.shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(P(), P(axis_name, None)),
+        out_specs=(
+            P(None, axis_name, None),  # samples
+            state_specs,
+            CheesStats(P(None, axis_name), P(None), P(None)),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(sharded)(key, q0)
+
+
 # ---------------------------------------------------------------------------
 # Particle-parallel SMC
 # ---------------------------------------------------------------------------
