@@ -79,7 +79,8 @@ def test_chees_chain_parallel(key):
 
 
 def test_chees_constrained_model(key):
-    """Beta-Binomial through the vectorize layer: conjugate posterior mean."""
+    """Beta-Binomial through the vectorize layer: conjugate posterior mean —
+    both the raw engine and the Model.sample(kernel='chees') one-call."""
     a, b, n_trials, heads = 2.0, 2.0, 50, 17
     m = Model(
         priors=dists.NamedProduct.of(p=dists.Beta(a, b)),
@@ -95,3 +96,24 @@ def test_chees_constrained_model(key):
     p = np.asarray(m.constrain(samples.reshape(-1, 1))["p"]).ravel()
     a_post, b_post = a + heads, b + n_trials - heads
     np.testing.assert_allclose(p.mean(), a_post / (a_post + b_post), atol=0.02)
+
+    s2, _, _ = m.sample(
+        jax.random.PRNGKey(7), n_chains=16, n_warmup=400, n_samples=600,
+        kernel="chees",
+    )
+    p2 = np.asarray(s2["p"]).ravel()
+    np.testing.assert_allclose(p2.mean(), a_post / (a_post + b_post), atol=0.02)
+
+
+def test_neutra_with_chees_kernel(key):
+    """neutra_sample(kernel='chees'): flow-whitened space + lockstep
+    trajectories; prior-only model moments."""
+    from tpu_bijectors.infer import neutra_sample
+
+    m = Model(priors=dists.NamedProduct.of(mu=dists.Normal(1.0, 2.0)))
+    samples, res, stats = neutra_sample(
+        m, key, n_chains=8, n_warmup=300, n_samples=500, kernel="chees",
+        fit_kwargs=dict(n_steps=300, n_mc=32, n_layers=2, hidden=8),
+    )
+    mu = np.asarray(samples["mu"]).ravel()
+    assert abs(mu.mean() - 1.0) < 0.2 and abs(mu.std() - 2.0) < 0.25

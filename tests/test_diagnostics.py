@@ -78,3 +78,36 @@ def test_summarize_rejects_missing_chain_axis(rng):
         assert "draws, chains" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_rank_normalized_folded_rhat_and_tail_ess(rng):
+    """The Vehtari-2021 set: folded rank-normalized R-hat catches
+    scale-mismatched chains that plain split-R-hat misses; tail ESS and
+    MCSE behave on iid draws."""
+    from tpu_bijectors.diagnostics import ess_tail, mcse_mean, rhat
+
+    x = np.asarray(_iid_draws(rng))
+    n, m = x.shape
+    assert abs(float(rhat(x)) - 1.0) < 0.03
+    et = float(ess_tail(x))
+    assert 0.4 * n * m < et <= 1.6 * n * m
+    mc = float(mcse_mean(x))
+    np.testing.assert_allclose(mc, x.std(ddof=1) / np.sqrt(n * m), rtol=0.35)
+
+    # one chain with the right MEAN but 4x the sd: location-based split-Rhat
+    # barely moves, the folded statistic flags it
+    y = x.copy()
+    y[:, 0] *= 4.0
+    assert float(rhat(y)) > 1.05
+    # mean-shifted chains still flagged through the rank-normalized path
+    z = x + 10.0 * np.arange(m)[None, :]
+    assert float(rhat(z)) > 1.5
+
+
+def test_summarize_includes_new_columns(rng):
+    s = summarize({"mu": _iid_draws(rng)})
+    (mu_key,) = [k for k in s if "mu" in k]
+    for c in ("ess_tail", "mcse", "rhat"):
+        assert c in s[mu_key], c
+    txt = summary_table({"mu": _iid_draws(rng)})
+    assert "ess_tail" in txt.splitlines()[0] and "mcse" in txt.splitlines()[0]

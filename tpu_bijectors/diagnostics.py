@@ -97,11 +97,70 @@ def ess_bulk(samples):
     return out.reshape(flat_shape) if flat_shape else float(out[0])
 
 
+def ess_tail(samples):
+    """Tail ESS (Vehtari et al. 2021): the smaller of the ESS of the 5% and
+    95% quantile indicator functions — the resolution available for tail
+    quantities, which bulk ESS overstates on heavy-tailed chains.
+
+    samples: (draws, chains, ...) -> tail ESS per parameter (host numpy)."""
+    x = np.asarray(samples)
+    n, m = x.shape[0], x.shape[1]
+    flat_shape = x.shape[2:]
+    x = x.reshape(n, m, -1)
+    out = np.empty(x.shape[-1])
+    for j in range(x.shape[-1]):
+        col = x[:, :, j]
+        vals = []
+        for q in (0.05, 0.95):
+            ind = (col <= np.quantile(col, q)).astype(np.float64)
+            vals.append(_ess_1d(_rank_normalize(ind)))
+        out[j] = min(vals)
+    return out.reshape(flat_shape) if flat_shape else float(out[0])
+
+
+def rhat(samples):
+    """Rank-normalized folded split-R-hat (Vehtari et al. 2021): the max of
+    split-R-hat on rank-normalized draws (location differences) and on
+    rank-normalized |x - median| (scale differences — a chain with the
+    right mean but wrong variance fails this one).
+
+    samples: (draws, chains, ...) -> R-hat per parameter (host numpy)."""
+    x = np.asarray(samples)
+    n, m = x.shape[0], x.shape[1]
+    flat_shape = x.shape[2:]
+    x = x.reshape(n, m, -1)
+    out = np.empty(x.shape[-1])
+    for j in range(x.shape[-1]):
+        col = x[:, :, j]
+        z = _rank_normalize(col)
+        zf = _rank_normalize(np.abs(col - np.median(col)))
+        out[j] = max(
+            float(split_rhat(jnp.asarray(z[:, :, None]))[0]),
+            float(split_rhat(jnp.asarray(zf[:, :, None]))[0]),
+        )
+    return out.reshape(flat_shape) if flat_shape else float(out[0])
+
+
+def mcse_mean(samples):
+    """Monte-Carlo standard error of the posterior mean: sd / sqrt(ess_bulk).
+
+    samples: (draws, chains, ...) -> MCSE per parameter (host numpy)."""
+    x = np.asarray(samples)
+    sd = x.reshape(x.shape[0] * x.shape[1], -1).std(0, ddof=1)
+    ess = np.asarray(ess_bulk(x)).reshape(-1)
+    out = sd / np.sqrt(np.maximum(ess, 1.0))
+    return out.reshape(x.shape[2:]) if x.ndim > 2 else float(out[0])
+
+
 def _rank_normalize(x):
     from scipy.stats import norm
 
     n, m = x.shape
-    r = np.argsort(np.argsort(x, axis=None)).reshape(x.shape) + 1
+    # average ranks for ties (indicator columns are almost all ties —
+    # ordinal ranks would fabricate within-tie variation)
+    from scipy.stats import rankdata
+
+    r = rankdata(x, axis=None).reshape(x.shape)
     u = (r - 0.375) / (n * m + 0.25)
     return norm.ppf(u)
 
@@ -165,8 +224,10 @@ def summarize(samples, quantiles=(0.05, 0.5, 0.95)):
             stats[f"q{int(round(q * 100))}"] = np.quantile(
                 flat, q, axis=0
             ).reshape(x.shape[2:])
-        stats["rhat"] = np.asarray(split_rhat(jnp.asarray(x)))
+        stats["rhat"] = np.asarray(rhat(x))
         stats["ess_bulk"] = np.asarray(ess_bulk(x))
+        stats["ess_tail"] = np.asarray(ess_tail(x))
+        stats["mcse"] = np.asarray(mcse_mean(x))
         out[name] = stats
     return out
 
@@ -176,7 +237,7 @@ def summary_table(samples, quantiles=(0.05, 0.5, 0.95)) -> str:
     coordinate, numpy-style flattened index labels)."""
     s = summarize(samples, quantiles)
     cols = ["mean", "sd"] + [f"q{int(round(q * 100))}" for q in quantiles] + [
-        "rhat", "ess_bulk",
+        "rhat", "ess_bulk", "ess_tail", "mcse",
     ]
     rows = []
     for name, stats in s.items():

@@ -143,7 +143,9 @@ class Model:
         kernel (whose per-leaf Pallas kernels have the same batch gate,
         but whose layout does not pay the transposed path's sublane
         padding at small chain counts). Any explicit
-        sampler.warmup_and_sample kernel name is accepted too. Returns
+        sampler.warmup_and_sample kernel name is accepted too, plus
+        'chees' (run_chees: lockstep gradient-adapted trajectories on
+        the batched density). Returns
         (samples, state, stats): samples is the constrained pytree with
         leading (n_kept, n_chains) axes when `constrained=True`, else the
         raw (n_kept, n_chains, dim) linked array.
@@ -177,6 +179,7 @@ class Model:
             "hmc": self.logdensity_fn,
             "nuts_batched": self.batched_logdensity_fn,
             "nuts_batched_t": self.batched_logdensity_t_fn,
+            "chees": self.batched_logdensity_fn,
         }[kernel]()
         k_init, k_run = jax.random.split(key)
         if init == "random":
@@ -211,10 +214,19 @@ class Model:
                 kwargs["inv_mass0"] = jnp.clip(diag, 1e-10, None)
         else:
             raise ValueError(f"unknown init {init!r}")
-        samples, state, stats = warmup_and_sample(
-            fn, k_run, q0, n_warmup=n_warmup, n_samples=n_samples,
-            kernel=kernel, **kwargs,
-        )
+        if kernel == "chees":
+            from .chees import run_chees
+
+            kwargs.pop("inv_mass0", None)  # ChEES adapts its own diag mass
+            samples, state, stats = run_chees(
+                fn, k_run, q0, n_warmup=n_warmup, n_samples=n_samples,
+                **kwargs,
+            )
+        else:
+            samples, state, stats = warmup_and_sample(
+                fn, k_run, q0, n_warmup=n_warmup, n_samples=n_samples,
+                kernel=kernel, **kwargs,
+            )
         if constrained:
             samples = self.constrain(samples)
         return samples, state, stats

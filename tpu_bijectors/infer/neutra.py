@@ -93,10 +93,16 @@ def neutra_sample(
     flow: Bijector | None = None,
     constrained: bool = True,
     fit_kwargs: dict | None = None,
+    kernel: str = "nuts_batched",
     **sample_kwargs,
 ):
     """One-call NeuTra on a Model: fit the transport (unless a trained
     `flow` is passed), NUTS in z-space, transport + constrain the draws.
+
+    kernel='chees' runs ChEES-HMC instead — a natural pairing: the
+    pulled-back geometry is near-spherical, exactly where one shared
+    jittered trajectory length shines (and the chain batch stays lockstep
+    through the flow's matmul stack).
 
     Returns (samples, result, stats): samples as Model.sample would give
     them ((n_kept, n_chains) leading axes), `result` a NeutraResult
@@ -111,10 +117,18 @@ def neutra_sample(
         flow, losses = fit_neutra_flow(logp, k_fit, dim, **(fit_kwargs or {}))
     logp_z = neutra_logdensity(logp, flow)
     z0 = jax.random.normal(k_init, (n_chains, dim), jnp.result_type(float))
-    z, state, stats = warmup_and_sample(
-        logp_z, k_run, z0, n_warmup=n_warmup, n_samples=n_samples,
-        kernel="nuts_batched", **sample_kwargs,
-    )
+    if kernel == "chees":
+        from .chees import run_chees
+
+        z, state, stats = run_chees(
+            logp_z, k_run, z0, n_warmup=n_warmup, n_samples=n_samples,
+            **sample_kwargs,
+        )
+    else:
+        z, state, stats = warmup_and_sample(
+            logp_z, k_run, z0, n_warmup=n_warmup, n_samples=n_samples,
+            kernel=kernel, **sample_kwargs,
+        )
     v = flow.forward(z)
     samples = model.constrain(v) if constrained else v
     return samples, NeutraResult(flow, losses), stats
