@@ -209,10 +209,50 @@ def engines_smoke():
         )
         assert abs(p.mean() - exact_mean) < 0.1, p.mean()
 
+    def _chees():
+        from tpu_bijectors.infer import run_chees
+
+        samples, state, stats = run_chees(
+            model.batched_logdensity_fn(), key,
+            0.5 * jax.random.normal(key, (32, model.dim()), jnp.float32),
+            n_warmup=300, n_samples=400,
+        )
+        p = np.asarray(
+            model.constrain(samples.reshape(-1, model.dim()))["p"]
+        )
+        assert abs(p.mean() - exact_mean) < 0.1, p.mean()
+        assert np.isfinite(float(state.eps)) and np.isfinite(float(state.log_t))
+
+    def _neutra():
+        from tpu_bijectors.infer import neutra_sample
+
+        s, res, _ = neutra_sample(
+            model, key, n_chains=16, n_warmup=200, n_samples=300,
+            fit_kwargs=dict(n_steps=300, n_mc=32, n_layers=2, hidden=8),
+        )
+        p = np.asarray(s["p"]).ravel()
+        assert abs(p.mean() - exact_mean) < 0.12, p.mean()
+        assert np.all(np.isfinite(np.asarray(res.losses)))
+
+    def _stl():
+        from tpu_bijectors.infer import fit_advi
+
+        res = fit_advi(
+            model.batched_logdensity_fn(), key, model.dim(),
+            n_steps=400, n_mc=32, estimator="stl",
+        )
+        p = np.asarray(
+            model.constrain(res.q.sample(key, 2048))["p"]
+        )
+        assert abs(p.mean() - exact_mean) < 0.1, p.mean()
+
     check("map_laplace", _map)
     check("pathfinder", _pf)
     check("tempering", _pt)
     check("ensemble", _ens)
+    check("chees", _chees)
+    check("neutra+maf", _neutra)
+    check("advi_stl", _stl)
     return failures
 
 
