@@ -23,7 +23,12 @@ from .advi import (
 )
 from .chees import CheesState, CheesStats, run_chees
 from .ensemble import EnsembleResult, run_ensemble
-from .evidence import BridgeResult, bridge_sampling_evidence
+from .evidence import (
+    BridgeResult,
+    ISResult,
+    bridge_sampling_evidence,
+    importance_sampling_evidence,
+)
 from .loo import LOOResult, WAICResult, fit_gpd, psis_loo, waic
 from .hmc import IntegratorState, NutsInfo, hmc_kernel, leapfrog, nuts_kernel
 from .map_laplace import (
@@ -77,6 +82,8 @@ __all__ = [
     "EnsembleResult",
     "bridge_sampling_evidence",
     "BridgeResult",
+    "importance_sampling_evidence",
+    "ISResult",
     "psis_loo",
     "waic",
     "fit_gpd",

@@ -146,6 +146,7 @@ def fit_advi(
     dtype=jnp.float32,
     transposed: bool = False,
     estimator: str = "elbo",
+    n_iw: int = 8,
 ) -> ADVIResult:
     """Maximize the ELBO with Adam; whole loop is one lax.scan under jit.
 
@@ -163,17 +164,26 @@ def fit_advi(
     per-sample gradient vanishes IDENTICALLY when q matches the target, so
     late-stage optimization stops jittering around the optimum. Gaussian
     families only (a flow's stopped-parameter logq needs its iterative
-    inverse in the hot loop)."""
+    inverse in the hot loop).
+
+    estimator='iwelbo' maximizes the importance-weighted bound (Burda,
+    Grosse & Salakhutdinov 2016): each of the n_mc terms averages n_iw
+    weights inside the log, giving a bound that is tighter than the ELBO
+    and monotone in n_iw — the fitted q approximates a POSTERIOR-coverage
+    proposal rather than a mode-seeking one. Works for Gaussian AND flow
+    families (n_mc*n_iw draws per step, one batched density call)."""
     if q is None:
         q = MeanFieldGaussian.init(dim, dtype)
     opt = optimizer or optax.adam(learning_rate)
 
     from .model import as_batched
 
-    if estimator not in ("elbo", "stl"):
+    if estimator not in ("elbo", "stl", "iwelbo"):
         raise ValueError(f"unknown estimator {estimator!r}")
     if estimator == "stl" and isinstance(q, FlowPosterior):
         raise ValueError("estimator='stl' supports Gaussian families only")
+    if estimator == "iwelbo" and transposed:
+        raise ValueError("estimator='iwelbo' does not support transposed=True")
     if transposed:
         if isinstance(q, FlowPosterior):
             raise ValueError("transposed=True supports Gaussian families only")
@@ -185,6 +195,16 @@ def fit_advi(
     blogp = as_batched(logdensity_fn)
 
     def neg_elbo(q, key):
+        if estimator == "iwelbo":
+            if isinstance(q, FlowPosterior):
+                v, logq = q.sample_with_logq(key, n_mc * n_iw, dim)
+            else:
+                v = q.sample(key, n_mc * n_iw)
+                logq = q.logdensity(v)
+            logw = (blogp(v) - logq).reshape(n_mc, n_iw)
+            from jax.scipy.special import logsumexp
+
+            return -jnp.mean(logsumexp(logw, axis=1) - jnp.log(float(n_iw)))
         if isinstance(q, FlowPosterior):
             v, logq = q.sample_with_logq(key, n_mc, dim)
             return -jnp.mean(blogp(v) - logq)

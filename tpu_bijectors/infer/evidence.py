@@ -22,6 +22,47 @@ import jax
 import jax.numpy as jnp
 
 
+class ISResult(NamedTuple):
+    log_evidence: jax.Array
+    ess: jax.Array  # importance-weight effective sample size
+    pareto_k: jax.Array  # GPD tail shape of the weights (>0.7 = unreliable)
+
+
+def importance_sampling_evidence(
+    logdensity_fn,
+    proposal,
+    key,
+    n: int = 4096,
+) -> ISResult:
+    """One-shot importance-sampling log Z from any fitted proposal exposing
+    `.sample(key, n)` + normalized `.logdensity(v)` (an ADVI Gaussian —
+    especially an `estimator='iwelbo'` fit, whose objective IS this
+    estimator's bound — or a LaplaceApprox):
+
+        log Z ≈ lse_i(log p̃(v_i) - log g(v_i)) - log n,   v_i ~ g.
+
+    Cheaper than bridge sampling (no posterior draws needed) but only
+    trustworthy when g covers the posterior — check `ess` and `pareto_k`
+    (Yao et al. 2018: k > 0.7 means the weights have effectively infinite
+    variance). One batched density call; fused whole-model kernels engage."""
+    from .loo import fit_gpd
+    from .model import as_batched
+
+    blogp = as_batched(logdensity_fn)
+    draws = proposal.sample(key, n)
+    logw = blogp(draws) - proposal.logdensity(draws)
+    logw = jnp.where(jnp.isfinite(logw), logw, -jnp.inf)
+    lse = jax.scipy.special.logsumexp
+    log_z = lse(logw) - jnp.log(jnp.asarray(float(n), logw.dtype))
+    ess = jnp.exp(2.0 * lse(logw) - lse(2.0 * logw))
+    # GPD fit to the top ~20% of the (shifted) weights, as in PSIS
+    m_tail = int(min(0.2 * n, 3.0 * (n**0.5)))
+    tail = jnp.sort(logw)[-m_tail:]
+    cutoff = tail[0]
+    k, _ = fit_gpd(jnp.exp(tail - cutoff) - 1.0 + 1e-12)
+    return ISResult(log_z, ess, k)
+
+
 class BridgeResult(NamedTuple):
     log_evidence: jax.Array  # final log Z estimate
     trace: jax.Array  # (n_iters,) per-iteration log r (convergence check)
