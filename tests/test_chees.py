@@ -59,6 +59,28 @@ def test_chees_correlated_gaussian_moments(key):
     assert stats.n_steps.ndim == 1
 
 
+def test_chees_dense_metric(key):
+    """metric='dense' on a rho=0.95 Gaussian: the adapted dense inverse
+    mass recovers the covariance and moments stay exact."""
+    rho = 0.95
+    cov = jnp.asarray([[1.0, rho], [rho, 1.0]], jnp.float64)
+    prec = jnp.linalg.inv(cov)
+    logp = lambda v: -0.5 * jnp.einsum("...i,ij,...j->...", v, prec, v)
+    logp.batch_capable = True
+    q0 = 0.3 * jax.random.normal(jax.random.PRNGKey(6), (16, 2), jnp.float64)
+    samples, state, stats = jax.jit(
+        lambda k, q: run_chees(
+            logp, k, q, n_warmup=600, n_samples=800, metric="dense"
+        )
+    )(key, q0)
+    assert state.inv_mass.shape == (2, 2)
+    np.testing.assert_allclose(
+        np.asarray(state.inv_mass), np.asarray(cov), atol=0.25
+    )
+    x = np.asarray(samples).reshape(-1, 2)
+    np.testing.assert_allclose(np.cov(x.T), np.asarray(cov), atol=0.12)
+
+
 def test_chees_chain_parallel(key):
     """Sharded over the 8-device mesh: shared scalar trajectory schedule
     keeps devices lockstep; moments still correct."""

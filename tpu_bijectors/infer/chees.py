@@ -37,6 +37,9 @@ from .adapt import (
     build_schedule,
     stepsize_init,
     stepsize_update,
+    welford_cov_init,
+    welford_cov_update_batch,
+    welford_covariance,
     welford_init,
     welford_update_batch,
     welford_variance,
@@ -67,7 +70,7 @@ class CheesState(NamedTuple):
     grad: jax.Array
     eps: jax.Array
     log_t: jax.Array  # log trajectory length
-    inv_mass: jax.Array  # (dim,) diagonal
+    inv_mass: jax.Array  # (dim,) diagonal or (dim, dim) dense
     ss: object  # StepSizeAdaptState
     welford: object
     adam_m: jax.Array  # Adam first/second moments for log_t
@@ -104,12 +107,17 @@ def run_chees(
     lr_t: float = 0.05,
     max_steps: int = 1024,
     axis_name: str | None = None,
+    metric: str = "diag",
 ):
-    """Warmup (step size + trajectory + diagonal mass adaptation) then
-    sampling with the tuned jittered-trajectory HMC. Accepts per-example or
-    batch-capable (`fn.batch_capable`) log densities; the whole run is two
-    lax.scans. Returns (samples, CheesState, CheesStats) with samples of
-    shape (n_samples, chains, dim)."""
+    """Warmup (step size + trajectory + mass adaptation) then sampling with
+    the tuned jittered-trajectory HMC. Accepts per-example or batch-capable
+    (`fn.batch_capable`) log densities; the whole run is two lax.scans.
+    metric: 'diag' (Welford variance) or 'dense' (full covariance, Stan's
+    dense_e — same accumulators as the NUTS warmup). Returns (samples,
+    CheesState, CheesStats) with samples of shape (n_samples, chains, dim)."""
+    if metric not in ("diag", "dense"):
+        raise ValueError(f"unknown metric {metric!r}")
+    dense = metric == "dense"
     dtype = q0.dtype
     dim = q0.shape[-1]
     vg = _value_and_grad_batch(logdensity_fn)
@@ -184,17 +192,21 @@ def run_chees(
         log_t = jnp.clip(
             log_t, jnp.log(eps), jnp.log(0.9 * max_steps * eps)
         )
-        # windowed Welford mass
+        # windowed Welford mass (diag variance or dense covariance)
         in_window = wid >= 0
+        upd = welford_cov_update_batch if dense else welford_update_batch
+        est = welford_covariance if dense else welford_variance
         wf = jax.tree_util.tree_map(
             lambda a, b: jnp.where(in_window, a, b),
-            welford_update_batch(st.welford, q1, axis_name),
+            upd(st.welford, q1, axis_name),
             st.welford,
         )
         refresh = wend
-        inv_mass = jnp.where(refresh, welford_variance(wf).astype(dtype), st.inv_mass)
+        inv_mass = jnp.where(refresh, est(wf).astype(dtype), st.inv_mass)
         wf = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(refresh, a, b), welford_init(dim, dtype), wf
+            lambda a, b: jnp.where(refresh, a, b),
+            (welford_cov_init if dense else welford_init)(dim, dtype),
+            wf,
         )
         st = CheesState(
             k_next, q1, logp1, grad1, eps, log_t, inv_mass, ss, wf,
@@ -206,9 +218,9 @@ def run_chees(
         key, q0, logp, grad,
         jnp.asarray(eps0, dtype),
         jnp.asarray(math.log(10.0 * eps0), dtype),
-        jnp.ones(dim, dtype),
+        jnp.eye(dim, dtype=dtype) if dense else jnp.ones(dim, dtype),
         stepsize_init(eps0, dtype),
-        welford_init(dim, dtype),
+        (welford_cov_init if dense else welford_init)(dim, dtype),
         jnp.asarray(0.0, dtype), jnp.asarray(0.0, dtype),
         jnp.asarray(0, jnp.int32),
     )
