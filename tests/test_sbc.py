@@ -79,3 +79,29 @@ def test_sbc_nuts_normal_model(key):
     assert int(res.ranks.min()) >= 0 and int(res.ranks.max()) <= 128
     p = np.asarray(sbc_uniformity(res.ranks, res.n_draws))
     assert np.all(p > 0.005), p
+
+
+def test_sbc_calibrates_chees(key):
+    """SBC as the acid test of the ChEES engine: uniform ranks on the same
+    conjugate model (a biased sampler cannot fake this)."""
+    n_obs = 5
+    prior = dists.NamedProduct.of(
+        mu=dists.Normal(0.0, 1.0), tau=dists.LogNormal(0.0, 0.5)
+    )
+
+    def simulate(k, x):
+        return x["mu"] + x["tau"] * jax.random.normal(k, (n_obs,), jnp.float64)
+
+    def loglik(y, x):
+        return jnp.sum(
+            -0.5 * ((y - x["mu"]) / x["tau"]) ** 2 - jnp.log(x["tau"])
+        )
+
+    res = jax.jit(
+        lambda k: sbc_ranks(
+            prior, simulate, loglik, k, n_sims=96, n_warmup=400,
+            n_samples=512, thin=4, kernel="chees",
+        )
+    )(key)
+    p = np.asarray(sbc_uniformity(res.ranks, res.n_draws))
+    assert np.all(p > 0.005), p

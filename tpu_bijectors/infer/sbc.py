@@ -44,15 +44,19 @@ def sbc_ranks(
     n_warmup: int = 300,
     n_samples: int = 512,
     thin: int = 4,
-    **nuts_kwargs,
+    kernel: str = "nuts_batched",
+    **kernel_kwargs,
 ) -> SBCResult:
-    """Run the full SBC study as one batched NUTS computation.
+    """Run the full SBC study as one batched sampler computation.
 
     prior: any distribution `unconstrain` supports (the model's joint prior).
     simulate: callable(key, x) -> data pytree for ONE prior draw x.
     loglik: callable(data, x) -> scalar log-likelihood for ONE simulation.
     thin: keep every thin-th draw for the rank (SBC's uniformity needs
     near-independent draws; Talts et al. §5.1).
+    kernel: any warmup_and_sample kernel, or 'chees' (run_chees) — SBC
+    doubles as the acid correctness test for a sampler: a biased engine
+    cannot produce uniform ranks.
 
     Chains start at the true draw (a posterior-typical point by
     construction), so short warmups adapt cleanly."""
@@ -72,10 +76,18 @@ def sbc_ranks(
 
     batched_logp.batch_capable = True
 
-    samples, _, _ = warmup_and_sample(
-        batched_logp, k_run, v0, n_warmup=n_warmup, n_samples=n_samples,
-        kernel="nuts_batched", **nuts_kwargs,
-    )
+    if kernel == "chees":
+        from .chees import run_chees
+
+        samples, _, _ = run_chees(
+            batched_logp, k_run, v0, n_warmup=n_warmup, n_samples=n_samples,
+            **kernel_kwargs,
+        )
+    else:
+        samples, _, _ = warmup_and_sample(
+            batched_logp, k_run, v0, n_warmup=n_warmup, n_samples=n_samples,
+            kernel=kernel, **kernel_kwargs,
+        )
     kept = samples[::thin]  # (L, n_sims, dim)
     ranks = jnp.sum(kept < v0[None, :, :], axis=0)
     return SBCResult(ranks, kept.shape[0], theta0)
