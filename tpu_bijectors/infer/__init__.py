@@ -46,6 +46,7 @@ from .neutra import (
     neutra_sample,
 )
 from .pathfinder import PathfinderResult, fit_pathfinder, multipath_pathfinder
+from .predictive import posterior_predictive, ppc_pvalue, prior_predictive
 from .sbc import SBCResult, sbc_ranks, sbc_uniformity
 from .sampler import RunStats, SamplerState, init_sampler, warmup_and_sample
 from .smc import SMCResult, run_smc, systematic_resample
@@ -102,6 +103,9 @@ __all__ = [
     "run_chees",
     "CheesState",
     "CheesStats",
+    "prior_predictive",
+    "posterior_predictive",
+    "ppc_pvalue",
     # adaptation
     "stepsize_init",
     "stepsize_update",
