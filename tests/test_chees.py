@@ -59,6 +59,37 @@ def test_chees_correlated_gaussian_moments(key):
     assert stats.n_steps.ndim == 1
 
 
+def test_chees_divergence_does_not_poison_adaptation(key):
+    """Early-warmup blowups (eps 500x too large for a stiff target) must
+    not NaN the Adam trajectory moments: 0 * inf in the ChEES gradient is
+    masked, divergences are reported, and adaptation recovers."""
+    sd = 0.01
+    logp = lambda v: -0.5 * jnp.sum((v / sd) ** 2, -1)
+    logp.batch_capable = True
+    q0 = jax.random.normal(jax.random.PRNGKey(8), (8, 2), jnp.float64)
+    # (a) nearly no warmup: sampling still blows up -> divergences REPORTED
+    _, state_a, stats_a = jax.jit(
+        lambda k, q: run_chees(logp, k, q, n_warmup=5, n_samples=50, eps0=5.0)
+    )(key, q0)
+    assert bool(np.asarray(stats_a.diverging).any())
+    for leaf in (state_a.log_t, state_a.adam_m, state_a.adam_v):
+        assert np.all(np.isfinite(np.asarray(leaf))), leaf
+    # (b) full warmup: adaptation RECOVERS from the early-blowup regime
+    samples, state, stats = jax.jit(
+        lambda k, q: run_chees(
+            logp, k, q, n_warmup=400, n_samples=200, eps0=5.0
+        )
+    )(key, q0)
+    for leaf in (state.log_t, state.eps, state.adam_m, state.adam_v):
+        assert np.all(np.isfinite(np.asarray(leaf))), leaf
+    # recovery: the Welford mass absorbed the 0.01 scale (eps itself
+    # returns to O(1) in the preconditioned space)
+    assert np.asarray(state.inv_mass).max() < 1e-2
+    x = np.asarray(samples).reshape(-1, 2)
+    assert np.all(np.isfinite(x))
+    np.testing.assert_allclose(x.std(0), sd, rtol=0.3)
+
+
 def test_chees_dense_metric(key):
     """metric='dense' on a rho=0.95 Gaussian: the adapted dense inverse
     mass recovers the covariance and moments stay exact."""

@@ -225,9 +225,12 @@ def summarize(samples, quantiles=(0.05, 0.5, 0.95)):
                 flat, q, axis=0
             ).reshape(x.shape[2:])
         stats["rhat"] = np.asarray(rhat(x))
-        stats["ess_bulk"] = np.asarray(ess_bulk(x))
+        ess = np.asarray(ess_bulk(x))
+        stats["ess_bulk"] = ess
         stats["ess_tail"] = np.asarray(ess_tail(x))
-        stats["mcse"] = np.asarray(mcse_mean(x))
+        # mcse = sd / sqrt(ess) from the ess already computed (ess_bulk is
+        # a per-coordinate Geyer fit — the expensive host-side loop)
+        stats["mcse"] = stats["sd"] / np.sqrt(np.maximum(ess, 1.0))
         out[name] = stats
     return out
 

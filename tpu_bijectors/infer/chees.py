@@ -80,6 +80,7 @@ class CheesState(NamedTuple):
 
 class CheesStats(NamedTuple):
     accept_prob: jax.Array  # (iters, chains)
+    diverging: jax.Array  # (iters, chains) energy error > MAX_ENERGY_DELTA
     n_steps: jax.Array  # (iters,)
     trajectory: jax.Array  # (iters,) adapted T trace (warmup) / fixed (sampling)
 
@@ -146,19 +147,23 @@ def run_chees(
         )
         energy1 = -s1.logp + kinetic(s1.p, inv_mass)
         delta = energy1 - energy0
+        finite = jnp.isfinite(delta)
+        diverging = ~finite | (delta > MAX_ENERGY_DELTA)
         accept_prob = jnp.where(
-            jnp.isfinite(delta),
-            jnp.minimum(1.0, jnp.exp(jnp.minimum(-delta, 0.0))),
-            0.0,
+            finite, jnp.minimum(1.0, jnp.exp(jnp.minimum(-delta, 0.0))), 0.0
         )
         accept = jax.random.uniform(k_acc, accept_prob.shape, dtype) < accept_prob
 
-        # ChEES gradient wrt log T from the PROPOSED endpoints
+        # ChEES gradient wrt log T from the PROPOSED endpoints. A divergent
+        # chain has non-finite s1.q/s1.p: its accept weight is already 0,
+        # but 0 * inf = NaN would poison the Adam moments PERMANENTLY (the
+        # EMA never recovers from a NaN), so mask per_chain itself.
         v_end = apply_inv_mass(inv_mass, s1.p)
         qc_old = q - pmean(jnp.mean(q, 0))
         qc_new = s1.q - pmean(jnp.mean(s1.q, 0))
         term = jnp.sum(qc_new * qc_new, -1) - jnp.sum(qc_old * qc_old, -1)
         per_chain = term * jnp.sum(qc_new * v_end, -1)
+        per_chain = jnp.where(jnp.isfinite(per_chain), per_chain, 0.0)
         w = accept_prob
         g = pmean(jnp.mean(w * per_chain)) / jnp.maximum(
             pmean(jnp.mean(w)), 1e-10
@@ -169,7 +174,9 @@ def run_chees(
         logp1 = jnp.where(accept, s1.logp, logp)
         grad1 = jnp.where(accept[:, None], s1.grad, grad)
         harm_acc = 1.0 / pmean(jnp.mean(1.0 / jnp.maximum(accept_prob, 1e-10)))
-        return q1, logp1, grad1, accept_prob, harm_acc, g_logt, n_steps
+        return (
+            q1, logp1, grad1, accept_prob, diverging, harm_acc, g_logt, n_steps
+        )
 
     def warmup_step(carry, xs):
         st = carry
@@ -177,7 +184,7 @@ def run_chees(
         k_step, k_next = jax.random.split(st.key)
         u = _halton2(st.iteration).astype(dtype)
         t = jnp.exp(st.log_t)
-        q1, logp1, grad1, acc, harm_acc, g_logt, n_steps = transition(
+        q1, logp1, grad1, acc, div, harm_acc, g_logt, n_steps = transition(
             k_step, st.q, st.logp, st.grad, st.eps, t, st.inv_mass, u
         )
         ss = stepsize_update(st.ss, harm_acc, target=target_accept)
@@ -212,7 +219,7 @@ def run_chees(
             k_next, q1, logp1, grad1, eps, log_t, inv_mass, ss, wf,
             m, v, st.iteration + 1,
         )
-        return st, (acc, n_steps, jnp.exp(log_t))
+        return st, (acc, div, n_steps, jnp.exp(log_t))
 
     st = CheesState(
         key, q0, logp, grad,
@@ -236,15 +243,15 @@ def run_chees(
         k_step, k_next = jax.random.split(st.key)
         u = _halton2(st.iteration).astype(dtype)
         t = jnp.exp(st.log_t)
-        q1, logp1, grad1, acc, _, _, n_steps = transition(
+        q1, logp1, grad1, acc, div, _, _, n_steps = transition(
             k_step, st.q, st.logp, st.grad, st.eps, t, st.inv_mass, u
         )
         st = st._replace(
             key=k_next, q=q1, logp=logp1, grad=grad1, iteration=st.iteration + 1
         )
-        return st, (q1, acc, n_steps, t)
+        return st, (q1, acc, div, n_steps, t)
 
-    st, (samples, acc, n_steps, t_trace) = jax.lax.scan(
+    st, (samples, acc, div, n_steps, t_trace) = jax.lax.scan(
         sample_step, st, None, length=n_samples
     )
-    return samples, st, CheesStats(acc, n_steps, t_trace)
+    return samples, st, CheesStats(acc, div, n_steps, t_trace)

@@ -55,11 +55,24 @@ def importance_sampling_evidence(
     lse = jax.scipy.special.logsumexp
     log_z = lse(logw) - jnp.log(jnp.asarray(float(n), logw.dtype))
     ess = jnp.exp(2.0 * lse(logw) - lse(2.0 * logw))
-    # GPD fit to the top ~20% of the (shifted) weights, as in PSIS
+    # GPD fit to the top ~20% of the weights, exactly as psis_loo does it
+    # (loo.py:96-106): exclusive cutoff, exceedances stabilized by the tail
+    # MAX so exp never overflows even for wildly mismatched proposals —
+    # the regime this diagnostic exists to flag (fit_gpd's k is scale-free)
     m_tail = int(min(0.2 * n, 3.0 * (n**0.5)))
-    tail = jnp.sort(logw)[-m_tail:]
-    cutoff = tail[0]
-    k, _ = fit_gpd(jnp.exp(tail - cutoff) - 1.0 + 1e-12)
+    if m_tail < 5:
+        raise ValueError(f"too few draws ({n}) for the Pareto-k tail fit")
+    srt = jnp.sort(logw)
+    cutoff = srt[-m_tail - 1]
+    tail = srt[-m_tail:]
+    mx = tail[-1]
+    exc = jnp.exp(tail - mx) - jnp.exp(cutoff - mx)
+    k_fit, _ = fit_gpd(exc)
+    # degenerate tail (a near-perfect proposal: all weights equal to float
+    # precision) starves the ZS grid (quartile exceedance ~ 0 -> division
+    # blowups -> NaN); that regime is by definition light-tailed
+    spread = mx - cutoff
+    k = jnp.where(spread > 1e-8, k_fit, jnp.asarray(-0.5, logw.dtype))
     return ISResult(log_z, ess, k)
 
 

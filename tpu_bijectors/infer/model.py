@@ -156,7 +156,7 @@ class Model:
         `metric`); 'pathfinder' runs fit_pathfinder and starts chains from
         its best-candidate draws with the diagonal of Σ as the mass seed.
         Warmup still re-adapts; a user-passed `inv_mass0` wins."""
-        from .sampler import warmup_and_sample
+        from .sampler import sample_with_kernel
 
         if kernel == "auto":
             from .. import kernels
@@ -214,19 +214,10 @@ class Model:
                 kwargs["inv_mass0"] = jnp.clip(diag, 1e-10, None)
         else:
             raise ValueError(f"unknown init {init!r}")
-        if kernel == "chees":
-            from .chees import run_chees
-
-            kwargs.pop("inv_mass0", None)  # ChEES adapts its own diag mass
-            samples, state, stats = run_chees(
-                fn, k_run, q0, n_warmup=n_warmup, n_samples=n_samples,
-                **kwargs,
-            )
-        else:
-            samples, state, stats = warmup_and_sample(
-                fn, k_run, q0, n_warmup=n_warmup, n_samples=n_samples,
-                kernel=kernel, **kwargs,
-            )
+        samples, state, stats = sample_with_kernel(
+            fn, k_run, q0, n_warmup=n_warmup, n_samples=n_samples,
+            kernel=kernel, **kwargs,
+        )
         if constrained:
             samples = self.constrain(samples)
         return samples, state, stats

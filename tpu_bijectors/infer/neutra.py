@@ -107,7 +107,7 @@ def neutra_sample(
     Returns (samples, result, stats): samples as Model.sample would give
     them ((n_kept, n_chains) leading axes), `result` a NeutraResult
     carrying the trained flow (reusable across runs)."""
-    from .sampler import warmup_and_sample
+    from .sampler import sample_with_kernel
 
     dim = model.dim()
     k_fit, k_init, k_run = jax.random.split(key, 3)
@@ -117,18 +117,10 @@ def neutra_sample(
         flow, losses = fit_neutra_flow(logp, k_fit, dim, **(fit_kwargs or {}))
     logp_z = neutra_logdensity(logp, flow)
     z0 = jax.random.normal(k_init, (n_chains, dim), jnp.result_type(float))
-    if kernel == "chees":
-        from .chees import run_chees
-
-        z, state, stats = run_chees(
-            logp_z, k_run, z0, n_warmup=n_warmup, n_samples=n_samples,
-            **sample_kwargs,
-        )
-    else:
-        z, state, stats = warmup_and_sample(
-            logp_z, k_run, z0, n_warmup=n_warmup, n_samples=n_samples,
-            kernel=kernel, **sample_kwargs,
-        )
+    z, state, stats = sample_with_kernel(
+        logp_z, k_run, z0, n_warmup=n_warmup, n_samples=n_samples,
+        kernel=kernel, **sample_kwargs,
+    )
     v = flow.forward(z)
     samples = model.constrain(v) if constrained else v
     return samples, NeutraResult(flow, losses), stats

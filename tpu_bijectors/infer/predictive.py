@@ -22,19 +22,28 @@ def prior_predictive(prior, simulate, key, n: int):
     return theta, y
 
 
-def posterior_predictive(simulate, samples, key):
+def posterior_predictive(simulate, samples, key, has_chains: bool | None = None):
     """Replicated datasets from posterior draws.
 
     samples: the constrained pytree Model.sample returns (leaves with
     leading (draws, chains) axes) or any pytree with a single leading
-    draw axis. Returns the data pytree with one leading (n_total,) axis."""
+    draw axis. Returns the data pytree with one leading (n_total,) axis.
+
+    has_chains: True = leaves carry (draws, chains) leading axes; False =
+    one flat (draws,) axis. The default (None) infers it from whether all
+    leaves share their first TWO axes — which cannot distinguish flat
+    draws of a k-vector parameter {"w": (draws, k)} from chained scalar
+    draws; pass has_chains=False explicitly for flat vector-event samples
+    (e.g. run_ensemble output pushed through Model.constrain)."""
     leaves = jax.tree_util.tree_leaves(samples)
-    lead = leaves[0].shape[:2] if leaves[0].ndim >= 2 else leaves[0].shape[:1]
-    # detect (draws, chains) by checking every leaf shares two leading axes
-    two = all(
-        leaf.ndim >= 2 and leaf.shape[:2] == lead for leaf in leaves
-    )
-    n_lead = 2 if two else 1
+    if has_chains is None:
+        lead = (
+            leaves[0].shape[:2] if leaves[0].ndim >= 2 else leaves[0].shape[:1]
+        )
+        has_chains = all(
+            leaf.ndim >= 2 and leaf.shape[:2] == lead for leaf in leaves
+        )
+    n_lead = 2 if has_chains else 1
     flat = jax.tree_util.tree_map(
         lambda leaf: leaf.reshape((-1,) + leaf.shape[n_lead:]), samples
     )

@@ -261,3 +261,26 @@ def stepsize_init_like(eps, ss: StepSizeAdaptState) -> StepSizeAdaptState:
         log_eps, log_eps, jnp.zeros((), dtype),
         jnp.log(10.0) + log_eps, jnp.zeros((), jnp.int32),
     )
+
+
+def sample_with_kernel(
+    logdensity_fn, key, q0, n_warmup, n_samples, kernel="nuts_batched",
+    **kwargs,
+):
+    """The ONE place engine names are routed (Model.sample, neutra_sample,
+    and sbc_ranks all dispatch through here): any warmup_and_sample kernel
+    name, plus 'chees' -> run_chees. ChEES adapts its own mass matrix from
+    scratch, so a warm-start `inv_mass0` (a warmup_and_sample kwarg) is
+    dropped for it."""
+    if kernel == "chees":
+        from .chees import run_chees
+
+        kwargs.pop("inv_mass0", None)
+        return run_chees(
+            logdensity_fn, key, q0, n_warmup=n_warmup, n_samples=n_samples,
+            **kwargs,
+        )
+    return warmup_and_sample(
+        logdensity_fn, key, q0, n_warmup=n_warmup, n_samples=n_samples,
+        kernel=kernel, **kwargs,
+    )

@@ -60,7 +60,7 @@ def sbc_ranks(
 
     Chains start at the true draw (a posterior-typical point by
     construction), so short warmups adapt cleanly."""
-    from .sampler import warmup_and_sample
+    from .sampler import sample_with_kernel
 
     u = unconstrain(prior)
     k_prior, k_data, k_run = jax.random.split(key, 3)
@@ -76,18 +76,10 @@ def sbc_ranks(
 
     batched_logp.batch_capable = True
 
-    if kernel == "chees":
-        from .chees import run_chees
-
-        samples, _, _ = run_chees(
-            batched_logp, k_run, v0, n_warmup=n_warmup, n_samples=n_samples,
-            **kernel_kwargs,
-        )
-    else:
-        samples, _, _ = warmup_and_sample(
-            batched_logp, k_run, v0, n_warmup=n_warmup, n_samples=n_samples,
-            kernel=kernel, **kernel_kwargs,
-        )
+    samples, _, _ = sample_with_kernel(
+        batched_logp, k_run, v0, n_warmup=n_warmup, n_samples=n_samples,
+        kernel=kernel, **kernel_kwargs,
+    )
     kept = samples[::thin]  # (L, n_sims, dim)
     ranks = jnp.sum(kept < v0[None, :, :], axis=0)
     return SBCResult(ranks, kept.shape[0], theta0)

@@ -168,7 +168,9 @@ def chain_parallel_chees(
         out_specs=(
             P(None, axis_name, None),  # samples
             state_specs,
-            CheesStats(P(None, axis_name), P(None), P(None)),
+            CheesStats(
+                P(None, axis_name), P(None, axis_name), P(None), P(None)
+            ),
         ),
         check_vma=False,
     )
