@@ -3,6 +3,7 @@ radial_layer.jl, rational_quadratic_spline.jl, normalise.jl, coupling.jl)."""
 
 from ..bijectors.coupling import Coupling, PartitionMask
 from .maf import MaskedAutoregressive, maf_stack
+from .nsf import MaskedAutoregressiveSpline, nsf_ar_stack
 from .normalise import InvertibleBatchNorm
 from .planar import PlanarLayer, find_alpha
 from .radial import RadialLayer
@@ -18,4 +19,6 @@ __all__ = [
     "find_alpha",
     "MaskedAutoregressive",
     "maf_stack",
+    "MaskedAutoregressiveSpline",
+    "nsf_ar_stack",
 ]
