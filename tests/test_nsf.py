@@ -104,3 +104,29 @@ def test_nsf_fits_bimodal_where_affine_cannot(key):
     # near the moment-matched Gaussian ~ 2.05
     assert nll_spline < nll_affine - 0.4, (nll_spline, nll_affine)
     assert nll_spline < 1.6
+
+
+def test_flow_stack_kinds_and_neutra_nsf(key):
+    """flow_stack dispatches by kind; fit_neutra_flow(kind='nsf') trains a
+    spline transport stably on a curved target."""
+    import pytest
+
+    from tpu_bijectors.flows import flow_stack
+    from tpu_bijectors.infer import fit_neutra_flow, neutra_logdensity
+
+    assert flow_stack(key, 3, "maf", n_layers=2, dtype=jnp.float64) is not None
+    with pytest.raises(ValueError, match="kind"):
+        flow_stack(key, 3, "glow")
+
+    def logp(v):  # banana
+        x, y = v[..., 0], v[..., 1]
+        return -0.5 * (x**2 / 4.0 + (y - 0.5 * x**2) ** 2)
+
+    logp.batch_capable = True
+    res = fit_neutra_flow(logp, key, 2, kind="nsf", n_layers=2, hidden=16,
+                          n_steps=400, n_mc=32, dtype=jnp.float64)
+    assert np.all(np.isfinite(np.asarray(res.losses)))
+    assert float(res.losses[-50:].mean()) < float(res.losses[:50].mean())
+    lz = neutra_logdensity(logp, res.flow)
+    z = 0.5 * jax.random.normal(jax.random.PRNGKey(11), (9, 2), jnp.float64)
+    assert np.all(np.isfinite(np.asarray(lz(z))))

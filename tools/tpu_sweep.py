@@ -246,6 +246,31 @@ def engines_smoke():
         )
         assert abs(p.mean() - exact_mean) < 0.1, p.mean()
 
+    def _serving():
+        from tpu_bijectors import serving
+
+        v = 0.4 * jax.random.normal(key, (32, model.dim()), jnp.float32)
+        fn = serving.load(serving.export_logdensity(model, 32))
+        ref = model.batched_logdensity_fn()(v)
+        np.testing.assert_allclose(
+            np.asarray(fn(v)), np.asarray(ref), rtol=2e-5
+        )
+
+    def _nsf():
+        from tpu_bijectors.flows import nsf_ar_stack
+
+        flow = nsf_ar_stack(key, 3, n_layers=2, dtype=jnp.float32)
+        x = 0.8 * jax.random.normal(key, (64, 3), jnp.float32)
+        y, ld = flow.forward_and_log_det(x)
+        x2, ld_i = flow.inverse_and_log_det(y)
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(ld + ld_i), 0.0, atol=3e-5)
+        g = jax.grad(lambda f: jnp.sum(f.forward_and_log_det(x)[1]))(flow)
+        assert all(
+            np.all(np.isfinite(np.asarray(l)))
+            for l in jax.tree_util.tree_leaves(g)
+        )
+
     check("map_laplace", _map)
     check("pathfinder", _pf)
     check("tempering", _pt)
@@ -253,6 +278,8 @@ def engines_smoke():
     check("chees", _chees)
     check("neutra+maf", _neutra)
     check("advi_stl", _stl)
+    check("serving_export", _serving)
+    check("nsf_flow", _nsf)
     return failures
 
 

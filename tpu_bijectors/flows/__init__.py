@@ -2,7 +2,7 @@
 radial_layer.jl, rational_quadratic_spline.jl, normalise.jl, coupling.jl)."""
 
 from ..bijectors.coupling import Coupling, PartitionMask
-from .maf import MaskedAutoregressive, maf_stack
+from .maf import MaskedAutoregressive, flow_stack, maf_stack
 from .nsf import MaskedAutoregressiveSpline, nsf_ar_stack
 from .normalise import InvertibleBatchNorm
 from .planar import PlanarLayer, find_alpha
@@ -21,4 +21,5 @@ __all__ = [
     "maf_stack",
     "MaskedAutoregressiveSpline",
     "nsf_ar_stack",
+    "flow_stack",
 ]

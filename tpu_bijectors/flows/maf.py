@@ -106,6 +106,19 @@ class MaskedAutoregressive(Bijector):
         return self.inverse_and_log_det(y)[0]
 
 
+def flow_stack(key, dim: int, kind: str = "maf", **kwargs) -> Chain:
+    """Uniform constructor over the autoregressive stacks: kind='maf'
+    (affine; cheapest) or 'nsf' (spline; fits multimodal marginals).
+    kwargs forwarded to maf_stack / nsf_ar_stack."""
+    if kind == "maf":
+        return maf_stack(key, dim, **kwargs)
+    if kind == "nsf":
+        from .nsf import nsf_ar_stack
+
+        return nsf_ar_stack(key, dim, **kwargs)
+    raise ValueError(f"unknown flow kind {kind!r}")
+
+
 def maf_stack(key, dim: int, n_layers: int = 4, hidden: int | None = None,
               dtype=jnp.float32) -> Chain:
     """Stack of MaskedAutoregressive layers with coordinate-reversing

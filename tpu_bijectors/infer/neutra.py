@@ -63,14 +63,18 @@ def fit_neutra_flow(
     n_mc: int = 32,
     learning_rate: float = 5e-3,
     dtype=None,
+    kind: str = "maf",
 ) -> NeutraResult:
-    """Train the transport map: a MAF stack fitted to `logdensity_fn` by
-    reparameterized ELBO maximization (sampling direction only)."""
-    from ..flows.maf import maf_stack
+    """Train the transport map: a MAF stack (kind='maf'; affine, cheapest)
+    or NSF-AR stack (kind='nsf'; spline — for multimodal/heavier
+    geometry) fitted to `logdensity_fn` by reparameterized ELBO
+    maximization (sampling direction only)."""
+    from ..flows.maf import flow_stack
 
     dtype = dtype or jnp.result_type(float)
     k_flow, k_fit = jax.random.split(key)
-    flow = maf_stack(k_flow, dim, n_layers=n_layers, hidden=hidden, dtype=dtype)
+    flow = flow_stack(k_flow, dim, kind, n_layers=n_layers, hidden=hidden,
+                      dtype=dtype)
     res = fit_advi(
         logdensity_fn,
         k_fit,
