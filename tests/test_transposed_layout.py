@@ -530,3 +530,24 @@ def test_pre_t_kernels_interpret(rng):
         b = pd_logdensity_pallas(yp.T, 4, C, mode, pre_t=True, interpret=True)
         for x, z in zip(a, b):
             assert bool(jnp.all(x == z))
+
+
+def test_mega_kernel_inf_state_loop_rows_no_nan(rng):
+    """Kernel == composed at +/-inf state values on LOOP-entry rows: the
+    slab pass where-masks unowned rows before forming terms, so a
+    Dirichlet-owned row at inf cannot 0*inf-NaN the whole chain (the
+    composed path gives a finite eps-clamped density there)."""
+    from tpu_bijectors import dists
+    from tpu_bijectors.vectorize.fused_kernel import mega_logdensity_t
+
+    d = dists.NamedProduct.of(
+        mu=dists.Normal(0.0, 1.0), w=dists.Dirichlet(jnp.ones(4))
+    )
+    u = unconstrain(d)
+    v = jnp.asarray(0.5 * rng.standard_normal((8, u.linked_vec_length)))
+    v = v.at[0, 1].set(jnp.inf)    # Dirichlet (loop-entry) row -> +inf
+    v = v.at[1, 2].set(-jnp.inf)   # and -inf
+    ref = np.asarray(u._linked_logdensity_t_children(v.T))
+    got = np.asarray(mega_logdensity_t(u, v.T, interpret=True))
+    assert not np.any(np.isnan(got)), got
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)

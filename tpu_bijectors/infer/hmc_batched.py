@@ -30,7 +30,6 @@ import jax.numpy as jnp
 
 from .hmc import (
     MAX_ENERGY_DELTA,
-    IntegratorState,
     NutsInfo,
     _trailing_zeros,
     apply_inv_mass,
@@ -148,8 +147,17 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10, transposed: bool = Fa
             t2 = L.vdot(dq, L.aim(inv_mass, p_b)) < 0
             return t1 | t2
 
-        def build_subtree(edge_q, edge_p, edge_lp, edge_g, direction, depth_j, key):
-            """2^depth_j masked leapfrog steps for every chain at once."""
+        def build_subtree(edge_q, edge_p, edge_lp, edge_g, direction, depth_j,
+                          key, outer_active):
+            """2^depth_j masked leapfrog steps for every chain at once.
+
+            outer_active: chains still alive in the OUTER doubling loop.
+            Seeding the subtree's diverging mask with ~outer_active makes
+            the inner while_loop terminate as soon as the genuinely active
+            chains finish (otherwise 63 outer-dead chains would look fresh
+            and keep the loop — and its whole-block density/reverse passes
+            — running for up to 2^j discarded iterations); the caller
+            already gates every returned mask/stat with `active &`."""
             n_leaves = jnp.asarray(1, jnp.int32) << depth_j  # scalar
             eps_dir = L.bexp(direction * eps)
 
@@ -165,7 +173,7 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10, transposed: bool = Fa
                 jnp.zeros_like(q),  # prop_grad
                 jnp.full((C,), -jnp.inf, dtype),  # log_w
                 jnp.zeros((C,), bool),  # turning
-                jnp.zeros((C,), bool),  # diverging
+                ~outer_active,  # diverging (outer-dead chains born inert)
                 jnp.zeros((C,), dtype),  # sum_accept
                 jnp.zeros((C,), jnp.int32),  # per-chain steps taken
                 ck_q,
@@ -262,7 +270,7 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10, transposed: bool = Fa
             direction = jnp.where(go_right, 1.0, -1.0).astype(dtype)
             (sub_right, s_prop_q, s_prop_logp, s_prop_grad, s_log_w,
              s_turning, s_diverging, s_sum_acc, s_n_steps) = build_subtree(
-                edge[0], edge[1], edge[2], edge[3], direction, j, k_sub
+                edge[0], edge[1], edge[2], edge[3], direction, j, k_sub, active
             )
             # new outer edges: the subtree's outermost state extends the tree
             new_left = tuple(

@@ -95,17 +95,28 @@ class _Entry:
 # using softplus(x) = max(x, 0) + softplus(-|x|) to fold signed softplus
 # args into the U form (so sa <= 0 always: the softplus never overflows),
 # and logcosh(y) = |y| + softplus(-2|y|) - log 2. Rows not owned by a slab
-# entry carry all-zero coefficients: every term is then exactly 0 with no
-# inf*0 hazard (exp(0)=1, softplus(0)=log2, both weighted by 0).
+# entry carry all-zero coefficients AND a 0 in the trailing OWNERSHIP
+# column: their V is where-masked to 0 before any term is formed, so every
+# term is exactly 0 even when the raw state value is +/-inf (a bare
+# zero-coefficient weighting would give 0*inf = NaN there and break the
+# kernel==composed contract for loop-entry rows at infinite states).
 _COEF_KEYS = (
     "m", "c0", "c1", "cq", "c3p", "c3n", "c4", "sa", "sb", "c5", "ea", "eb",
     "c6", "la",
 )
 _CI = {k: i for i, k in enumerate(_COEF_KEYS)}
 NK = len(_COEF_KEYS)
+_MASK_COL = NK  # trailing slab-ownership column of the (dim, NK+1) cf block
+NCF = NK + 1
 
 
 _ALL_KEYS = frozenset(_COEF_KEYS)
+
+
+def _slab_mask_v(V, cf):
+    """Zero the loop-entry rows of V (ownership column 0) so slab terms on
+    those rows are exact 0 regardless of the state value."""
+    return jnp.where(cf[:, _MASK_COL][:, None] > 0, V, 0.0)
 
 
 def _slab_value(V, cf, used=_ALL_KEYS):
@@ -116,6 +127,7 @@ def _slab_value(V, cf, used=_ALL_KEYS):
     emitted at all, so e.g. a Normal/LKJ-only model skips the exp and log1p
     passes entirely — the transcendentals are the kernel's bound, not HBM."""
     col = lambda k: cf[:, _CI[k]][:, None]
+    V = _slab_mask_v(V, cf)
     D = (V - col("m")) if "m" in used else V
     U = jnp.abs(D)
     acc = col("c0")
@@ -152,6 +164,7 @@ def _slab_partial(V, cf, used=_ALL_KEYS):
     Honors the same statically-used key set as _slab_value: unused
     sigmoid/exp passes are never emitted."""
     col = lambda k: cf[:, _CI[k]][:, None]
+    V = _slab_mask_v(V, cf)
     D = (V - col("m")) if "m" in used else V
     U = jnp.abs(D)
     sgn = jnp.sign(D)
@@ -1384,11 +1397,12 @@ def _prep(u, vT):
     # slab terms evaluate to exactly 0 — see _COEF_KEYS). `used` is the
     # trace-time union of assigned keys: _slab_value/_slab_partial skip
     # whole transcendental passes whose weight column is statically zero.
-    cf = jnp.zeros((dim, NK), dtype)
+    cf = jnp.zeros((dim, NCF), dtype)
     used = set()
     for e in plan:
         if e.slab is None:
             continue
+        cf = cf.at[e.row0 : e.row0 + e.rows, _MASK_COL].set(1.0)
         for k, v in e.slab(dtype).items():
             used.add(k)
             cf = cf.at[e.row0 : e.row0 + e.rows, _CI[k]].set(v)
@@ -1441,7 +1455,7 @@ def mega_logdensity_t(u, vT, *, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((dim, W), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((Pn, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dim, NK), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, NCF), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
@@ -1477,7 +1491,7 @@ def mega_jvp_t(u, vT, dvT, *, interpret: bool = False):
             pl.BlockSpec((dim, W), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((dim, W), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((Pn, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dim, NK), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, NCF), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
@@ -1514,7 +1528,7 @@ def mega_vjp_t(u, vT, gbar, *, interpret: bool = False):
             pl.BlockSpec((dim, W), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((Pn, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dim, NK), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, NCF), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((dim, W), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
