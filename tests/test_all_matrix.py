@@ -184,6 +184,8 @@ def _wrapped():
         tb.transformed(dists.LogNormal()),
         tb.transformed(dists.Beta(2.0, 2.0)),
         tb.transformed(dists.Normal(), tb.Exp()),
+        tb.ordered(dists.IIDProduct(dists.Normal(0.0, 1.0), 4)),
+        dists.IIDProduct(dists.IIDProduct(dists.LogNormal(), 3), 2),
     ]
 
 

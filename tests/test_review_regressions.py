@@ -166,3 +166,62 @@ def test_batched_logpdf_with_unbatched_factors():
     np.testing.assert_allclose(
         np.asarray(b.forward(b.inverse(ys))), np.asarray(ys), rtol=1e-10
     )
+
+
+def test_nested_iid_product_unconstrain(key, rng):
+    """IIDProduct stacks the iid axis INTO leaf arrays: a nested pure-IID
+    chain is one leaf with a bigger event (round trips at the right
+    length); a tuple-structured base errors loudly instead of silently
+    truncating."""
+    import pytest
+
+    from tpu_bijectors.vectorize import unconstrain
+
+    d = dists.IIDProduct(dists.IIDProduct(dists.LogNormal(), 3), 2)
+    u = unconstrain(d)
+    assert u.vec_length == 6 and u.linked_vec_length == 6
+    x = d.sample(key)
+    assert x.shape == (2, 3)
+    assert u.to_vec(x).shape == (6,)
+    # batched round trip keeps the batch axis where it belongs
+    xb = d.sample(jax.random.PRNGKey(5), (7,))
+    vb = u.to_vec(xb)
+    assert vb.shape == (7, 6)
+    x2 = u.from_vec(vb)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(xb), rtol=1e-12)
+    assert np.all(np.isfinite(np.asarray(d.logpdf(x2))))
+    # linked round trip through the log link
+    w, ld = u.to_linked_vec(x)
+    x3, ld_i = u.from_linked_vec(w)
+    np.testing.assert_allclose(np.asarray(x3), np.asarray(x), rtol=1e-12)
+    np.testing.assert_allclose(float(ld + ld_i), 0.0, atol=1e-12)
+
+    with pytest.raises(NotImplementedError, match="tuple/named-structured"):
+        unconstrain(
+            dists.IIDProduct(
+                dists.Product((dists.Normal(0.0, 1.0), dists.Exponential(1.0))), 2
+            )
+        )
+
+
+def test_ordered_linked_optics_entangled(key):
+    """ordered(d)'s link is bidiagonal (slot k = log(x_k - x_{k-1})): the
+    linked optics must be None (entangled), not per-element claims."""
+    from tpu_bijectors.vectorize import unconstrain
+
+    od = tb.ordered(dists.IIDProduct(dists.Normal(0.0, 1.0), 3))
+    u = unconstrain(od)
+    assert all(o is None for o in u.linked_optic_vec())
+
+
+def test_transformed_unconstrainer_linked_logdensity_telescopes(key, rng):
+    """The batch-major linked_logdensity of a TransformedUnconstrainer
+    telescopes to the base density (same value, no transform eval)."""
+    from tpu_bijectors.vectorize import unconstrain
+
+    td = tb.transformed(dists.Dirichlet(jnp.ones(4) * 2.0), tb.Exp())
+    u = unconstrain(td)
+    v = jnp.asarray(0.5 * rng.standard_normal((9, u.linked_vec_length)))
+    lp = u.linked_logdensity(v)
+    ref = u.from_linked_vec_with_logpdf(v)[1]
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(ref), rtol=1e-12)

@@ -30,7 +30,7 @@ from .bijectors.corr import VecCholeskyBijector, VecCorrBijector
 from .bijectors.pd import PDVecBijector
 from .bijectors.scalar import Truncated
 from .bijectors.simplex import SimplexBijector
-from .dists.base import Distribution, Support
+from .dists.base import Distribution
 from .utils import _eps
 
 _REGISTRY: dict[type, callable] = {}
@@ -63,7 +63,9 @@ def bijector(d: Distribution) -> Bijector:
     if s.kind == "corr":
         return VecCorrBijector()
     if s.kind == "chol_corr":
-        return VecCholeskyBijector(getattr(d, "mode", "U"))
+        # default "L" agrees with LKJCholesky's own default and with the
+        # vectorize layer's triangle packing/optics fallback (core.py)
+        return VecCholeskyBijector(getattr(d, "mode", "L"))
     if s.kind in ("interval",):
         if not s.lower_finite and not s.upper_finite:
             return elementwise(Identity(), n)
@@ -87,7 +89,6 @@ def bijector(d: Distribution) -> Bijector:
         # JointOrderWrap (src/vector/order/order.jl:14-76): elementwise link,
         # sign-flip sandwich for decreasing links, then unordered via the
         # ordered bijector's inverse.
-        from .bijectors.base import Block
         from .bijectors.ordered import OrderedBijector
         from .bijectors.scalar import SignFlip
 
@@ -96,6 +97,15 @@ def bijector(d: Distribution) -> Bijector:
         flip = Block(SignFlip(), 1)
         if b_scalar.monotonically_decreasing:
             return Chain((flip, inverse(OrderedBijector()), flip, eb))
+        if not b_scalar.monotonically_increasing:
+            # a non-monotone (or unflagged) link does not preserve order:
+            # the ordered inverse would take logs of negative differences
+            # and return NaNs silently (same guard as transformed.ordered)
+            raise ValueError(
+                "joint order statistics need a monotone scalar link; "
+                f"bijector({type(d.base).__name__}) declares neither "
+                "monotonically_increasing nor monotonically_decreasing"
+            )
         return Chain((inverse(OrderedBijector()), eb))
     if s.kind == "product":
         # dict/tuple sample -> flat unconstrained vector (the reference's

@@ -18,9 +18,8 @@ from .bijectors.base import Bijector, Block, Chain, inverse
 from .bijectors.ordered import OrderedBijector
 from .bijectors.scalar import SignFlip
 from .dists.base import Distribution, Support
-from .registry import bijector, register_bijector
+from .registry import _logpdf_eps_safe, bijector, register_bijector
 from .tree import pytree_dataclass
-from .utils import _eps
 
 
 @pytree_dataclass
@@ -82,14 +81,6 @@ def _event_ndims_out(b: Bijector, base_ndims: int) -> int:
     n_out = int(b.event_ndims_out)
     # scalar bijector on a vector base keeps the base's event rank
     return base_ndims - n_in + n_out if n_in <= base_ndims else n_out
-
-
-def _logpdf_eps_safe(d: Distribution, x):
-    """Dirichlet eps-nudge (src/transformed_distribution.jl:171-177)."""
-    if d.support.kind == "simplex":
-        eps = _eps(jnp.result_type(x, float))
-        return d.logpdf(x + eps)
-    return d.logpdf(x)
 
 
 def transformed(d: Distribution, b: Bijector | None = None) -> TransformedDistribution:

@@ -28,13 +28,11 @@ inverse(td.transform) then the base link, reference src/vector/transformed.jl).
 from __future__ import annotations
 
 import dataclasses as _dataclasses
-import math
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..bijectors.base import Bijector, inverse as _inverse
+from ..bijectors.base import Bijector
 from ..dists.base import Distribution
 from ..dists.product import ElementwiseProduct, IIDProduct, NamedProduct, Product
 from ..registry import bijector
@@ -246,11 +244,7 @@ class LeafUnconstrainer(Unconstrainer):
         ):
             y = _unravel_event(v, self.linked_shape)
             x, ld, factor = b.inverse_and_log_det_with_factor(y)
-            try:
-                lp = d.logpdf_from_factor(factor, x)
-            except TypeError:
-                # older single-argument protocol implementors
-                lp = d.logpdf_from_factor(factor)
+            lp = _call_logpdf_from_factor(d, factor, x)
             extra = len(self.event_shape) - int(b.event_ndims_in)
             if extra > 0:
                 ld = jnp.sum(ld, axis=tuple(range(-extra, 0)))
@@ -274,11 +268,7 @@ class LeafUnconstrainer(Unconstrainer):
             extra = len(self.event_shape) - int(b.event_ndims_in)
             if extra > 0:
                 ld = jnp.sum(ld, axis=tuple(range(-extra, 0)))
-            try:
-                lp = d.logpdf_from_factor(factor, None)
-            except TypeError:
-                lp = d.logpdf_from_factor(factor)
-            return lp + ld
+            return _call_logpdf_from_factor(d, factor, None) + ld
         return self.from_linked_vec_with_logpdf(v)[1]
 
     def linked_logdensity_t(self, vT):
@@ -293,17 +283,32 @@ class LeafUnconstrainer(Unconstrainer):
                 d, "logpdf_from_factor"
             ):
                 ld, factor = b.inverse_log_det_and_factor_only_t(vT)
-                try:
-                    lp = d.logpdf_from_factor(factor, None)
-                except TypeError:
-                    lp = d.logpdf_from_factor(factor)
-                return lp + ld
+                return _call_logpdf_from_factor(d, factor, None) + ld
         if self.linked_shape == () and self.event_shape == ():
             # scalar leaf: the link and density are elementwise, so the
             # (1, B) row works in place (through the normal leaf path, so
             # telescoped scalar hooks like LogNormal's still fire)
             return self.linked_logdensity(vT[0][..., None])
         return self.linked_logdensity(jnp.swapaxes(vT, 0, 1))
+
+
+def _call_logpdf_from_factor(d, factor, x):
+    """Dispatch the factor-density protocol by STATIC arity (two-argument
+    `logpdf_from_factor(factor, x)` vs the older single-argument form) —
+    a runtime `except TypeError` retry would swallow genuine TypeErrors
+    raised INSIDE a two-argument implementation and mask the traceback."""
+    import inspect
+
+    fn = d.logpdf_from_factor
+    try:
+        n_pos = sum(
+            p.kind
+            in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            for p in inspect.signature(fn).parameters.values()
+        )
+    except (TypeError, ValueError):  # builtins/partials without signatures
+        n_pos = 2
+    return fn(factor, x) if n_pos >= 2 else fn(factor)
 
 
 def _to_lower(x, dist):
@@ -550,6 +555,11 @@ class TransformedUnconstrainer(Unconstrainer):
         y = self.transform.forward(x)
         return y, lpld
 
+    def linked_logdensity(self, v):
+        # telescopes to the base density: no sample materialization, no
+        # transform eval (the batch-major analogue of linked_logdensity_t)
+        return self.base.linked_logdensity(v)
+
     def linked_logdensity_t(self, vT):
         # same telescoping: the density equals the base's, no transform eval
         return self.base.linked_logdensity_t(vT)
@@ -596,7 +606,11 @@ class UnconstrainerBijector(Bijector):
         return (self.u.linked_vec_length,)
 
 
-_ENTANGLED_KINDS = {"simplex", "pd", "corr", "chol_corr", "joint_order"}
+# kinds whose link couples elements (linked slot k depends on more than
+# x[k]) — their per-element linked optics must be None. "ordered" belongs
+# here: slot k of the ordered link is log(x_k - x_{k-1}), a BIdiagonal
+# Jacobian, not elementwise.
+_ENTANGLED_KINDS = {"simplex", "pd", "corr", "chol_corr", "joint_order", "ordered"}
 
 
 def unconstrain(d: Distribution) -> Unconstrainer:
@@ -606,10 +620,25 @@ def unconstrain(d: Distribution) -> Unconstrainer:
         return TransformedUnconstrainer(unconstrain(d.base), d.transform, d)
     if isinstance(d, IIDProduct):
         inner = unconstrain(d.base)
-        if not isinstance(inner, LeafUnconstrainer):
-            # nested products: treat as tuple of n children (rare, still static)
-            return TreeUnconstrainer.build(tuple(inner for _ in range(d.n)))
-        return IIDUnconstrainer(inner, d.n)
+        if isinstance(inner, LeafUnconstrainer):
+            return IIDUnconstrainer(inner, d.n)
+        # IIDProduct stacks the iid axis INTO the leaf arrays (sample =
+        # base.sample with an extra (n,) axis), so an n-children
+        # TreeUnconstrainer would iterate the wrong structure entirely.
+        # A pure nested-IID chain (iid matrix/tensor of one family) IS a
+        # single leaf with a bigger event — the generic leaf path below is
+        # exact for it. Anything tuple/named-structured has no flat-array
+        # sample and is rejected loudly (use Product of explicit copies).
+        base = d.base
+        while isinstance(base, IIDProduct):
+            base = base.base
+        if isinstance(unconstrain(base), LeafUnconstrainer):
+            return _leaf_unconstrain(d)
+        raise NotImplementedError(
+            "IIDProduct of a tuple/named-structured base has a stacked-"
+            "array sample per component, not n separate samples; build a "
+            "Product of explicit copies instead"
+        )
     if isinstance(d, ElementwiseProduct):
         # arraydist: per-element parameters broadcast along the block axis —
         # the inner leaf's dist/link carry (n,)-batched params that align
@@ -632,6 +661,11 @@ def unconstrain(d: Distribution) -> Unconstrainer:
         return TreeUnconstrainer.build(
             tuple(unconstrain(c) for c in d.components), names=d.names
         )
+    return _leaf_unconstrain(d)
+
+
+def _leaf_unconstrain(d: Distribution) -> "LeafUnconstrainer":
+    """The generic leaf construction (registry bijector + shape algebra)."""
     b = bijector(d)
     ev = tuple(int(s) for s in d.event_shape)
     ne_in = int(b.event_ndims_in)
