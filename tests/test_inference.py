@@ -555,3 +555,61 @@ def test_inv_mass0_seeding_and_validation(key):
         init_sampler(logp, key, q0, inv_mass0=jnp.ones(5))
     with _pytest.raises(ValueError, match="inv_mass0"):
         init_sampler(logp, key, q0, metric="dense", inv_mass0=jnp.ones(3))
+
+
+def test_smc_zero_likelihood_region_progresses(key):
+    """More than half the prior mass has log_lik = -inf: the ESS target is
+    unreachable at stage 1, which used to stall the loop with 0*(-inf) =
+    NaN weights. The strict-progress guard tempers through; evidence ==
+    log P(v > 0) = log 0.5 and every surviving particle is feasible."""
+    logp = lambda v: -0.5 * jnp.sum(v * v, -1)
+    loglik = lambda v: jnp.where(v[..., 0] > 0, 0.0, -jnp.inf)
+    logp.batch_capable = loglik.batch_capable = True
+    p0 = jax.random.normal(key, (2048, 1), jnp.float64)
+    res = jax.jit(
+        lambda k, p: run_smc(logp, loglik, k, p, n_mutations=5, rw_scale=0.5)
+    )(jax.random.PRNGKey(1), p0)
+    assert np.isfinite(float(res.log_evidence))
+    np.testing.assert_allclose(float(res.log_evidence), np.log(0.5), atol=0.1)
+    assert float(res.final_beta) == 1.0
+    parts = np.asarray(res.particles)
+    assert np.all(parts > 0)
+    # truncated-normal moments: mean = sqrt(2/pi), sd = sqrt(1 - 2/pi)
+    np.testing.assert_allclose(parts.mean(), np.sqrt(2 / np.pi), atol=0.08)
+
+
+def test_systematic_resample_skips_zero_weight_prefix(key):
+    lw = jnp.asarray([-jnp.inf, 0.0, 0.0, 0.0], jnp.float64)
+    for i in range(50):
+        idx = np.asarray(systematic_resample(jax.random.PRNGKey(i), lw))
+        assert np.all(idx >= 1), idx
+
+
+def test_thinned_stats_aggregate_not_subsample(key):
+    """thin=4: per-block stats must aggregate all 4 transitions (n_steps
+    sums, diverging ORs) instead of keeping only the last one."""
+    logp = lambda v: -0.5 * jnp.sum(v * v)
+    q0 = jax.random.normal(jax.random.PRNGKey(2), (4, 3), jnp.float64)
+    samples, state, stats = jax.jit(
+        lambda k, q: warmup_and_sample(
+            logp, k, q, n_warmup=200, n_samples=200, thin=4
+        )
+    )(key, q0)
+    assert samples.shape == (50, 4, 3)
+    assert stats.n_steps.shape[0] == 50
+    assert int(np.asarray(stats.n_steps).min()) >= 4  # summed over the block
+    assert stats.diverging.dtype == bool
+
+
+def test_zero_warmup_runs(key):
+    """n_warmup=0 (fully warm-started run) must not crash the schedule."""
+    logp = lambda v: -0.5 * jnp.sum(v * v)
+    q0 = jax.random.normal(jax.random.PRNGKey(3), (4, 2), jnp.float64)
+    samples, state, stats = jax.jit(
+        lambda k, q: warmup_and_sample(
+            logp, k, q, n_warmup=0, n_samples=100,
+            inv_mass0=jnp.ones(2, jnp.float64), eps0=0.5,
+        )
+    )(key, q0)
+    assert samples.shape == (100, 4, 2)
+    assert np.all(np.isfinite(np.asarray(samples)))

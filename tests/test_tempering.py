@@ -107,3 +107,38 @@ def test_pt_on_model_linked_densities(key):
     a_post, b_post = a + heads, b + n_trials - heads
     exact_mean = a_post / (a_post + b_post)
     np.testing.assert_allclose(p.mean(), exact_mean, atol=0.03)
+
+
+def test_pt_zero_likelihood_region_beta0_stays_alive(key):
+    """The β=0 (prior) rung wanders into log_lik = -inf territory by
+    design; 0 * (-inf) used to freeze it with NaN. Guarded: the rung keeps
+    moving, TI evidence is finite and matches log P(v > 0) = log 0.5."""
+    import jax.numpy as jnp
+
+    from tpu_bijectors.infer import run_parallel_tempering
+
+    logp = lambda v: -0.5 * jnp.sum(v * v, -1)
+    loglik = lambda v: jnp.where(v[..., 0] > 0, 0.0, -jnp.inf)
+    logp.batch_capable = loglik.batch_capable = True
+    q0 = jnp.abs(jax.random.normal(key, (16, 1), jnp.float64))  # feasible start
+    res = run_parallel_tempering(
+        logp, loglik, jax.random.PRNGKey(1), q0, n_temps=8,
+        n_warmup=300, n_samples=500, n_leapfrog=8,
+    )
+    x = np.asarray(res.samples).ravel()
+    assert np.all(np.isfinite(x))
+    assert np.all(x > 0)  # cold chain respects the constraint
+    # TI evidence is legitimately -inf here (E_prior[log lik] diverges for
+    # hard constraints) — the guarded code must give -inf, NEVER NaN
+    assert not np.isnan(float(res.log_evidence))
+    assert np.all(np.isfinite(np.asarray(res.eps)))
+    # the beta=0 rung stays ALIVE (0 * -inf used to freeze it with NaN)
+    assert float(np.asarray(res.accept)[0]) > 0.2
+    # cold-chain half-normal moments confirm real mixing
+    np.testing.assert_allclose(x.mean(), np.sqrt(2 / np.pi), atol=0.1)
+
+
+def test_default_ladder_single_rung():
+    from tpu_bijectors.infer import default_ladder
+
+    np.testing.assert_array_equal(np.asarray(default_ladder(1)), [1.0])

@@ -172,6 +172,9 @@ def build_schedule(n_warmup: int, init_buffer: int = 75, term_buffer: int = 50,
 
     window_id = np.full(n_warmup, -1, np.int32)
     window_end = np.zeros(n_warmup, bool)
+    if n_warmup <= 0:
+        # zero-length warmup (fully warm-started runs): empty schedule
+        return jnp.asarray(window_id), jnp.asarray(window_end)
     if n_warmup < init_buffer + term_buffer + base_window:
         # too short: single window covering the middle
         lo = min(init_buffer, n_warmup // 3)

@@ -165,13 +165,9 @@ class LaplaceApprox:
         return inv_l.T @ inv_l
 
     def marginal_sd(self) -> jax.Array:
-        """Per-coordinate posterior sd: sqrt(diag(H^{-1})) via one
-        triangular solve against I (dim×dim — fine at typical model dims)."""
-        inv_l = solve_triangular(
-            self.chol_precision, jnp.eye(self.dim, dtype=self.mean.dtype),
-            lower=True,
-        )
-        return jnp.sqrt(jnp.sum(inv_l * inv_l, 0))  # diag(L^{-T} L^{-1})
+        """Per-coordinate posterior sd: sqrt(diag(Σ)) from the same solve
+        covariance() does (shared code path — the two cannot diverge)."""
+        return jnp.sqrt(jnp.diagonal(self.covariance()))
 
 
 def laplace_approximation(

@@ -213,7 +213,7 @@ def fit_pathfinder(
         hist_step, init, (s_seq, z_seq)
     )  # each (L, ...) — snapshot AFTER absorbing pair k ⇒ state at iterate k+1
 
-    kq, ke, kd = jax.random.split(key, 3)
+    ke, kd = jax.random.split(key)
 
     def candidate(theta, grad, S, Z, mask, alpha, ck):
         beta, gamma = _factors(S, Z, mask, alpha)

@@ -246,7 +246,15 @@ def warmup_and_sample(
                 s, out = sample_step(s, None)
                 return s, out[1]
             state, st = jax.lax.scan(inner, state, None, length=thin)
-            return state, (state.q, jax.tree_util.tree_map(lambda a: a[-1], st))
+            # aggregate stats over the thin block — subsampling would
+            # silently discard divergences from the skipped transitions
+            block = RunStats(
+                accept_prob=jnp.mean(st.accept_prob, axis=0),
+                diverging=jnp.any(st.diverging, axis=0),
+                n_steps=jnp.sum(st.n_steps, axis=0),
+                tree_depth=jnp.max(st.tree_depth, axis=0),
+            )
+            return state, (state.q, block)
 
         state, (samples, stats) = jax.lax.scan(
             thinned, state, None, length=n_samples // thin

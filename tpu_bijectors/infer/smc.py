@@ -29,7 +29,9 @@ def systematic_resample(key, log_weights):
     cum = jnp.cumsum(w)
     u0 = jax.random.uniform(key, (), w.dtype)
     pts = (u0 + jnp.arange(n, dtype=w.dtype)) / n
-    idx = jnp.searchsorted(cum, pts, side="left")
+    # side="right": first index with cum > pt — u0 == 0.0 (uniform's range
+    # includes it) must not resurrect a zero-weight prefix particle
+    idx = jnp.searchsorted(cum, pts, side="right")
     return jnp.clip(idx, 0, n - 1)
 
 
@@ -73,7 +75,15 @@ def _find_next_beta(log_lik, beta, target_ess_frac, n_bisect: int = 30):
     lo, hi = jax.lax.fori_loop(
         0, n_bisect, body, (beta, jnp.ones_like(beta))
     )
-    return jnp.where(full >= target, jnp.ones_like(beta), lo)
+    nb = jnp.where(full >= target, jnp.ones_like(beta), lo)
+    # strict-progress guard: if NO beta' reaches the target (e.g. most
+    # particles have log_lik = -inf), lo stays exactly at beta and the
+    # incremental weights would be 0 * (-inf) = NaN while the stage loop
+    # stalls forever. Force a minimal step (low ESS for one stage is fine
+    # — resampling handles it); at beta ~ 1 the clamp lands on 1 and ends
+    # the loop.
+    min_step = jnp.asarray(1e-6, log_lik.dtype)
+    return jnp.minimum(jnp.maximum(nb, beta + min_step), 1.0)
 
 
 def run_smc(

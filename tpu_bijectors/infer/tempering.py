@@ -54,7 +54,10 @@ class PTResult(NamedTuple):
 
 def default_ladder(n_temps: int, power: float = 3.0, dtype=jnp.float64):
     """β_k = (k/(K-1))^power — dense near β=1 where tempered targets change
-    fastest; β_0 = 0 samples the prior exactly (proper by construction)."""
+    fastest; β_0 = 0 samples the prior exactly (proper by construction).
+    n_temps=1 degenerates to plain HMC on the posterior (β = 1, not 0/0)."""
+    if n_temps == 1:
+        return jnp.ones(1, jnp.result_type(dtype, float))
     k = jnp.arange(n_temps, dtype=jnp.result_type(dtype, float))
     return (k / (n_temps - 1)) ** power
 
@@ -112,18 +115,33 @@ def run_parallel_tempering(
         ll = blik(flat).reshape(k_temps, n_chains)
         return lp, jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
 
+    def _blik_term(b, ll):
+        # β·L with the β=0 convention made explicit: the prior-only rung
+        # must stay finite even where L = -inf (0 * -inf would be NaN and
+        # permanently freeze that rung + poison the TI integrand)
+        return jnp.where(b > 0, b * ll, jnp.zeros_like(ll))
+
     def tempered(lp, ll):
-        return lp + betas[:, None] * ll
+        return lp + _blik_term(betas[:, None], ll)
 
-    def lpg_one(v, beta):
-        def f(v):
-            return log_prior_fn(v) + beta * log_lik_fn(v)
-
-        return jax.value_and_grad(f)(v)
-
-    lpg = jax.vmap(
-        jax.vmap(lpg_one, in_axes=(0, None)), in_axes=(0, 0)
-    )  # (K, N, dim), (K,) -> values (K, N), grads (K, N, dim)
+    def lpg(q, betas_):
+        """Values + gradients for the whole (K, N) lattice as ONE batched
+        value/vjp pair per density (the fused whole-model kernels dispatch
+        on the real (K*N, dim) batch; a per-example vmap would never
+        engage them). Per-rung β enters as the vjp cotangent on the
+        likelihood term."""
+        flat = q.reshape(k_temps * n_chains, dim)
+        bcol = jnp.repeat(betas_, n_chains)
+        lp, vjp_p = jax.vjp(bprior, flat)
+        ll, vjp_l = jax.vjp(blik, flat)
+        ll = jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
+        (gp,) = vjp_p(jnp.ones_like(lp))
+        (gl,) = vjp_l(bcol.astype(lp.dtype))
+        vals = (lp + _blik_term(bcol, ll)).reshape(k_temps, n_chains)
+        grads = (gp + jnp.where(bcol[:, None] > 0, gl, 0.0)).reshape(
+            k_temps, n_chains, dim
+        )
+        return vals, grads
 
     def hmc_update(key, q, logp, eps, inv_mass):
         """One fixed-trajectory HMC transition of the whole lattice; eps

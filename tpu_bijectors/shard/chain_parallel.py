@@ -254,7 +254,10 @@ def chain_parallel_smc(
 
             full_ok = ess_global((1.0 - beta) * ll_local) >= target
             lo, hi = jax.lax.fori_loop(0, 30, body, (beta, jnp.ones_like(beta)))
-            return jnp.where(full_ok, jnp.ones_like(beta), lo)
+            nb = jnp.where(full_ok, jnp.ones_like(beta), lo)
+            # strict-progress guard (see infer/smc.py::_find_next_beta):
+            # nb == beta would make inc = 0 * (-inf) = NaN and stall
+            return jnp.minimum(jnp.maximum(nb, beta + 1e-6), 1.0)
 
         def mutate(key, parts, beta):
             f = tempered(beta)
