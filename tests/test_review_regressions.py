@@ -225,3 +225,67 @@ def test_transformed_unconstrainer_linked_logdensity_telescopes(key, rng):
     lp = u.linked_logdensity(v)
     ref = u.from_linked_vec_with_logpdf(v)[1]
     np.testing.assert_allclose(np.asarray(lp), np.asarray(ref), rtol=1e-12)
+
+
+def test_plan_cache_identity_semantics():
+    """_plan is memoized per LIVE unconstrainer object (compile-time win:
+    ~5 plan walks per transposed-NUTS compile). Same object -> same plan
+    object; a fresh unconstrainer (possibly holding different traced
+    params) must re-plan; traced-param jits stay correct across traces."""
+    from tpu_bijectors.vectorize import unconstrain
+    from tpu_bijectors.vectorize.fused_kernel import _plan, mega_logdensity_t
+
+    d = dists.NamedProduct.of(
+        mu=dists.IIDProduct(dists.Normal(0.5, 2.0), 4),
+        w=dists.Dirichlet(jnp.ones(5)),
+    )
+    u = unconstrain(d)
+    assert _plan(u, 1e-6) is _plan(u, 1e-6)
+    assert _plan(unconstrain(d), 1e-6) is not _plan(u, 1e-6)
+
+    def f(alpha):
+        uu = unconstrain(dists.NamedProduct.of(w=dists.Dirichlet(alpha)))
+        vT = jnp.zeros((uu.linked_vec_length, 8))
+        # two mega calls in ONE trace hit the cache with the SAME tracers
+        return mega_logdensity_t(uu, vT, interpret=True) + mega_logdensity_t(
+            uu, vT, interpret=True
+        )
+
+    r1 = np.asarray(jax.jit(f)(jnp.ones(5)))
+    r2 = np.asarray(jax.jit(f)(jnp.ones(5) * 2.0))
+    uu = unconstrain(dists.NamedProduct.of(w=dists.Dirichlet(jnp.ones(5))))
+    ref1 = 2.0 * np.asarray(
+        uu._linked_logdensity_t_children(jnp.zeros((uu.linked_vec_length, 8)))
+    )
+    np.testing.assert_allclose(r1, ref1, rtol=1e-5)
+    assert not np.allclose(r1, r2)  # second trace used the NEW alpha
+
+
+def test_nuts_dense_metric_velocity_checkpoints(key):
+    """Dense-metric batched NUTS (checkpoints store v = M^{-1}p, one matmul
+    per leapfrog) still recovers the moments of a correlated Gaussian."""
+    from tpu_bijectors.infer.hmc_batched import nuts_kernel_batched
+
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(4, 4))
+    cov = A @ A.T + 4.0 * np.eye(4)
+    P = jnp.asarray(np.linalg.inv(cov))
+    logp = lambda q: -0.5 * jnp.einsum("ci,ij,cj->c", q, P, q)
+    kern = nuts_kernel_batched(logp, max_depth=8)
+    C = 64
+    q = jnp.zeros((C, 4))
+    lp = logp(q)
+    g = jax.grad(lambda x: logp(x).sum())(q)
+    inv_mass = jnp.asarray(cov)  # ideal dense metric
+    step = jax.jit(lambda k, q, lp, g: kern(k, q, lp, g, 0.9, inv_mass))
+    draws = []
+    k = key
+    for i in range(200):
+        k, sub = jax.random.split(k)
+        q, lp, g, info = step(sub, q, lp, g)
+        if i >= 50:
+            draws.append(np.asarray(q))
+    X = np.concatenate(draws, axis=0)
+    emp = X.T @ X / X.shape[0]
+    assert int(np.asarray(info.diverging).sum()) == 0
+    np.testing.assert_allclose(emp, cov, rtol=0.35, atol=0.6)

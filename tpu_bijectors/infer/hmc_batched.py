@@ -141,10 +141,13 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10, transposed: bool = Fa
         p0 = L.momentum(k_mom, q, inv_mass)
         energy0 = -logp + _kin(p0, inv_mass)
 
-        def uturn_cp(dq, p_a, p_b):
-            # dq, p_*: checkpoint stacks (or broadcastable)
-            t1 = L.vdot(dq, L.aim(inv_mass, p_a)) < 0
-            t2 = L.vdot(dq, L.aim(inv_mass, p_b)) < 0
+        def uturn_cp(dq, v_a, v_b):
+            # dq, v_*: VELOCITY (M^{-1} p) checkpoint stacks (or
+            # broadcastable) — storing v instead of p means a dense metric
+            # costs ONE (dim,dim) matmul per leapfrog instead of S+1
+            # stack matmuls per U-turn check.
+            t1 = L.vdot(dq, v_a) < 0
+            t2 = L.vdot(dq, v_b) < 0
             return t1 | t2
 
         def build_subtree(edge_q, edge_p, edge_lp, edge_g, direction, depth_j,
@@ -162,7 +165,7 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10, transposed: bool = Fa
             eps_dir = L.bexp(direction * eps)
 
             ck_q = L.ck_zeros(C, dim, max_depth + 1, dtype)
-            ck_p = L.ck_zeros(C, dim, max_depth + 1, dtype)
+            ck_v = L.ck_zeros(C, dim, max_depth + 1, dtype)  # M^{-1} p slots
             slots = jnp.arange(max_depth + 1)
 
             init = (
@@ -177,7 +180,7 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10, transposed: bool = Fa
                 jnp.zeros((C,), dtype),  # sum_accept
                 jnp.zeros((C,), jnp.int32),  # per-chain steps taken
                 ck_q,
-                ck_p,
+                ck_v,
                 key,
             )
 
@@ -188,7 +191,7 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10, transposed: bool = Fa
 
             def body(carry):
                 (n, state, prop_q, prop_logp, prop_grad, log_w,
-                 turning, diverging, sum_acc, n_steps, ck_q, ck_p, k) = carry
+                 turning, diverging, sum_acc, n_steps, ck_q, ck_v, k) = carry
                 sq, sp, slp, sg = state
                 active = ~(turning | diverging)  # (C,)
                 am = L.bexp(active)
@@ -200,7 +203,8 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10, transposed: bool = Fa
                 nlp = jnp.where(active, nlp, slp)
                 ng = jnp.where(am, ng, sg)
 
-                energy = -nlp + _kin(np_, inv_mass)
+                nv = L.aim(inv_mass, np_)  # velocity, shared by kin + U-turn
+                energy = -nlp + 0.5 * L.vdot(np_, nv)
                 delta = energy - energy0
                 div = active & ((delta > MAX_ENERGY_DELTA) | ~jnp.isfinite(energy))
                 log_w_leaf = jnp.where(
@@ -223,12 +227,12 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10, transposed: bool = Fa
                 )
                 wmask = L.ck_write_mask(slots <= tz, active)
                 ck_q = jnp.where(wmask, L.ck_bcast(nq), ck_q)
-                ck_p = jnp.where(wmask, L.ck_bcast(np_), ck_p)
+                ck_v = jnp.where(wmask, L.ck_bcast(nv), ck_v)
 
                 tz1 = _trailing_zeros(n + 1)
                 kmask = (slots >= 1) & (slots <= tz1)  # (S,)
                 dq = L.ck_bcast(nq) - ck_q  # checkpoint stack
-                turn_lvls = uturn_cp(dq, ck_p, L.ck_bcast(np_))
+                turn_lvls = uturn_cp(dq, ck_v, L.ck_bcast(nv))
                 turning_now = active & L.slot_reduce_any(kmask, turn_lvls)
 
                 return (
@@ -238,7 +242,7 @@ def nuts_kernel_batched(logp_batched, max_depth: int = 10, transposed: bool = Fa
                     turning | turning_now, diverging | div,
                     sum_acc + acc,
                     n_steps + active.astype(jnp.int32),
-                    ck_q, ck_p, k,
+                    ck_q, ck_v, k,
                 )
 
             (n, state, prop_q, prop_logp, prop_grad, log_w,

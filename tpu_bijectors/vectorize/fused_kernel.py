@@ -1303,9 +1303,44 @@ def _leaf_entry(leaf, row0, prow0, eps):
     return _traced_vector_entry(leaf, row0, prow0)
 
 
+_PLAN_CACHE: dict = {}  # (id(u), eps) -> (weakref.ref(u), plan-or-None)
+_PLAN_CACHE_MAX = 64
+
+
 def _plan(u, eps):
     """List of _Entry covering every linked row, or None if any leaf is
-    unsupported. Static — depends only on tree structure and shapes."""
+    unsupported. Static — depends only on tree structure and shapes.
+
+    Memoized per LIVE unconstrainer object: plan entries close over the
+    leaf dist params (which may be tracers when model params ride as jit
+    args), so the only staleness-safe key is object identity guarded by a
+    weakref — the same live `u` always holds the same params, and a dead
+    `u` can never be aliased by a recycled id because the weakref check
+    fails. This removes the ~5x plan recomputation per transposed-NUTS
+    compile (_prep for value/jvp/vjp kernels + the model-level gate)."""
+    import weakref
+
+    key = (id(u), float(eps))
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None and hit[0]() is u:
+        return hit[1]
+    plan = _plan_uncached(u, eps)
+    if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+        # drop dead entries first; if none are dead, drop everything (the
+        # cache is a compile-time convenience, never load-bearing)
+        dead = [k for k, v in _PLAN_CACHE.items() if v[0]() is None]
+        for k in dead:
+            del _PLAN_CACHE[k]
+        if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _PLAN_CACHE.clear()
+    try:
+        _PLAN_CACHE[key] = (weakref.ref(u), plan)
+    except TypeError:
+        pass  # non-weakrefable unconstrainer: just skip memoization
+    return plan
+
+
+def _plan_uncached(u, eps):
     from .core import (
         IIDUnconstrainer,
         LeafUnconstrainer,
