@@ -153,7 +153,17 @@ class Distribution:
 
     def quantile(self, q):
         """Default quantile: bracket expansion + fixed bisection on `cdf`
-        (static trip counts; subclasses override when a closed form exists)."""
+        (static trip counts; subclasses override when a closed form exists).
+
+        Differentiable: routed through an implicit-function ``custom_jvp``
+        (``_generic_quantile``) — AD never sees the iteration, it sees
+        dx = (dq − ∂cdf/∂θ·dθ) / pdf(x). This mirrors the reference, whose
+        AD backends differentiate `quantile` through Distributions.jl's
+        rules (/root/reference/src/bijectors/cdf_quantile.jl:39-93)."""
+        return _generic_quantile(self, q)
+
+    def _quantile_bisect(self, q):
+        """The non-differentiable primal solver behind `quantile`."""
         import jax.numpy as jnp
         from jax import lax
 
@@ -189,7 +199,18 @@ class Distribution:
             return jnp.where(go_hi, mid, lo), jnp.where(go_hi, hi, mid)
 
         lo, hi = lax.fori_loop(0, 80, bisect, (lo, hi))
-        return 0.5 * (lo + hi)
+        x = 0.5 * (lo + hi)
+
+        # Newton polish (bracket-clipped): squeezes the last bits of accuracy
+        # out of the bisection estimate where pdf is well-behaved.
+        def newton(_, x):
+            pdf = jnp.exp(self.logpdf(x))
+            step = (self.cdf(x) - q) / jnp.maximum(pdf, jnp.finfo(dtype).tiny)
+            ok = jnp.isfinite(step) & (pdf > 0)
+            xn = jnp.clip(x - jnp.where(ok, step, 0.0), lo, hi)
+            return jnp.where(jnp.isfinite(xn), xn, x)
+
+        return lax.fori_loop(0, 3, newton, x)
 
     # -- affine algebra (`Logistic() + 2`, `Gamma(2,3) * -3`, ... — the
     # reference test matrix's AffineDistribution rows,
@@ -255,6 +276,81 @@ class Distribution:
             diag = jnp.diagonal(x, axis1=-2, axis2=-1)
             return jnp.all(diag > -atol, axis=-1)
         return jnp.ones(jnp.shape(x)[: jnp.ndim(x) - self.event_ndims], bool)
+
+
+@jax.custom_jvp
+def _generic_quantile(dist, q):
+    """Bracketed-bisection quantile with an implicit-function JVP.
+
+    The primal solves cdf(x; θ) = q by bracket expansion + bisection + Newton
+    polish (`Distribution._quantile_bisect`). The tangent comes from the
+    implicit function theorem — differentiate cdf(x(q, θ); θ) = q:
+
+        dx = (dq − ∂cdf/∂θ(x)·dθ) / pdf(x)
+
+    exactly the `find_alpha` treatment (flows/planar.py). Without this rule
+    AD only sees boolean `where` selections and returns identically-zero
+    gradients (reference behavior: Distributions.jl differentiates quantile;
+    /root/reference/src/bijectors/cdf_quantile.jl:39-93).
+    """
+    return dist._quantile_bisect(q)
+
+
+def _generic_quantile_jvp(primals, tangents):
+    dist, q = primals
+    ddist, dq = tangents
+    x = _generic_quantile(dist, q)
+    pdf = jnp.exp(dist.logpdf(x))
+
+    def _is_zero(t):
+        return isinstance(t, jax.custom_derivatives.SymbolicZero) or (
+            getattr(t, "dtype", None) == jax.dtypes.float0
+        )
+
+    leaves, treedef = jax.tree_util.tree_flatten(dist)
+    tan_leaves = jax.tree_util.tree_leaves(
+        ddist, is_leaf=lambda t: isinstance(t, jax.custom_derivatives.SymbolicZero)
+    )
+    live = [i for i, t in enumerate(tan_leaves) if not _is_zero(t)]
+    dcdf = jnp.zeros_like(x)
+    if live:
+        def cdf_at(vals):
+            ls = list(leaves)
+            for i, v in zip(live, vals):
+                ls[i] = v
+            return jax.tree_util.tree_unflatten(treedef, ls).cdf(x)
+
+        prim = tuple(leaves[i] for i in live)
+        tans = tuple(jnp.asarray(tan_leaves[i]) for i in live)
+        try:
+            _, dcdf = jax.jvp(cdf_at, (prim,), (tans,))
+        except (ValueError, NotImplementedError):
+            # Missing parameter JVP rule (e.g. lax.betainc has none for a/b).
+            # Per-leaf central-difference PARTIALS — primal-only quantities —
+            # contracted linearly against the tangents, so reverse-mode
+            # transposition still works (the tangent map stays linear).
+            h3 = float(jnp.finfo(x.dtype).eps) ** (1.0 / 3.0)
+            for i, t in zip(live, tans):
+                th = leaves[i]
+                hstep = h3 * (jnp.abs(th) + 1.0)
+                lp = list(leaves)
+                lm = list(leaves)
+                lp[i] = th + hstep
+                lm[i] = th - hstep
+                fp = jax.tree_util.tree_unflatten(treedef, lp).cdf(x)
+                fm = jax.tree_util.tree_unflatten(treedef, lm).cdf(x)
+                dcdf = dcdf + (fp - fm) / (2.0 * hstep) * t
+
+    if _is_zero(dq):
+        dq = jnp.zeros_like(x)
+    # The guard must be a PRIMAL-only predicate so the tangent stays linear
+    # in (dq, ddist) — reverse mode transposes this computation.
+    inv_pdf = jnp.where(pdf > 0, 1.0 / jnp.maximum(pdf, jnp.finfo(x.dtype).tiny), 0.0)
+    dx = (jnp.asarray(dq, x.dtype) - dcdf) * inv_pdf
+    return x, dx
+
+
+_generic_quantile.defjvp(_generic_quantile_jvp, symbolic_zeros=True)
 
 
 def _promote(*args):

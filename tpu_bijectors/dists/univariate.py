@@ -166,6 +166,13 @@ class Laplace(Distribution):
         z = (x - self.loc) / self.scale
         return jnp.where(z < 0, 0.5 * jnp.exp(z), 1.0 - 0.5 * jnp.exp(-z))
 
+    def quantile(self, q):
+        # branch via where (not sign/abs) so AD at q = 0.5 gets the correct
+        # one-sided derivative 2·scale instead of a kink-zero
+        lo = jnp.log(2.0 * q)
+        hi = -jnp.log(2.0 * (1.0 - q))
+        return self.loc + self.scale * jnp.where(q < 0.5, lo, hi)
+
 
 @pytree_dataclass
 class Logistic(Distribution):
@@ -556,6 +563,9 @@ class Rayleigh(Distribution):
         xc = jnp.maximum(x, 0.0)
         return -jnp.expm1(-0.5 * (xc / s) ** 2)
 
+    def quantile(self, q):
+        return self.scale * jnp.sqrt(-2.0 * jnp.log1p(-q))
+
     @property
     def support(self):
         return positive()
@@ -596,6 +606,9 @@ class Frechet(Distribution):
         xs = jnp.maximum(x, jnp.finfo(jnp.result_type(x, float)).tiny)
         return jnp.where(x > 0, jnp.exp(-((xs / s) ** -a)), 0.0)
 
+    def quantile(self, q):
+        return self.scale * (-jnp.log(q)) ** (-1.0 / self.shape_)
+
     @property
     def support(self):
         return positive()
@@ -628,6 +641,10 @@ class HalfNormal(Distribution):
         s = jnp.asarray(self.scale, jnp.result_type(x, float))
         return jax.scipy.special.erf(jnp.maximum(x, 0.0) / (s * jnp.sqrt(jnp.asarray(2.0, jnp.result_type(x, float)))))
 
+    def quantile(self, q):
+        dtype = jnp.result_type(q, float)
+        return self.scale * jnp.sqrt(jnp.asarray(2.0, dtype)) * jsp.erfinv(q)
+
     @property
     def support(self):
         return positive()
@@ -659,6 +676,9 @@ class HalfCauchy(Distribution):
     def cdf(self, x):
         s = jnp.asarray(self.scale, jnp.result_type(x, float))
         return (2.0 / jnp.pi) * jnp.arctan(jnp.maximum(x, 0.0) / s)
+
+    def quantile(self, q):
+        return self.scale * jnp.tan(0.5 * jnp.pi * q)
 
     @property
     def support(self):
@@ -847,6 +867,9 @@ class LogitNormal(Distribution):
         z = (jnp.log(xc) - jnp.log1p(-xc) - self.mu) / self.sigma
         return jax.scipy.special.ndtr(z)
 
+    def quantile(self, q):
+        return jax.nn.sigmoid(self.mu + self.sigma * jsp.ndtri(q))
+
     @property
     def support(self):
         return unit_interval()
@@ -874,6 +897,10 @@ class Arcsine(Distribution):
         b = jnp.asarray(self.b, jnp.result_type(x, float))
         z = jnp.clip((x - a) / (b - a), 0.0, 1.0)
         return (2.0 / jnp.pi) * jnp.arcsin(jnp.sqrt(z))
+
+    def quantile(self, q):
+        s = jnp.sin(0.5 * jnp.pi * q)
+        return self.a + (self.b - self.a) * s * s
 
     @property
     def support(self):
@@ -929,6 +956,9 @@ class Pareto(Distribution):
         xs = jnp.maximum(x, m)
         return -jnp.expm1(-a * jnp.log(xs / m))
 
+    def quantile(self, q):
+        return self.scale * jnp.exp(-jnp.log1p(-q) / self.alpha)
+
     @property
     def support(self):
         lo = self.min_static if self.min_static is not None else self.scale
@@ -977,6 +1007,11 @@ class Levy(Distribution):
         s = jnp.asarray(self.sigma, dtype)
         d = jnp.maximum(x - mu, jnp.finfo(dtype).tiny)
         return jnp.where(x > mu, jax.scipy.special.erfc(jnp.sqrt(0.5 * s / d)), 0.0)
+
+    def quantile(self, q):
+        # cdf = erfc(sqrt(s/(2d))) = q  ⇒  d = s / ndtri(q/2)²
+        z = jsp.ndtri(0.5 * q)
+        return self.mu + self.sigma / (z * z)
 
     @property
     def support(self):

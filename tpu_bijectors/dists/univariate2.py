@@ -226,6 +226,18 @@ class TriangularDist(Distribution):
         right = 1.0 - (b - xc) ** 2 / ((b - a) * (b - c))
         return jnp.where(xc <= c, left, right)
 
+    def quantile(self, q):
+        dtype = jnp.result_type(q, float)
+        a = jnp.asarray(self.a, dtype)
+        b = jnp.asarray(self.b, dtype)
+        c = jnp.asarray(self.c, dtype)
+        fc = (c - a) / (b - a)
+        return jnp.where(
+            q < fc,
+            a + jnp.sqrt(jnp.maximum(q, 0.0) * (b - a) * (c - a)),
+            b - jnp.sqrt(jnp.maximum(1.0 - q, 0.0) * (b - a) * (b - c)),
+        )
+
     @property
     def support(self):
         lo = self.a_static if self.a_static is not None else self.a
@@ -374,6 +386,15 @@ class GeneralizedPareto(Distribution):
         general = jnp.where(t > 0, general, 1.0)
         return jnp.where(small, -jnp.expm1(-z), general)
 
+    def quantile(self, q):
+        dtype = jnp.result_type(q, float)
+        xi = jnp.asarray(self.xi, dtype)
+        small = jnp.abs(xi) < 1e-6
+        xi_safe = jnp.where(small, 1.0, xi)
+        l1mq = jnp.log1p(-q)
+        z = jnp.where(small, -l1mq, jnp.expm1(-xi_safe * l1mq) / xi_safe)
+        return self.mu + self.sigma * z
+
     @property
     def support(self):
         return Support("interval", self.mu, math.inf, True, False)
@@ -416,6 +437,15 @@ class GeneralizedExtremeValue(Distribution):
         general = jnp.where(t > 0, general, jnp.where(xi > 0, 0.0, 1.0))
         return jnp.where(small, jnp.exp(-jnp.exp(-z)), general)
 
+    def quantile(self, q):
+        dtype = jnp.result_type(q, float)
+        xi = jnp.asarray(self.xi, dtype)
+        small = jnp.abs(xi) < 1e-6
+        xi_safe = jnp.where(small, 1.0, xi)
+        llq = jnp.log(-jnp.log(q))  # -log of the Gumbel variate
+        z = jnp.where(small, -llq, jnp.expm1(-xi_safe * llq) / xi_safe)
+        return self.mu + self.sigma * z
+
     @property
     def support(self):
         if all(isinstance(v, (int, float)) for v in (self.mu, self.sigma, self.xi)):
@@ -452,6 +482,9 @@ class Gompertz(Distribution):
         b = jnp.asarray(self.b, jnp.result_type(x, float))
         xc = jnp.maximum(x, 0.0)
         return -jnp.expm1(-eta * jnp.expm1(b * xc))
+
+    def quantile(self, q):
+        return jnp.log1p(-jnp.log1p(-q) / self.eta) / self.b
 
     @property
     def support(self):

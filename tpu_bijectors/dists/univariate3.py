@@ -218,6 +218,10 @@ class NormalCanon(Distribution):
         lam = jnp.asarray(self.lam, jnp.result_type(x, float))
         return jsp.ndtr((x - self.eta / lam) * jnp.sqrt(lam))
 
+    def quantile(self, q):
+        lam = jnp.asarray(self.lam, jnp.result_type(q, float))
+        return self.eta / lam + jsp.ndtri(q) / jnp.sqrt(lam)
+
 
 def _bounded_kernel_support(mu, s):
     # bounds may be python floats (static) or arrays (traced) — both finite
@@ -307,6 +311,14 @@ class SymTriangularDist(Distribution):
     def cdf(self, x):
         z = jnp.clip((x - self.mu) / self.s, -1.0, 1.0)
         return jnp.where(z < 0, 0.5 * (1.0 + z) ** 2, 1.0 - 0.5 * (1.0 - z) ** 2)
+
+    def quantile(self, q):
+        z = jnp.where(
+            q < 0.5,
+            jnp.sqrt(jnp.maximum(2.0 * q, 0.0)) - 1.0,
+            1.0 - jnp.sqrt(jnp.maximum(2.0 * (1.0 - q), 0.0)),
+        )
+        return self.mu + self.s * z
 
     @property
     def support(self):
@@ -826,8 +838,14 @@ class StudentizedRange(Distribution):
         qs = q[..., None] * s_x  # (..., S)
         z = z_x  # (Z,)
         pz = phi(z) * z_w  # (Z,) weights folded in
+        # (Phi(z) − Phi(z−qs))^(k−2) via clamped exp∘log: the direct `pow`
+        # has a NaN gradient at base 0 with exponent 0 (k = 2 — 0·∞ in the
+        # power JVP); the clamp makes the derivative exactly 0 there
+        diff = jnp.maximum(
+            Phi(z) - Phi(z - qs[..., None]), jnp.finfo(dtype).tiny
+        )
         inner = jnp.sum(
-            pz * phi(z - qs[..., None]) * jnp.maximum(Phi(z) - Phi(z - qs[..., None]), 0.0) ** (k - 2.0),
+            pz * phi(z - qs[..., None]) * jnp.exp((k - 2.0) * jnp.log(diff)),
             axis=-1,
         )  # (..., S)
         outer = jnp.sum(
