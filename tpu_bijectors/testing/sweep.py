@@ -20,6 +20,10 @@ Port of the reference's shipped harness entry point
                           charts for dimension-changing links (the reference's
                           to_vec_for_logjac_test shims, :92-244 + :573-633)
 7. logpdf consistency   — logpdf(x) - logdetJ == logpdf_with_trans(d, x, true)
+8. gradient correctness — jax.grad(linked_logdensity) and grad of the
+                          inverse-link logdet vs central differences (the
+                          reference's test_ad tier, :639-717) — catches
+                          silently-zero gradients in link rules
 
 The reference's zero-allocation check (:504-543) has no analogue under XLA
 (everything is compiled); its role is covered by check 3.
@@ -144,6 +148,7 @@ def test_all(
     check_logjac_ad: bool = True,
     check_optics: bool = True,
     check_logpdf: bool = True,
+    check_grad: bool = True,
     skip=(),
 ):
     """Run the full property sweep on distribution `d`. Raises on failure."""
@@ -266,6 +271,36 @@ def test_all(
             np.testing.assert_allclose(
                 np.asarray(logdet), np.asarray(ld0), atol=ld_tol, rtol=ld_tol,
                 err_msg="from_linked logdet != slogdet(AD Jacobian)",
+            )
+
+    # 8. gradient of the linked logdensity (and of the inverse-link logdet)
+    # vs central differences — the reference's `test_ad` tier checks every
+    # backend's ∇logJ against a ForwardDiff oracle for the whole case matrix
+    # (/root/reference/src/vector/test_utils.jl:639-717). This is the
+    # property that catches silently-zero gradients (e.g. a quantile link
+    # without an implicit-diff rule).
+    if check_grad and "grad" not in skip and not discrete:
+        y = jnp.asarray(
+            rng.standard_normal(u.linked_vec_length) * 0.3 * inverse_scale
+        )
+        dim = u.linked_vec_length
+        h = eps ** (1.0 / 3.0)  # ~6e-6 in f64, ~5e-3 in f32
+        # FD error ~ eps^(2/3): truncation h²f''' + roundoff eps/h
+        gtol = max(1e-6, 200.0 * eps ** (2.0 / 3.0))
+        E = jnp.eye(dim, dtype=y.dtype) * h
+        for name, f in (
+            ("linked_logdensity", u.linked_logdensity),
+            ("inverse logdet", lambda v: u.from_linked_vec(v)[1]),
+        ):
+            g = np.asarray(jax.grad(lambda v: jnp.sum(f(v)))(y))
+            fd = np.asarray((f(y + E) - f(y - E)) / (2.0 * h))
+            scale = 1.0 + np.abs(fd).max()
+            np.testing.assert_allclose(
+                g, fd, atol=gtol * scale, rtol=gtol,
+                err_msg=(
+                    f"grad({name}) disagrees with central differences for "
+                    f"{type(d).__name__} (zero-gradient link rule missing?)"
+                ),
             )
 
     # 7. logpdf_with_trans consistency through the unconstrainer
