@@ -2,6 +2,8 @@
 (net-new vs the reference; SURVEY.md §2.2 "TPU-native plan" column)."""
 
 from .chain_parallel import (
+    build_nuts_sharded,
+    build_smc_sharded,
     chain_parallel_chees,
     chain_parallel_nuts,
     chain_parallel_pt,
@@ -21,6 +23,8 @@ __all__ = [
     "make_mesh",
     "multihost_init",
     "shard_chains",
+    "build_nuts_sharded",
+    "build_smc_sharded",
     "chain_parallel_chees",
     "chain_parallel_nuts",
     "chain_parallel_pt",

@@ -49,22 +49,17 @@ def shard_chains(mesh: Mesh, x, axis_name: str = "chain"):
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
-def chain_parallel_nuts(
+def build_nuts_sharded(
     logdensity_fn,
     mesh: Mesh,
-    key,
-    q0,
+    n_chains: int,
     axis_name: str = "chain",
     **kwargs,
 ):
-    """Run warmup_and_sample with chains sharded over `mesh`.
-
-    q0: (n_chains, dim) with n_chains divisible by the mesh size. Adaptation
-    statistics are shared across ALL chains on ALL devices via collectives
-    inside the step (kwargs forwarded to warmup_and_sample).
-    """
+    """The jitted chain-parallel NUTS program (key, q0) -> (samples, state,
+    stats), exposed so tools can `.lower(...).compile()` it for per-device
+    HLO cost / collective-count analysis (tools/scaling_bench.py)."""
     n_dev = mesh.devices.size
-    n_chains = q0.shape[0]
     if n_chains % n_dev:
         raise ValueError(f"n_chains={n_chains} not divisible by mesh size {n_dev}")
 
@@ -88,7 +83,26 @@ def chain_parallel_nuts(
         ),
         check_vma=False,
     )
-    return jax.jit(sharded)(key, q0)
+    return jax.jit(sharded)
+
+
+def chain_parallel_nuts(
+    logdensity_fn,
+    mesh: Mesh,
+    key,
+    q0,
+    axis_name: str = "chain",
+    **kwargs,
+):
+    """Run warmup_and_sample with chains sharded over `mesh`.
+
+    q0: (n_chains, dim) with n_chains divisible by the mesh size. Adaptation
+    statistics are shared across ALL chains on ALL devices via collectives
+    inside the step (kwargs forwarded to warmup_and_sample).
+    """
+    return build_nuts_sharded(
+        logdensity_fn, mesh, q0.shape[0], axis_name=axis_name, **kwargs
+    )(key, q0)
 
 
 def _state_specs(axis_name):
@@ -200,24 +214,24 @@ def distributed_systematic_resample(key, log_weights_local, axis_name: str):
     return jax.lax.dynamic_slice_in_dim(parents, idx * n_local, n_local)
 
 
-def chain_parallel_smc(
+def build_smc_sharded(
     log_prior_fn,
     log_lik_fn,
     mesh: Mesh,
-    key,
-    particles0,
+    n: int,
+    dim: int,
     axis_name: str = "chain",
     n_mutations: int = 5,
     target_ess: float = 0.5,
     max_stages: int = 50,
     rw_scale: float = 0.3,
 ):
-    """Tempered SMC with particles sharded over the mesh. Resampling uses
+    """The jitted particle-parallel tempered-SMC program
+    (key, particles0) -> (particles, log_evidence, beta, stages), exposed
+    so tools can `.lower(...).compile()` it for per-device HLO cost /
+    collective-count analysis (tools/scaling_bench.py). Resampling uses
     all_gather'd weights + a global systematic pick; mutation is local."""
-    from jax.scipy.special import logsumexp
-
     n_dev = mesh.devices.size
-    n, dim = particles0.shape
     if n % n_dev:
         raise ValueError(f"particles {n} not divisible by mesh {n_dev}")
 
@@ -317,7 +331,24 @@ def chain_parallel_smc(
         out_specs=(P(axis_name, None), P(), P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)(key, particles0)
+    return jax.jit(sharded)
+
+
+def chain_parallel_smc(
+    log_prior_fn,
+    log_lik_fn,
+    mesh: Mesh,
+    key,
+    particles0,
+    axis_name: str = "chain",
+    **kwargs,
+):
+    """Run tempered SMC with particles sharded over the mesh (see
+    build_smc_sharded for the program and kwargs)."""
+    n, dim = particles0.shape
+    return build_smc_sharded(
+        log_prior_fn, log_lik_fn, mesh, n, dim, axis_name=axis_name, **kwargs
+    )(key, particles0)
 
 
 def chain_parallel_pt(
