@@ -17,9 +17,17 @@ must re-Cholesky the (131072, 16, 16) correlation batch) minus a separately
 recomputed forward log-det, vmapped.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "evals/s/chip", "vs_baseline": R}
+  {"metric": ..., "value": N, "unit": "evals/s/chip", "vs_baseline": R,
+   "vs_jnp_batched": R2}
 value = true fused evals/s; vs_baseline = t_naive / t_fused (the reference
-publishes no throughput numbers, BASELINE.md).
+publishes no throughput numbers, BASELINE.md); vs_jnp_batched =
+t_jnp_batched / t_fused, the REGRESSION SENTINEL: the same fused model with
+the Pallas kernels disabled (best batched+transposed jnp path). Unlike the
+naive ratio (~1000x, which a 5x kernel regression would not dent), this
+ratio directly tracks the kernels' contribution (~3-25x per
+docs/kernels.md); below 1.5 the bench prints a loud WARNING and exits
+nonzero. `--no-kernels` forces the fused path onto the jnp path too
+(ratio ~1), demonstrating the sentinel trips.
 
 Measurement protocol (CLAUDE.md + memory tpu-benchmark-gotchas; every rule
 exists because this tunnel breaks the usual assumptions):
@@ -130,6 +138,14 @@ def _arm_watchdog(seconds=900):
 def main():
     from tpu_bijectors.vectorize import unconstrain
 
+    if "--no-kernels" in sys.argv:
+        # sentinel self-test: with kernels globally off the fused path IS
+        # the jnp path, so vs_jnp_batched ~ 1 and the bench must exit 1
+        from tpu_bijectors import kernels
+
+        kernels.enable(False)
+        kernels.enable = lambda flag=True: None  # keep the in-trace toggle off
+
     watchdog_done = _arm_watchdog()
 
     priors = _model()
@@ -143,6 +159,18 @@ def main():
 
     def fused_fn(vT, priors):
         return unconstrain(priors).linked_logdensity_t(vT)
+
+    def jnp_batched_fn(vT, priors):
+        # regression sentinel baseline: the SAME batched transposed path
+        # with the Pallas kernels disabled (trace-time toggle; this body
+        # runs during tracing, so the whole trace sees kernels off)
+        from tpu_bijectors import kernels
+
+        kernels.enable(False)
+        try:
+            return unconstrain(priors).linked_logdensity_t(vT)
+        finally:
+            kernels.enable(True)
 
     def naive_fn(v, priors):
         un = unconstrain(priors)
@@ -162,10 +190,22 @@ def main():
 
     # fused is ~150 us/iter: a 384-iteration spread is ~60 ms of signal
     t_fused = _slope(fused_fn, vt, priors, 16, 400, transposed=True)
+    # jnp batched sentinel baseline is ~5 ms/iter; a (2, 18) spread ~80 ms
+    t_jnp = _slope(jnp_batched_fn, vt, priors, 2, 18, transposed=True)
     # naive is ~three orders slower; a (1, 3) spread is ~0.6 s of signal
     t_naive = _slope(naive_fn, v, priors, 1, 3)
 
     vs_baseline = t_naive / t_fused
+    vs_jnp = t_jnp / t_fused
+    sentinel_tripped = vs_jnp < 1.5
+    if sentinel_tripped:
+        print(
+            "WARNING: kernel regression sentinel TRIPPED: vs_jnp_batched "
+            "%.3f < 1.5 (t_fused=%.1fus t_jnp_batched=%.1fus) — the fused "
+            "kernels are no faster than the batched jnp path"
+            % (vs_jnp, t_fused * 1e6, t_jnp * 1e6),
+            file=sys.stderr,
+        )
     if vs_baseline < 1.2:
         print(
             "WARNING: fusion ratio %.3f < 1.2 (t_fused=%.1fus t_naive=%.1fus)"
@@ -179,8 +219,11 @@ def main():
         "value": round(BATCH / t_fused, 1),
         "unit": "evals/s/chip",
         "vs_baseline": round(vs_baseline, 3),
+        "vs_jnp_batched": round(vs_jnp, 3),
     }
     print(json.dumps(out))
+    if sentinel_tripped:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
