@@ -138,8 +138,9 @@ class Model:
         (`nuts_batched_t` — whole-model fused Pallas density + one-kernel
         reverse pass per leapfrog) only when that fused kernel can
         actually dispatch: prior plan-eligible (vectorize/fused_kernel.py)
-        AND on the TPU backend AND n_chains fills the lane-batch threshold
-        (`kernels.MIN_BATCH`). Otherwise the batch-major multi-chain
+        AND on the TPU backend AND n_chains reaches the measured
+        whole-model crossover (`kernels.MIN_BATCH_MEGA`,
+        tools/mega_crossover.py). Otherwise the batch-major multi-chain
         kernel (whose per-leaf Pallas kernels have the same batch gate,
         but whose layout does not pay the transposed path's sublane
         padding at small chain counts). Any explicit
@@ -169,7 +170,7 @@ class Model:
                 kernels.enabled()
                 and jax.default_backend() == "tpu"
                 and jnp.result_type(float) == jnp.float32
-                and n_chains >= kernels.MIN_BATCH
+                and n_chains >= kernels.MIN_BATCH_MEGA
                 and isinstance(u, TreeUnconstrainer)
                 and _plan(u, _eps(jnp.result_type(float))) is not None
             )

@@ -24,6 +24,12 @@ def enabled() -> bool:
 # lane tiles (B >= MIN_BATCH) and the event fits the register-resident
 # recurrence (K <= max_k); dispatch is trace-time static (shape/dtype only).
 MIN_BATCH = 1024
+# The WHOLE-MODEL fused kernel (vectorize/fused_kernel.py) has different
+# economics than the per-leaf kernels — one HBM pass over the (dim, B)
+# state vs ~4 — so its crossover is measured separately at realistic NUTS
+# chain counts by tools/mega_crossover.py (artifact MEGA_CROSSOVER.json)
+# and gates Model.sample(kernel='auto').
+MIN_BATCH_MEGA = 1024  # set from the measured crossover (MEGA_CROSSOVER.json)
 MAX_K = {
     "simplex": 32,  # kernels/simplex.py: K-1 sublane steps
     "lkj": 16,  # kernels/lkj.py: K(K-1)/2 packed recurrence
