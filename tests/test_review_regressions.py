@@ -7,6 +7,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from scipy import stats as ss
 
 import tpu_bijectors as tb
@@ -261,19 +262,25 @@ def test_plan_cache_identity_semantics():
     assert not np.allclose(r1, r2)  # second trace used the NEW alpha
 
 
-def test_nuts_dense_metric_velocity_checkpoints(key):
+@pytest.mark.parametrize("transposed", [False, True])
+def test_nuts_dense_metric_velocity_checkpoints(key, transposed):
     """Dense-metric batched NUTS (checkpoints store v = M^{-1}p, one matmul
-    per leapfrog) still recovers the moments of a correlated Gaussian."""
+    per leapfrog) still recovers the moments of a correlated Gaussian —
+    in BOTH layouts (the transposed (dim, C) path aims/broadcasts the
+    metric differently, ADVICE r2)."""
     from tpu_bijectors.infer.hmc_batched import nuts_kernel_batched
 
     rng = np.random.default_rng(3)
     A = rng.normal(size=(4, 4))
     cov = A @ A.T + 4.0 * np.eye(4)
     P = jnp.asarray(np.linalg.inv(cov))
-    logp = lambda q: -0.5 * jnp.einsum("ci,ij,cj->c", q, P, q)
-    kern = nuts_kernel_batched(logp, max_depth=8)
+    if transposed:
+        logp = lambda qT: -0.5 * jnp.einsum("ic,ij,jc->c", qT, P, qT)
+    else:
+        logp = lambda q: -0.5 * jnp.einsum("ci,ij,cj->c", q, P, q)
+    kern = nuts_kernel_batched(logp, max_depth=8, transposed=transposed)
     C = 64
-    q = jnp.zeros((C, 4))
+    q = jnp.zeros((4, C) if transposed else (C, 4))
     lp = logp(q)
     g = jax.grad(lambda x: logp(x).sum())(q)
     inv_mass = jnp.asarray(cov)  # ideal dense metric
@@ -284,7 +291,7 @@ def test_nuts_dense_metric_velocity_checkpoints(key):
         k, sub = jax.random.split(k)
         q, lp, g, info = step(sub, q, lp, g)
         if i >= 50:
-            draws.append(np.asarray(q))
+            draws.append(np.asarray(q.T if transposed else q))
     X = np.concatenate(draws, axis=0)
     emp = X.T @ X / X.shape[0]
     assert int(np.asarray(info.diverging).sum()) == 0
