@@ -184,6 +184,12 @@ def _wrapped():
         tb.transformed(dists.LogNormal()),
         tb.transformed(dists.Beta(2.0, 2.0)),
         tb.transformed(dists.Normal(), tb.Exp()),
+        # quantile-linked rows: sweep property 8 (grad vs central diffs)
+        # is the net that catches a zero-gradient generic quantile
+        tb.transformed(
+            dists.Uniform(0.0, 1.0), tb.QuantileBijector(dists.Gamma(2.0, 3.0))
+        ),
+        tb.transformed(dists.Gamma(2.0, 3.0), tb.CDFBijector(dists.Gamma(2.0, 3.0))),
         tb.ordered(dists.IIDProduct(dists.Normal(0.0, 1.0), 4)),
         dists.IIDProduct(dists.IIDProduct(dists.LogNormal(), 3), 2),
     ]
