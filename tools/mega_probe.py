@@ -44,6 +44,12 @@ def build(name):
         return dists.NamedProduct.of(mu=dists.IIDProduct(dists.Normal(0.0, 1.0), 151))
     if name == "lkjonly":
         return dists.NamedProduct.of(corr=dists.LKJ(18, 2.0))  # dim 153
+    if name == "pdonly":
+        # K=16 PD loop entry (VERDICT r2 Next #10): value + fused vjp
+        return dists.NamedProduct.of(
+            W=dists.Wishart(18.0, jnp.eye(16)),
+            m=dists.IIDProduct(dists.Normal(0.0, 1.0), 15),
+        )  # dim 136 + 15 = 151
     if name == "dironly":
         return dists.NamedProduct.of(
             w=dists.IIDProduct(dists.Dirichlet(jnp.ones(16)), 10)
@@ -92,7 +98,9 @@ def slope(vT, priors, grad, reps=3):
 
 
 def main():
-    names = sys.argv[1:] or ["floor", "slabonly", "bench", "dironly", "lkjonly"]
+    names = sys.argv[1:] or [
+        "floor", "slabonly", "bench", "dironly", "lkjonly", "pdonly",
+    ]
     d0 = build(names[0])
     u0 = unconstrain(d0)
     v0 = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (u0.linked_vec_length, B))
