@@ -33,8 +33,12 @@ Measurement protocol (CLAUDE.md + memory tpu-benchmark-gotchas; every rule
 exists because this tunnel breaks the usual assumptions):
 - block_until_ready does NOT wait for device execution here, so each
   variant runs n iterations inside ONE lax.scan with a real data
-  dependence (carry perturbs the input) and is synced by float(sum(...)) —
-  a transfer cannot return before the queued program finished.
+  dependence (the carry drives a MODEL PARAMETER of the next eval, so
+  the program cannot be hoisted; the state buffer itself stays
+  loop-invariant and read-only — perturbing the state instead would
+  force a materialized (dim, batch) copy per iteration, ~2 extra HBM
+  passes billed to every path) and is synced by float(sum(...)) — a
+  transfer cannot return before the queued program finished.
 - per-iteration time = slope between two scan lengths, which cancels the
   ~33 ms transfer cost and all host overheads; median of 3 slopes.
 - the first transfer in a process costs 150-500 s (tunnel handshake), paid
@@ -53,25 +57,32 @@ BATCH = 131072
 K = 16
 
 
-def _model():
+def _model(loc=0.0):
     from tpu_bijectors import dists
 
     return dists.NamedProduct.of(
-        mu=dists.IIDProduct(dists.Normal(0.0, 2.0), 8),
+        mu=dists.IIDProduct(dists.Normal(loc, 2.0), 8),
         sigma=dists.IIDProduct(dists.LogNormal(0.0, 0.5), 8),
         w=dists.Dirichlet(jnp.ones(16)),
         corr=dists.LKJ(K, 2.0),
     )
 
 
-def _scan_prog(step_fn, n, transposed=False):
+def _scan_prog(step_fn, n):
+    # Loop-serialization rides the MODEL PARAMETERS, not the state: each
+    # iteration's Normal loc depends on the previous log-density, so XLA
+    # cannot hoist the eval out of the scan, while the (dim, batch) state
+    # stays a loop-invariant READ-ONLY buffer. The old protocol perturbed
+    # the state itself (v + f(carry)), which forced a materialized full
+    # copy of the state every iteration — ~2 extra HBM passes billed to
+    # every path (kernel, jnp, naive alike), ~2x on the fused time. Params
+    # ride in the kernel's tiny coefficient operand (KB), so this form
+    # times what the metric names: one transform+logdetJ eval over the
+    # batch. Ratios were apples-to-apples under both protocols.
     @jax.jit
-    def many(v, priors):
+    def many(v):
         def body(carry, _):
-            if transposed:
-                lp = step_fn(v + 1e-3 * jnp.tanh(0.01 * carry[None, :]), priors)
-            else:
-                lp = step_fn(v + 1e-3 * jnp.tanh(0.01 * carry[:, None]), priors)
+            lp = step_fn(v, 1e-3 * jnp.tanh(0.01 * jnp.mean(carry)))
             return lp, None
 
         lp, _ = lax.scan(body, jnp.zeros((BATCH,), v.dtype), None, length=n)
@@ -80,20 +91,20 @@ def _scan_prog(step_fn, n, transposed=False):
     return many
 
 
-def _t2f(prog, v, priors):
+def _t2f(prog, v):
     t0 = time.perf_counter()
-    s = float(prog(v, priors))
+    s = float(prog(v))
     assert s == s, "NaN logdensity in bench"
     return time.perf_counter() - t0
 
 
-def _slope(step_fn, v, priors, n1, n2, reps=3, transposed=False):
-    pa = _scan_prog(step_fn, n1, transposed)
-    pb = _scan_prog(step_fn, n2, transposed)
-    _t2f(pa, v, priors)  # compile
-    _t2f(pb, v, priors)
+def _slope(step_fn, v, n1, n2, reps=3):
+    pa = _scan_prog(step_fn, n1)
+    pb = _scan_prog(step_fn, n2)
+    _t2f(pa, v)  # compile
+    _t2f(pb, v)
     pers = sorted(
-        (_t2f(pb, v, priors) - _t2f(pa, v, priors)) / (n2 - n1) for _ in range(reps)
+        (_t2f(pb, v) - _t2f(pa, v)) / (n2 - n1) for _ in range(reps)
     )
     return pers[reps // 2]
 
@@ -148,8 +159,7 @@ def main():
 
     watchdog_done = _arm_watchdog()
 
-    priors = _model()
-    dim = unconstrain(priors).linked_vec_length
+    dim = unconstrain(_model()).linked_vec_length
     v = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (BATCH, dim))
     # the fused hot path holds the state in the TPU-native transposed
     # (dim, batch) orientation and evaluates the whole model as ONE Pallas
@@ -157,10 +167,10 @@ def main():
     # state read from HBM exactly once
     vt = jnp.swapaxes(v, 0, 1)
 
-    def fused_fn(vT, priors):
-        return unconstrain(priors).linked_logdensity_t(vT)
+    def fused_fn(vT, loc):
+        return unconstrain(_model(loc)).linked_logdensity_t(vT)
 
-    def jnp_batched_fn(vT, priors):
+    def jnp_batched_fn(vT, loc):
         # regression sentinel baseline: the SAME batched transposed path
         # with the Pallas kernels disabled (trace-time toggle; this body
         # runs during tracing, so the whole trace sees kernels off)
@@ -168,11 +178,12 @@ def main():
 
         kernels.enable(False)
         try:
-            return unconstrain(priors).linked_logdensity_t(vT)
+            return unconstrain(_model(loc)).linked_logdensity_t(vT)
         finally:
             kernels.enable(True)
 
-    def naive_fn(v, priors):
+    def naive_fn(v, loc):
+        priors = _model(loc)
         un = unconstrain(priors)
 
         def naive_one(vi):
@@ -184,16 +195,16 @@ def main():
 
     # handshake: pay the first-transfer cost on a tiny program
     t0 = time.perf_counter()
-    _t2f(_scan_prog(fused_fn, 1, transposed=True), vt, priors)
+    _t2f(_scan_prog(fused_fn, 1), vt)
     print("handshake %.0fs" % (time.perf_counter() - t0), file=sys.stderr)
     watchdog_done.set()  # device is alive; measurement proceeds unbounded
 
-    # fused is ~150 us/iter: a 384-iteration spread is ~60 ms of signal
-    t_fused = _slope(fused_fn, vt, priors, 16, 400, transposed=True)
+    # fused is ~100 us/iter: a 384-iteration spread is ~40 ms of signal
+    t_fused = _slope(fused_fn, vt, 16, 400)
     # jnp batched sentinel baseline is ~5 ms/iter; a (2, 18) spread ~80 ms
-    t_jnp = _slope(jnp_batched_fn, vt, priors, 2, 18, transposed=True)
+    t_jnp = _slope(jnp_batched_fn, vt, 2, 18)
     # naive is ~three orders slower; a (1, 3) spread is ~0.6 s of signal
-    t_naive = _slope(naive_fn, v, priors, 1, 3)
+    t_naive = _slope(naive_fn, v, 1, 3)
 
     vs_baseline = t_naive / t_fused
     vs_jnp = t_jnp / t_fused

@@ -1,17 +1,11 @@
-"""Slope-timed mega-kernel decomposition probe (round 3 perf work).
-
-Times the whole-model fused kernel's value / value-and-grad per iteration
-at B=131072 for models that isolate each cost component:
-
-  bench     — 8 Normal + 8 LogNormal + Dirichlet(16) + LKJ(16)  (dim 151)
-  slabonly  — 151 IID Normals (pure slab, no loop entries)      (dim 151)
-  lkjonly   — LKJ(18)+normals pad                               (dim ~153)
-  dironly   — Dirichlet(16) x 10 IID (loop-entry heavy)         (dim 150)
-  floor     — 151 IID Normals, identity-quadratic only: the closest
-              measurable thing to the pure HBM floor
+"""A/B probe for the loop-entry transcendental forms of the whole-model
+fused kernel (fused_emit._BLOCK_T): per-row transcendentals (no register
+relayouts) vs gathered block transcendentals (8/8-sublane ops but Mosaic
+relayouts on the gather + row slices). Slope-timed on the real chip; the
+measured winner sets the default in fused_emit.py.
 
 Usage (background mode; first transfer 150-500 s):
-  python tools/mega_probe.py [names...]
+  python tools/emit_ab_probe.py [names...]
 """
 
 import os as _os
@@ -26,39 +20,28 @@ from jax import lax
 
 from tpu_bijectors import dists
 from tpu_bijectors.vectorize import unconstrain
+from tpu_bijectors.vectorize import fused_emit
 
 B = 131072
 
 
 def build(name):
-    if name in ("bench",):
+    if name == "bench":
         return dists.NamedProduct.of(
             mu=dists.IIDProduct(dists.Normal(0.0, 2.0), 8),
             sigma=dists.IIDProduct(dists.LogNormal(0.0, 0.5), 8),
             w=dists.Dirichlet(jnp.ones(16)),
             corr=dists.LKJ(16, 2.0),
         )
-    if name == "slabonly":
-        return dists.NamedProduct.of(mu=dists.IIDProduct(dists.Normal(0.0, 2.0), 151))
-    if name == "floor":
-        return dists.NamedProduct.of(mu=dists.IIDProduct(dists.Normal(0.0, 1.0), 151))
-    if name == "lkjonly":
-        # LKJ is gated at K <= 16 (kernels.MAX_K); pad with normals to
-        # keep dim comparable to the bench model
-        return dists.NamedProduct.of(
-            corr=dists.LKJ(16, 2.0),
-            m=dists.IIDProduct(dists.Normal(0.0, 1.0), 31),
-        )  # dim 120 + 31 = 151
-    if name == "pdonly":
-        # K=16 PD loop entry (VERDICT r2 Next #10): value + fused vjp
-        return dists.NamedProduct.of(
-            W=dists.Wishart(18.0, jnp.eye(16)),
-            m=dists.IIDProduct(dists.Normal(0.0, 1.0), 15),
-        )  # dim 136 + 15 = 151
     if name == "dironly":
         return dists.NamedProduct.of(
             w=dists.IIDProduct(dists.Dirichlet(jnp.ones(16)), 10)
         )  # dim 150
+    if name == "pdonly":
+        return dists.NamedProduct.of(
+            W=dists.Wishart(18.0, jnp.eye(16)),
+            m=dists.IIDProduct(dists.Normal(0.0, 1.0), 15),
+        )  # dim 151
     raise KeyError(name)
 
 
@@ -91,21 +74,19 @@ def t2f(p, vT, priors):
     return time.perf_counter() - t0
 
 
-def slope(vT, priors, grad, reps=3):
-    p16, p400 = prog(16, grad), prog(400, grad)
-    t2f(p16, vT, priors)
-    t2f(p400, vT, priors)
+def slope(vT, priors, grad, n1=16, n2=200, reps=3):
+    pa, pb = prog(n1, grad), prog(n2, grad)
+    t2f(pa, vT, priors)
+    t2f(pb, vT, priors)
     pers = sorted(
-        (t2f(p400, vT, priors) - t2f(p16, vT, priors)) / 384.0
+        (t2f(pb, vT, priors) - t2f(pa, vT, priors)) / (n2 - n1)
         for _ in range(reps)
     )
-    return pers[reps // 2], pers
+    return pers[reps // 2]
 
 
 def main():
-    names = sys.argv[1:] or [
-        "floor", "slabonly", "bench", "dironly", "lkjonly", "pdonly",
-    ]
+    names = sys.argv[1:] or ["dironly", "pdonly", "bench"]
     d0 = build(names[0])
     u0 = unconstrain(d0)
     v0 = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (u0.linked_vec_length, B))
@@ -119,17 +100,20 @@ def main():
         dim = u.linked_vec_length
         vT = 0.5 * jax.random.normal(jax.random.PRNGKey(1), (dim, B))
         for grad in (False, True):
-            per, reps = slope(vT, d, grad)
-            gbs = (dim + (dim if grad else 0) + 1) * B * 4 / per / 1e9
+            row = {}
+            for block in (False, True):
+                fused_emit._BLOCK_T = block
+                row["block" if block else "perrow"] = slope(vT, d, grad)
+            fused_emit._BLOCK_T = False
             print(
-                "%8s dim=%3d %-5s per-iter=%8.1f us  (%5.0f GB/s)  reps=%s"
+                "%8s dim=%3d %-4s perrow=%8.1f us  block=%8.1f us  (block/perrow %.2fx)"
                 % (
                     name,
                     dim,
                     "v+g" if grad else "v",
-                    per * 1e6,
-                    gbs,
-                    [round(p * 1e6, 1) for p in reps],
+                    row["perrow"] * 1e6,
+                    row["block"] * 1e6,
+                    row["block"] / row["perrow"],
                 ),
                 flush=True,
             )

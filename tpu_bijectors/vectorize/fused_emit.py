@@ -18,48 +18,59 @@ from .fused_base import LOG2, LOGPI, LOG2PI  # noqa: F401
 # ---------------------------------------------------------------------------
 # emitters (bodies mirror the per-leaf kernels; numerics are load-bearing)
 #
-# BLOCK-TRANSCENDENTAL rule (round 3, the 8/8-sublane fix): a (1, W) row op
-# occupies the same vregs as a full 8-sublane op but uses 1/8 of each — so
-# per-row transcendentals (sigmoid/exp/log) cost ~8x their useful work and
-# were the measured gap above the HBM floor (docs/kernels.md). Loop entries
-# therefore GATHER their transcendental inputs into a compact (rows, W)
-# value (cheap per-row copies via concatenate, aligned by construction —
-# no dependence on the leaf's row offset), run ONE block transcendental at
-# full sublane utilization, and slice rows back out for the recurrence.
-# The per-row recurrences themselves (mul/add/clip/div) stay per-row.
+# BLOCK-TRANSCENDENTAL switch (round 3): a (1, W) row op occupies the same
+# vregs as a full 8-sublane op but uses 1/8 of each, so gathering the
+# transcendental inputs of a loop entry into a compact (rows, W) value and
+# running ONE block op LOOKS like a free 8x. Measured on the v5e it is NOT:
+# Mosaic lowers the gather (concatenate of computed rows) and the row
+# slices back out of the block result as register relayouts whose cost
+# EXCEEDS the sublane waste — dironly (10 x Dirichlet(16), B=131072) timed
+# ~2x slower with the gathered form. `_BLOCK_T` keeps both forms testable
+# (tools/emit_ab_probe.py); the default is the measured winner: per-row
+# transcendentals, no relayouts.
 # ---------------------------------------------------------------------------
+
+_BLOCK_T = False  # measured loser on v5e; True = gathered block form
 
 
 def _simplex_sigmoids(rr, K, W, dtype):
-    """sigmoid(v_k − log(K−1−k)) for the K−1 gathered rows as ONE block op.
+    """sigmoid(v_k − log(K−1−k)) for the K−1 rows: one gathered block op
+    (_BLOCK_T) or K−1 per-row ops (default; see the switch note above).
 
-    The shift column is built from an in-kernel iota (pallas cannot capture
-    non-scalar constants): log of an exact small integer, so it matches the
-    host-computed `math.log(K-1-k)` bit-for-bit in f64 and to ≤1 ulp in f32.
+    The shift is an exact small-integer log either way, matching the
+    host-computed `math.log(K-1-k)` bit-for-bit in f64 and ≤1 ulp in f32.
     """
-    Y = jnp.concatenate([rr(k) for k in range(K - 1)], axis=0)
-    # Mosaic's tpu.iota only produces integers: iota in i32, cast (exact).
-    rows = jax.lax.broadcasted_iota(jnp.int32, (K - 1, 1), 0).astype(dtype)
-    sh = jnp.log((K - 1.0) - rows)
-    return jax.nn.sigmoid(Y - sh)
+    if _BLOCK_T:
+        Y = jnp.concatenate([rr(k) for k in range(K - 1)], axis=0)
+        # Mosaic's tpu.iota only produces integers: iota in i32, cast.
+        rows = jax.lax.broadcasted_iota(jnp.int32, (K - 1, 1), 0).astype(dtype)
+        sh = jnp.log((K - 1.0) - rows)
+        return jax.nn.sigmoid(Y - sh)
+    return [
+        jax.nn.sigmoid(rr(k) - math.log(K - 1 - k)) for k in range(K - 1)
+    ]
+
+
+def _zrow(Z, k):
+    return Z[k] if isinstance(Z, list) else Z[k : k + 1, :]
 
 
 def _emit_simplex(K, eps):
     # stick-breaking inverse + ld + eps-nudged weighted log term
     # (kernels/simplex.py::_simplex_fused_pallas, want_x=False).
-    # Transcendentals run as 3 block ops: one sigmoid over the (K-1, W)
-    # gathered rows, one log over the (3K-4, W) ld args, one log over the
-    # (K, W) eps-nudged sticks — identical math to the per-row form (the
-    # reduction order of lp changes within fp tolerance only).
+    # _BLOCK_T=True runs the transcendentals as 3 gathered block ops;
+    # default is per-row (measured winner — see the switch note). The math
+    # is identical either way (lp's reduction order changes within fp
+    # tolerance only).
 
     def emit(rr, rp, W, dtype):
         # params: am1[0..K-1], const
-        Z = _simplex_sigmoids(rr, K, W, dtype)  # (K-1, W) block sigmoid
+        Z = _simplex_sigmoids(rr, K, W, dtype)
         s = jnp.zeros((1, W), dtype)
         ld_args = []  # unit-weight log args (zl / 1-zl / rem rows)
         xs = []  # eps-nudged sticks, weighted by am1 rows
         for k in range(K - 1):
-            z = Z[k : k + 1, :]
+            z = _zrow(Z, k)
             if k == 0:
                 xk = jnp.clip((z - eps) / (1 - 2 * eps), 0.0, 1.0)
                 zl = xk
@@ -73,14 +84,23 @@ def _emit_simplex(K, eps):
             xs.append(xk + eps)
             s = s + xk
         xs.append(jnp.clip(1.0 - s, 0.0, 1.0) + eps)
-        lp = jnp.sum(
-            jnp.log(jnp.concatenate(ld_args, axis=0)), axis=0, keepdims=True
-        )
-        am1 = jnp.concatenate([rp(k) for k in range(K)], axis=0)  # (K, W)
-        wl = jnp.sum(
-            am1 * jnp.log(jnp.concatenate(xs, axis=0)), axis=0, keepdims=True
-        )
-        return lp + wl + rp(K)  # ld_inv + wlog + const
+        if _BLOCK_T:
+            lp = jnp.sum(
+                jnp.log(jnp.concatenate(ld_args, axis=0)), axis=0, keepdims=True
+            )
+            am1 = jnp.concatenate([rp(k) for k in range(K)], axis=0)  # (K, W)
+            wl = jnp.sum(
+                am1 * jnp.log(jnp.concatenate(xs, axis=0)),
+                axis=0,
+                keepdims=True,
+            )
+            return lp + wl + rp(K)  # ld_inv + wlog + const
+        acc = rp(K)
+        for a in ld_args:
+            acc = acc + jnp.log(a)
+        for k, x in enumerate(xs):
+            acc = acc + rp(k) * jnp.log(x)
+        return acc
 
     return emit
 
@@ -102,13 +122,23 @@ def _lkj_weights(K, chol, eta, dtype):
 
 
 def _pd_diag_exps(rr, K, W, dtype):
-    """Gathered diagonal rows → (E, Einv): exp(±y_diag) as ONE (2K, W)
-    block exp instead of 2K single-sublane row exps."""
-    D = jnp.concatenate(
-        [rr(r * (r + 1) // 2 + r) for r in range(K)], axis=0
-    )  # (K, W)
-    E2 = jnp.exp(jnp.concatenate([D, -D], axis=0))  # (2K, W) block exp
-    return D, E2[:K, :], E2[K:, :]
+    """Diagonal rows → (D, E, Einv) with E = exp(y_diag), Einv = exp(−y):
+    one gathered (2K, W) block exp under _BLOCK_T, else per-row exps +
+    reciprocals (measured winner; see the switch note)."""
+    if _BLOCK_T:
+        D = jnp.concatenate(
+            [rr(r * (r + 1) // 2 + r) for r in range(K)], axis=0
+        )  # (K, W)
+        E2 = jnp.exp(jnp.concatenate([D, -D], axis=0))  # (2K, W) block exp
+        return (
+            [D[r : r + 1, :] for r in range(K)],
+            [E2[r : r + 1, :] for r in range(K)],
+            [E2[K + r : K + r + 1, :] for r in range(K)],
+        )
+    # exp(d) / exp(-d) as separate per-row exps — matches kernels/pd.py
+    # (inv_diag = exp(-yd)) so the kernel == composed contract holds exactly
+    D = [rr(r * (r + 1) // 2 + r) for r in range(K)]
+    return D, [jnp.exp(d) for d in D], [jnp.exp(-d) for d in D]
 
 
 def _emit_pd(K, mode: str):
@@ -118,20 +148,19 @@ def _emit_pd(K, mode: str):
         # params: C[0..K*K-1] (row-major), w_sumd, const
         zero = jnp.zeros((1, W), dtype)
         D, E, Einv = _pd_diag_exps(rr, K, W, dtype)
-        # (K+1-r) weight column from an in-kernel iota (no captured consts)
-        wrow = (K + 1.0) - jax.lax.broadcasted_iota(jnp.int32, (K, 1), 0).astype(
-            dtype
-        )
-        logJ = jnp.sum(wrow * D, axis=0, keepdims=True)
-        sumd = jnp.sum(D, axis=0, keepdims=True)
+        logJ = zero
+        sumd = zero
+        for r in range(K):
+            logJ = logJ + (K + 1.0 - r) * D[r]
+            sumd = sumd + D[r]
         L = {}
         inv_diag = [None] * K
         for r in range(K):
             base = r * (r + 1) // 2
-            inv_diag[r] = Einv[r : r + 1, :]
+            inv_diag[r] = Einv[r]
             for c in range(r):
                 L[(r, c)] = rr(base + c)
-            L[(r, r)] = E[r : r + 1, :]
+            L[(r, r)] = E[r]
         logJ = logJ + K * LOG2
         tr = zero
         if mode == "dot":
@@ -184,10 +213,10 @@ def _partials_pd(K, mode: str):
         inv_diag = [None] * K
         for r in range(K):
             base = r * (r + 1) // 2
-            inv_diag[r] = Einv[r : r + 1, :]
+            inv_diag[r] = Einv[r]
             for c in range(r):
                 L[(r, c)] = rr(base + c)
-            L[(r, r)] = E[r : r + 1, :]
+            L[(r, r)] = E[r]
         w = rp(K * K)
         out = [None] * (K * (K + 1) // 2)
         if mode == "dot":
@@ -350,14 +379,14 @@ def _partials_simplex(K, eps):
 
     def partials(rr, rp, W, dtype):
         inv12 = 1.0 / (1.0 - 2.0 * eps)
-        Z = _simplex_sigmoids(rr, K, W, dtype)  # (K-1, W) block sigmoid
+        Z = _simplex_sigmoids(rr, K, W, dtype)
         z = [None] * (K - 1)
         s_at = [None] * (K - 1)  # carry BEFORE step k
         x = [None] * (K - 1)
         m = [None] * (K - 1)
         s = jnp.zeros((1, W), dtype)
         for k in range(K - 1):
-            z[k] = Z[k : k + 1, :]
+            z[k] = _zrow(Z, k)
             if k == 0:
                 pre = (z[k] - eps) * inv12
             else:
