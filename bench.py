@@ -68,7 +68,7 @@ def _model(loc=0.0):
     )
 
 
-def _scan_prog(step_fn, n):
+def _scan_prog(step_fn, n, serialize="param"):
     # Loop-serialization rides the MODEL PARAMETERS, not the state: each
     # iteration's Normal loc depends on the previous log-density, so XLA
     # cannot hoist the eval out of the scan, while the (dim, batch) state
@@ -78,11 +78,27 @@ def _scan_prog(step_fn, n):
     # every path (kernel, jnp, naive alike), ~2x on the fused time. Params
     # ride in the kernel's tiny coefficient operand (KB), so this form
     # times what the metric names: one transform+logdetJ eval over the
-    # batch. Ratios were apples-to-apples under both protocols.
+    # batch.
+    #
+    # EXCEPTION (serialize="state"): the naive path's expensive work — the
+    # per-sample re-Cholesky and second link pass — depends only on v, so
+    # with a loop-invariant v XLA's loop-invariant code motion hoists it
+    # out of the scan entirely and t_naive measures only the loc-dependent
+    # Normal leaf (observed: 300 ms -> 2.4 ms, deflating vs_baseline
+    # ~100x). The naive path therefore keeps the state-perturbing form;
+    # its copy overhead (~0.2 ms) is ~0.1% of its own per-iteration cost,
+    # so the ratio stays honest to <1%. The fused/jnp paths (the ratio's
+    # numerator and the sentinel) are one opaque kernel / one fused
+    # cluster over (v, params) each iteration — nothing hoists.
     @jax.jit
     def many(v):
         def body(carry, _):
-            lp = step_fn(v, 1e-3 * jnp.tanh(0.01 * jnp.mean(carry)))
+            if serialize == "state":
+                pert = 1e-3 * jnp.tanh(0.01 * carry)
+                pert = pert[:, None] if v.shape[0] == BATCH else pert[None, :]
+                lp = step_fn(v + pert, 0.0)
+            else:
+                lp = step_fn(v, 1e-3 * jnp.tanh(0.01 * jnp.mean(carry)))
             return lp, None
 
         lp, _ = lax.scan(body, jnp.zeros((BATCH,), v.dtype), None, length=n)
@@ -98,9 +114,9 @@ def _t2f(prog, v):
     return time.perf_counter() - t0
 
 
-def _slope(step_fn, v, n1, n2, reps=3):
-    pa = _scan_prog(step_fn, n1)
-    pb = _scan_prog(step_fn, n2)
+def _slope(step_fn, v, n1, n2, reps=3, serialize="param"):
+    pa = _scan_prog(step_fn, n1, serialize)
+    pb = _scan_prog(step_fn, n2, serialize)
     _t2f(pa, v)  # compile
     _t2f(pb, v)
     pers = sorted(
@@ -203,8 +219,10 @@ def main():
     t_fused = _slope(fused_fn, vt, 16, 400)
     # jnp batched sentinel baseline is ~5 ms/iter; a (2, 18) spread ~80 ms
     t_jnp = _slope(jnp_batched_fn, vt, 2, 18)
-    # naive is ~three orders slower; a (1, 3) spread is ~0.6 s of signal
-    t_naive = _slope(naive_fn, v, 1, 3)
+    # naive is ~three orders slower; a (1, 3) spread is ~0.6 s of signal.
+    # serialize="state": its v-only re-Cholesky must not hoist (see
+    # _scan_prog); copy overhead is ~0.1% of the naive cost.
+    t_naive = _slope(naive_fn, v, 1, 3, serialize="state")
 
     vs_baseline = t_naive / t_fused
     vs_jnp = t_jnp / t_fused
