@@ -216,3 +216,108 @@ def test_simplex_wlog_reverse_mode(rng):
     )(y, am1)
     np.testing.assert_allclose(gy, gy_ref, rtol=1e-9, atol=1e-11)
     np.testing.assert_allclose(ga, ga_ref, rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.parametrize("mode", ["dot", "solve"])
+@pytest.mark.parametrize("transposed", [False, True])
+def test_pd_diffable_symbolic_zero_grads(rng, mode, transposed):
+    """grad through the PRODUCTION custom_jvp rules (symbolic_zeros=True)
+    for every tangent pattern: y-only (the sampler-hot case, dC symbolic
+    zero), C-only, and both — vs grad of the plain jnp path. CPU exercises
+    the fallback/instantiation branches; the kernel branch body is pinned
+    by test_pd_trace_grad_kernel_modes + the interpret wiring test below."""
+    from tpu_bijectors.bijectors.pd import (
+        _pd_logdensity_jnp,
+        _pd_logdensity_pallas_diffable,
+        _pd_logdensity_pallas_t,
+    )
+
+    K = 4
+    y = 0.5 * _rand(rng, 6, K * (K + 1) // 2)
+    Cm = rng.standard_normal((K, K))
+    C = jnp.asarray(Cm @ Cm.T if mode == "dot" else np.tril(Cm))
+
+    if transposed:
+        fused = lambda y, C: _pd_logdensity_pallas_t(y.T, K, C, mode)
+    else:
+        fused = lambda y, C: _pd_logdensity_pallas_diffable(y, K, C, mode)
+    ref = lambda y, C: _pd_logdensity_jnp(y, C, mode)
+
+    def scalar(f):
+        def g(y, C):
+            lj, sd, tr = f(y, C)
+            return jnp.sum(lj) + 2.0 * jnp.sum(sd) - 0.5 * jnp.sum(tr)
+
+        return g
+
+    # y-only (dC is a symbolic zero), C-only (dy symbolic zero), both
+    gy = jax.grad(scalar(fused), argnums=0)(y, C)
+    gy_ref = jax.grad(scalar(ref), argnums=0)(y, C)
+    np.testing.assert_allclose(gy, gy_ref, rtol=1e-9, atol=1e-11)
+    gC = jax.grad(scalar(fused), argnums=1)(y, C)
+    gC_ref = jax.grad(scalar(ref), argnums=1)(y, C)
+    np.testing.assert_allclose(gC, gC_ref, rtol=1e-9, atol=1e-11)
+    gy2, gC2 = jax.grad(scalar(fused), argnums=(0, 1))(y, C)
+    np.testing.assert_allclose(gy2, gy_ref, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(gC2, gC_ref, rtol=1e-9, atol=1e-11)
+
+
+@pytest.mark.parametrize("mode", ["dot", "solve"])
+def test_pd_kernel_tangent_wiring_interpret(rng, mode):
+    """The TPU solve-branch tangent assembly — affine (logJ, sumd) parts +
+    sum(gtr * dy) with gtr from the dedicated backward kernel — must equal
+    jax.jvp of the jnp composition with dC = 0 (interpret-mode kernel)."""
+    from tpu_bijectors.bijectors.pd import (
+        _pd_affine_tangents,
+        _pd_logdensity_jnp,
+    )
+    from tpu_bijectors.kernels.pd import pd_trace_grad_pallas
+
+    K = 5
+    y = 0.4 * _rand(rng, 8, K * (K + 1) // 2)
+    dy = _rand(rng, 8, K * (K + 1) // 2)
+    Cm = rng.standard_normal((K, K))
+    C = jnp.asarray(Cm @ Cm.T if mode == "dot" else np.tril(Cm))
+
+    _, (dlj_r, dsd_r, dtr_r) = jax.jvp(
+        lambda yy: _pd_logdensity_jnp(yy, C, mode), (y,), (dy,)
+    )
+    gtr = pd_trace_grad_pallas(y, K, C, mode, interpret=True)
+    dlj, dsd = _pd_affine_tangents(dy, K, -1)
+    dtr = jnp.sum(gtr * dy, axis=-1)
+    np.testing.assert_allclose(dlj, dlj_r, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(dsd, dsd_r, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(dtr, dtr_r, rtol=1e-5, atol=1e-7)
+    # transposed layout: same assembly along axis 0
+    gtrT = pd_trace_grad_pallas(y.T, K, C, mode, pre_t=True, interpret=True)
+    dljT, dsdT = _pd_affine_tangents(dy.T, K, 0)
+    np.testing.assert_allclose(dljT, dlj_r, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(dsdT, dsd_r, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(
+        jnp.sum(gtrT * dy.T, axis=0), dtr_r, rtol=1e-5, atol=1e-7
+    )
+
+
+@pytest.mark.parametrize("mode", ["dot", "solve"])
+def test_pd_tr_grad_higher_order(rng, mode):
+    """The backward-kernel wrapper stays differentiable: jvp through
+    _pd_tr_grad (its inner custom_jvp routes through the jnp AD path) must
+    match jvp of _tr_grad_jnp — forward-over-reverse (jacfwd of grad)
+    needs exactly this."""
+    from tpu_bijectors.bijectors.pd import _pd_tr_grad, _tr_grad_jnp
+
+    K = 4
+    y = 0.5 * _rand(rng, 5, K * (K + 1) // 2)
+    dy = _rand(rng, 5, K * (K + 1) // 2)
+    Cm = rng.standard_normal((K, K))
+    C = jnp.asarray(Cm @ Cm.T if mode == "dot" else np.tril(Cm))
+    dC = jnp.zeros_like(C)
+
+    out, dout = jax.jvp(
+        lambda yy, CC: _pd_tr_grad(yy, K, CC, mode, False), (y, C), (dy, dC)
+    )
+    out_r, dout_r = jax.jvp(
+        lambda yy, CC: _tr_grad_jnp(yy, CC, mode), (y, C), (dy, dC)
+    )
+    np.testing.assert_allclose(out, out_r, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(dout, dout_r, rtol=1e-9, atol=1e-11)

@@ -181,6 +181,29 @@ def test_pd_logdensity_kernel_modes(rng):
         np.testing.assert_allclose(np.asarray(tr), np.asarray(tr_r), rtol=2e-3)
 
 
+def test_pd_trace_grad_kernel_modes(rng):
+    """Dedicated PD backward kernel (kernels/pd.py pd_trace_grad_pallas):
+    d(trace)/d(y) vs AD of the jnp reference, both trace modes and both
+    layouts (batch-major and pre-transposed)."""
+    from tpu_bijectors.bijectors.pd import _tr_grad_jnp
+    from tpu_bijectors.kernels.pd import pd_trace_grad_pallas
+
+    K = 5
+    y = jnp.asarray(rng.standard_normal((64, K * (K + 1) // 2)) * 0.4, jnp.float32)
+    Cs = rng.standard_normal((K, K)).astype(np.float32)
+    Cs = Cs @ Cs.T
+    Ct = np.tril(rng.standard_normal((K, K))).astype(np.float32)
+
+    for C, mode in ((Cs, "dot"), (Ct, "solve")):
+        ref = _tr_grad_jnp(y, jnp.asarray(C), mode)
+        g = pd_trace_grad_pallas(y, K, jnp.asarray(C), mode, interpret=True)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(ref), rtol=2e-3, atol=1e-4)
+        gt = pd_trace_grad_pallas(
+            y.T, K, jnp.asarray(C), mode, pre_t=True, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(gt), np.asarray(ref.T), rtol=2e-3, atol=1e-4)
+
+
 def test_wishart_family_hook_assembly(rng):
     """The Wishart/InverseWishart fused hooks must assemble EXACTLY
     logpdf(x) + ld: checked with the jnp composition standing in for the

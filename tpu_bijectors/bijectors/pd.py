@@ -298,17 +298,91 @@ def _pd_logdensity_tangent(y, C, dy, dC, K, mode):
     return dlogJ, dsumd, dtr
 
 
-@_pd_logdensity_pallas_diffable.defjvp
-def _pd_logdensity_pallas_jvp(K, mode, primals, tangents):
+def _tr_grad_jnp(y, C, mode):
+    """d(trace)/d(y) via AD of the jnp composition (batchwise independent,
+    so grad-of-sum is the per-row partial map). Exists so the Pallas
+    trace-grad primal below stays differentiable at higher order."""
+    return jax.grad(lambda yy: jnp.sum(_pd_logdensity_jnp(yy, C, mode)[2]))(y)
+
+
+@_partial(jax.custom_jvp, nondiff_argnums=(1, 3, 4))
+def _pd_tr_grad(y, K, C, mode, pre_t):
+    """Dedicated PD backward kernel: d(trace)/d(y) in one Pallas pass
+    (kernels/pd.py::pd_trace_grad_pallas). The jnp solve-mode tangent
+    materializes K^2 (B, K) substitution rows in HBM; this keeps the
+    forward/back substitution in registers."""
+    from ..kernels.pd import pd_trace_grad_pallas
+
+    return pd_trace_grad_pallas(y, K, C, mode, pre_t=pre_t)
+
+
+@_pd_tr_grad.defjvp
+def _pd_tr_grad_jvp(K, mode, pre_t, primals, tangents):
     y, C = primals
     dy, dC = tangents
+    if pre_t:
+        y, dy = jnp.swapaxes(y, 0, 1), jnp.swapaxes(dy, 0, 1)
     if jax.default_backend() == "tpu":
+        from ..kernels.pd import pd_trace_grad_pallas
+
+        primal = pd_trace_grad_pallas(y, K, C, mode)
+    else:
+        primal = _tr_grad_jnp(y, C, mode)
+    tangent = jax.jvp(
+        lambda yy, CC: _tr_grad_jnp(yy, CC, mode), (y, C), (dy, jnp.asarray(dC))
+    )[1]
+    if pre_t:
+        primal = jnp.swapaxes(primal, 0, 1)
+        tangent = jnp.swapaxes(tangent, 0, 1)
+    return primal, tangent
+
+
+def _pd_affine_tangents(dy, K, axis):
+    """Tangents of the two affine-in-y outputs: d logJ = sum (K+1-r) dy_rr,
+    d sumd = sum_r dy_rr (diagonal slots only; the exp chain cancels
+    nowhere here — logJ/sumd are written in y, not L)."""
+    dtype = dy.dtype
+    rows, cols = _tril_rc_np(K)
+    diag = rows == cols
+    coeff = jnp.asarray(np.where(diag, K + 1.0 - rows, 0.0), dtype)
+    dmask = jnp.asarray(diag, dtype)
+    if axis == 0:  # transposed (P, B) layout
+        coeff, dmask = coeff[:, None], dmask[:, None]
+    return jnp.sum(coeff * dy, axis=axis), jnp.sum(dmask * dy, axis=axis)
+
+
+def _pd_logdensity_pallas_jvp(K, mode, primals, tangents):
+    from jax.custom_derivatives import SymbolicZero
+
+    y, C = primals
+    dy, dC = tangents
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
         from ..kernels.pd import pd_logdensity_pallas
 
         primal = pd_logdensity_pallas(y, K, C, mode)
     else:
         primal = _pd_logdensity_jnp(y, C, mode)
+    dC_zero = isinstance(dC, SymbolicZero)
+    dy_zero = isinstance(dy, SymbolicZero)
+    if dy_zero and dC_zero:
+        z = jnp.zeros_like(primal[0])
+        return primal, (z, z, z)
+    if on_tpu and dC_zero and mode == "solve" and not dy_zero:
+        # backward kernel path: the only sampler-hot case (C constant,
+        # solve-mode trace); dot mode's jnp tangent is already two packed
+        # MXU matmuls — see _pd_logdensity_tangent.
+        gtr = _pd_tr_grad(y, K, C, mode, False)
+        dlogJ, dsumd = _pd_affine_tangents(dy, K, -1)
+        return primal, (dlogJ, dsumd, jnp.sum(gtr * dy, axis=-1))
+    dy = jnp.zeros_like(y) if dy_zero else dy
+    dC = jnp.zeros_like(jnp.asarray(C, y.dtype)) if dC_zero else dC
     return primal, _pd_logdensity_tangent(y, C, dy, dC, K, mode)
+
+
+_pd_logdensity_pallas_diffable.defjvp(
+    _pd_logdensity_pallas_jvp, symbolic_zeros=True
+)
 
 
 @_partial(jax.custom_jvp, nondiff_argnums=(1, 3))
@@ -320,20 +394,36 @@ def _pd_logdensity_pallas_t(yT, K, C, mode):
     return pd_logdensity_pallas(yT, K, C, mode, pre_t=True)
 
 
-@_pd_logdensity_pallas_t.defjvp
 def _pd_logdensity_pallas_t_jvp(K, mode, primals, tangents):
+    from jax.custom_derivatives import SymbolicZero
+
     yT, C = primals
     dyT, dC = tangents
-    if jax.default_backend() == "tpu":
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
         from ..kernels.pd import pd_logdensity_pallas
 
         primal = pd_logdensity_pallas(yT, K, C, mode, pre_t=True)
     else:
         primal = _pd_logdensity_jnp(jnp.swapaxes(yT, 0, 1), C, mode)
+    dC_zero = isinstance(dC, SymbolicZero)
+    dyT_zero = isinstance(dyT, SymbolicZero)
+    if dyT_zero and dC_zero:
+        z = jnp.zeros_like(primal[0])
+        return primal, (z, z, z)
+    if on_tpu and dC_zero and mode == "solve" and not dyT_zero:
+        gtrT = _pd_tr_grad(yT, K, C, mode, True)
+        dlogJ, dsumd = _pd_affine_tangents(dyT, K, 0)
+        return primal, (dlogJ, dsumd, jnp.sum(gtrT * dyT, axis=0))
+    dyT = jnp.zeros_like(yT) if dyT_zero else dyT
+    dC = jnp.zeros_like(jnp.asarray(C, yT.dtype)) if dC_zero else dC
     tangent = _pd_logdensity_tangent(
         jnp.swapaxes(yT, 0, 1), C, jnp.swapaxes(dyT, 0, 1), dC, K, mode
     )
     return primal, tangent
+
+
+_pd_logdensity_pallas_t.defjvp(_pd_logdensity_pallas_t_jvp, symbolic_zeros=True)
 
 
 def _pd_pallas_profitable_t(yT) -> bool:

@@ -198,3 +198,116 @@ def pd_logdensity_pallas(
         interpret=interpret,
     )(yt, Cb)
     return logJ[0, :B], sumd[0, :B], tr[0, :B]
+
+
+def pd_trace_grad_pallas(
+    y, K: int, C, mode: str, *, pre_t: bool = False, interpret: bool = False
+):
+    """d(trace)/d(y): the backward kernel for the PD logdensity leaf.
+
+    The trace term of pd_logdensity_pallas is the only non-affine-in-y part
+    of the Wishart-family log-densities; its per-slot partials are (chain
+    rule through L_rr = exp(y_rr) included, lower row-major pack):
+
+      mode="dot":   d tr / d L_rc = 2 (C L)_rc            (C symmetric)
+      mode="solve": d tr / d L_rc = -2 (At A')_rc,
+                    A = L^-1 C (forward substitution),
+                    At = L^-T A (back substitution)
+
+    computed in-register in ONE pass over the (P, B) state — the jnp
+    closed-form tangent (bijectors/pd.py::_pd_logdensity_tangent, solve
+    branch) materializes K^2 (B, K) rows in HBM instead. Returns
+    gtr: (B, P) — or (P, B) with pre_t=True (no HBM relayout on the
+    transposed serving path)."""
+    assert mode in ("dot", "solve")
+    if pre_t:
+        P, B = y.shape
+    else:
+        B, P = y.shape
+    assert P == K * (K + 1) // 2
+    dtype = jnp.result_type(y, float)
+    y = y.astype(dtype)
+
+    Bp = _padded_batch(B)
+    W = _block_lanes(Bp)
+    yt = _pad_to(y, Bp, 1) if pre_t else _pad_to(y, Bp, 0).T  # (P, Bp)
+    Cb = jnp.broadcast_to(
+        jnp.asarray(C, dtype).reshape(K * K)[:, None], (K * K, W)
+    )
+
+    def kernel(y_ref, c_ref, g_ref, l_s, a_s, at_s):
+        diag = [None] * K
+        inv_diag = [None] * K
+        for r in range(K):
+            base = r * (r + 1) // 2
+            yd = y_ref[base + r, :].reshape(1, W)
+            diag[r] = jnp.exp(yd)
+            inv_diag[r] = jnp.exp(-yd)
+            for c in range(r):
+                l_s[r * K + c, :] = y_ref[base + c, :]
+            l_s[r * K + r, :] = diag[r][0, :]
+
+        if mode == "dot":
+            # g_rc = 2 (C L)_rc = 2 sum_{a >= c} C[r, a] L[a, c]
+            for r in range(K):
+                base = r * (r + 1) // 2
+                for c in range(r + 1):
+                    cl = jnp.zeros((1, W), dtype)
+                    for a in range(c, K):
+                        cl = cl + c_ref[r * K + a, :].reshape(1, W) * l_s[
+                            a * K + c, :
+                        ].reshape(1, W)
+                    g = 2.0 * cl
+                    if c == r:
+                        g = g * diag[r]
+                    g_ref[base + c, :] = g[0, :]
+        else:
+            # A = L^-1 C (forward), At = L^-T A (back), g = -2 At A'
+            for i in range(K):
+                for j in range(K):
+                    acc = c_ref[i * K + j, :].reshape(1, W)
+                    for k in range(i):
+                        acc = acc - l_s[i * K + k, :].reshape(1, W) * a_s[
+                            k * K + j, :
+                        ].reshape(1, W)
+                    a_s[i * K + j, :] = (acc * inv_diag[i])[0, :]
+            for i in range(K - 1, -1, -1):
+                for j in range(K):
+                    acc = a_s[i * K + j, :].reshape(1, W)
+                    for k in range(i + 1, K):
+                        acc = acc - l_s[k * K + i, :].reshape(1, W) * at_s[
+                            k * K + j, :
+                        ].reshape(1, W)
+                    at_s[i * K + j, :] = (acc * inv_diag[i])[0, :]
+            for r in range(K):
+                base = r * (r + 1) // 2
+                for c in range(r + 1):
+                    ata = jnp.zeros((1, W), dtype)
+                    for j in range(K):
+                        ata = ata + at_s[r * K + j, :].reshape(1, W) * a_s[
+                            c * K + j, :
+                        ].reshape(1, W)
+                    g = -2.0 * ata
+                    if c == r:
+                        g = g * diag[r]
+                    g_ref[base + c, :] = g[0, :]
+
+    gt = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((P, Bp), dtype),
+        grid=(Bp // W,),
+        in_specs=[
+            pl.BlockSpec((P, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K * K, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (P, W), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((K * K, W), dtype),
+            pltpu.VMEM((K * K, W), dtype),
+            pltpu.VMEM((K * K, W), dtype),
+        ],
+        interpret=interpret,
+    )(yt, Cb)
+    return gt[:, :B] if pre_t else gt[:, :B].T
