@@ -20,36 +20,32 @@ from .fused_base import _Entry, _Unsupported
 # ---------------------------------------------------------------------------
 
 
-# Mosaic-safe elementwise/structural primitives: the v-dependent part of a
-# traced scalar entry may only contain these (anything param-only — gammaln
-# normalizers, cdf bounds of a truncation, bessel constants — is hoisted
-# into the params operand by partial evaluation, so it never hits this
-# check). Reductions over a small trailing axis (mixtures) are allowed.
-_SAFE_PRIMS = frozenset({
-    "add", "add_any", "sub", "mul", "div", "rem", "neg", "abs", "sign",
-    "max", "min",
-    "exp", "exp2", "log", "log1p", "expm1", "logistic", "tanh", "sqrt",
-    "rsqrt", "cbrt", "square", "pow", "integer_pow", "floor", "ceil",
-    "round", "sin", "cos", "tan", "atan", "atan2", "asin", "acos",
-    "sinh", "cosh", "asinh", "acosh", "atanh", "log2", "exp2",
-    "gt", "lt", "ge", "le", "eq", "ne", "and", "or", "not", "xor",
-    "select_n", "clamp", "is_finite", "nextafter", "sign", "copy",
-    "convert_element_type", "broadcast_in_dim", "reshape", "squeeze",
-    "concatenate", "split", "slice", "stop_gradient", "transpose",
-    "reduce_sum", "reduce_max", "reduce_min", "reduce_and", "reduce_or",
-    "cumsum", "rev", "iota", "pad",
-})
-_STRUCTURAL_PRIMS = frozenset({
-    "jit", "pjit", "custom_jvp_call", "custom_vjp_call",
-    "custom_jvp_call_jaxpr", "custom_vjp_call_jaxpr", "closed_call",
-    "core_call", "remat", "checkpoint",
-})
+# Admission whitelist = primitives MEASURED to lower through Mosaic on the
+# real TPU (fused_decomp._LOWERABLE, pinned to PRIM_LOWERING.json) plus the
+# primitives fused_decomp rewrites into lowerable compositions at kernel
+# trace time. Anything param-only — gammaln normalizers, cdf bounds of a
+# truncation, bessel constants — is hoisted into the params operand by
+# partial evaluation, so it never hits this check. Round-3 lesson: CPU
+# interpret mode is NOT evidence of lowerability (TPUSWEEP_r03.txt:4 —
+# whitelisted `asinh` crashed on chip); the scan therefore runs on jaxprs
+# traced THROUGH `eval_decomposed`, i.e. on exactly what Mosaic compiles.
+from .fused_decomp import (  # noqa: E402
+    _DECOMP,
+    _LOWERABLE,
+    _STRUCTURAL_PRIMS,
+    _eqn_lowerable,
+    eval_decomposed,
+)
+
+_SAFE_PRIMS = _LOWERABLE | frozenset(_DECOMP)  # admission set (pre-decomp)
 
 
-def _scan_safe(closed_jaxpr, budget=128):
+def _scan_safe(closed_jaxpr, budget=256):
     """Raise _Unsupported unless every primitive in the jaxpr (recursing
-    through structural wrappers) is Mosaic-safe and the total op count is
-    within budget (keeps kernel compile time and VMEM pressure bounded)."""
+    through structural wrappers) is measured-lowerable on the real Mosaic
+    backend and the total op count is within budget (keeps kernel compile
+    time and VMEM pressure bounded). Call this on DECOMPOSED jaxprs only
+    (built by tracing through `eval_decomposed`)."""
     seen = 0
 
     def subjaxprs(eqn):
@@ -70,7 +66,7 @@ def _scan_safe(closed_jaxpr, budget=128):
                 for s in subs:
                     walk(s.jaxpr if isinstance(s, ClosedJaxpr) else s)
                 continue
-            if name not in _SAFE_PRIMS:
+            if not _eqn_lowerable(eqn):
                 raise _Unsupported
             seen += 1
             if seen > budget:
@@ -137,13 +133,20 @@ def _pe_split_admit(leaves0, treedef, lp_fn, ex_shape, out_shape, deriv):
         ):
             raise _Unsupported
         specs = [(int(a.size), tuple(a.shape)) for a in res_avals0]
-        _scan_safe(unk0)
 
         def kfn0(v, *res):
-            return eval_jaxpr(unk0.jaxpr, unk0.consts, *res, v)[0].reshape(())
+            out = eval_decomposed(unk0, *res, v)[0]
+            # no-op () -> () reshapes must not be emitted: Mosaic's
+            # verifier rejects the scalar vector.broadcast they lower to
+            # under the transpose pass (seen on chip, r4 sweep)
+            return out if jnp.ndim(out) == 0 else out.reshape(())
 
         res_ex = [jnp.zeros(a.shape, a.dtype) for a in res_avals0]
         ex = jnp.zeros(ex_shape, jnp.float32)
+        # safety is proven on the DECOMPOSED value and derivative jaxprs —
+        # i.e. on exactly the ops the kernel body will hand to Mosaic
+        # (tracing kfn0 applies fused_decomp's rewrites + inlining)
+        _scan_safe(jax.make_jaxpr(kfn0)(ex, *res_ex))
         if deriv == "jvp":
             dj = jax.make_jaxpr(
                 lambda v, *r: jax.jvp(
@@ -154,7 +157,7 @@ def _pe_split_admit(leaves0, treedef, lp_fn, ex_shape, out_shape, deriv):
             dj = jax.make_jaxpr(
                 lambda v, *r: jax.grad(lambda vv: kfn0(vv, *r))(v)
             )(ex, *res_ex)
-        _scan_safe(dj)
+        _scan_safe(dj, budget=512)
     except _Unsupported:
         raise
     except Exception:
@@ -173,7 +176,8 @@ def _pe_split_admit(leaves0, treedef, lp_fn, ex_shape, out_shape, deriv):
             rs = [
                 ri if s == () else ri.reshape(s) for ri, s in zip(r, shapes)
             ]
-            return eval_jaxpr(unknown.jaxpr, unknown.consts, *rs, v)[0].reshape(())
+            out = eval_decomposed(unknown, *rs, v)[0]
+            return out if jnp.ndim(out) == 0 else out.reshape(())
 
         cell["fn"] = fn
         return [jnp.asarray(r, dtype) for r in res]
@@ -256,9 +260,10 @@ def _traced_vector_entry(leaf, row0, prow0):
     with no hand-written kernel form — e.g. JointOrderStatistics (ordered
     link: cumsum/rev recurrences). Same partial-eval + primitive-scan
     admission as `_traced_scalar_entry` (see `_pe_split_admit`; the traced
-    body is evaluated on a one-row batch and must return exactly ONE
-    density, so batched-parameter leaves decline rather than silently
-    evaluating group 0 only). The traced function maps the whole (L,)
+    body runs UNBATCHED on the (L,) event and must return exactly ONE
+    density — a batched-parameter leaf broadcasts to (G,) and fails the
+    scalar reshape, declining rather than silently evaluating group 0
+    only). The traced function maps the whole (L,)
     linked event to its scalar linked density; partials come from ONE
     reverse pass (`jax.grad`), whose transpose jaxpr is scanned for safety
     too. In-kernel the L rows are stacked to (W, L) and the body vmapped
@@ -269,10 +274,16 @@ def _traced_vector_entry(leaf, row0, prow0):
     leaves0, treedef = jax.tree_util.tree_flatten(leaf)
 
     def lp1(v, leaf2):
-        return leaf2.linked_logdensity(v[None, :])
+        # UNBATCHED (L,) -> scalar body: a (1, L) internal batch would put
+        # rank-2 intermediates under the kernel's per-lane vmap, and the
+        # resulting rank-3 broadcasts have no Mosaic lowering ("unsupported
+        # shape cast", first seen on chip in the r4 sweep — CPU interpret
+        # mode accepts them, another instance of the r3 lesson)
+        out = leaf2.linked_logdensity(v)
+        return out if jnp.ndim(out) == 0 else jnp.reshape(out, ())
 
     cell, specs, n_params, params, consts_of = _pe_split_admit(
-        leaves0, treedef, lp1, (L,), (1,), "grad"
+        leaves0, treedef, lp1, (L,), (), "grad"
     )
 
     def _vstack(rr, W):
