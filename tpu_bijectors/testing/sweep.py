@@ -24,6 +24,12 @@ Port of the reference's shipped harness entry point
                           inverse-link logdet vs central differences (the
                           reference's test_ad tier, :639-717) — catches
                           silently-zero gradients in link rules
+9. full Jacobian        — jacfwd == jacrev of from_linked_vec (wrong
+                          custom transpose rules) and both vs elementwise
+                          central differences — localizes a property-8
+                          style disagreement to the exact matrix element
+                          (reference test_ad compares whole Jacobians per
+                          backend, :639-717)
 
 The reference's zero-allocation check (:504-543) has no analogue under XLA
 (everything is compiled); its role is covered by check 3.
@@ -279,29 +285,82 @@ def test_all(
     # (/root/reference/src/vector/test_utils.jl:639-717). This is the
     # property that catches silently-zero gradients (e.g. a quantile link
     # without an implicit-diff rule).
+    #
+    # FD step/tolerance model (round 4, KNOWN_BROKEN.md R3-2): the FD side
+    # carries EVALUATION roundoff δf ≈ κ·eps·(1 + |f|) with κ ≈ 64 measured
+    # on the v5e (TPU transcendental chains run ~10-100 ulps hotter than
+    # CPU — tools/namedproduct_grad_probe.py pinned a 9.2%-relative FD
+    # excursion at h = eps^(1/3) while f32 AD matched the f64 oracle to
+    # 1e-7). h* = (κ eps (1+|f|))^(1/3) balances truncation against δf/h,
+    # and the bound carries the matching roundoff floor 2(κ eps (1+|f|))^(2/3).
+    # In f64 both terms sit far below the 1e-6 gtol floor — the CPU suite's
+    # rigor is unchanged; only the f32 hardware tier gets an honest bar.
     if check_grad and "grad" not in skip and not discrete:
         y = jnp.asarray(
             rng.standard_normal(u.linked_vec_length) * 0.3 * inverse_scale
         )
         dim = u.linked_vec_length
-        h = eps ** (1.0 / 3.0)  # ~6e-6 in f64, ~5e-3 in f32
-        # FD error ~ eps^(2/3): truncation h²f''' + roundoff eps/h
+        kappa = 64.0
         gtol = max(1e-6, 200.0 * eps ** (2.0 / 3.0))
-        E = jnp.eye(dim, dtype=y.dtype) * h
         for name, f in (
             ("linked_logdensity", u.linked_logdensity),
             ("inverse logdet", lambda v: u.from_linked_vec(v)[1]),
         ):
+            f0 = 1.0 + abs(float(jnp.max(jnp.abs(f(y[None, :])))))
+            h = (kappa * eps * f0) ** (1.0 / 3.0)
+            fd_floor = 2.0 * (kappa * eps * f0) ** (2.0 / 3.0)
+            E = jnp.eye(dim, dtype=y.dtype) * h
             g = np.asarray(jax.grad(lambda v: jnp.sum(f(v)))(y))
             fd = np.asarray((f(y + E) - f(y - E)) / (2.0 * h))
             scale = 1.0 + np.abs(fd).max()
             np.testing.assert_allclose(
-                g, fd, atol=gtol * scale, rtol=gtol,
+                g, fd, atol=gtol * scale + fd_floor, rtol=gtol,
                 err_msg=(
                     f"grad({name}) disagrees with central differences for "
                     f"{type(d).__name__} (zero-gradient link rule missing?)"
                 ),
             )
+
+    # 9. full per-element Jacobian of the inverse link: jacfwd == jacrev
+    # (catches a wrong custom transpose/VJP even where the summed gradient
+    # of property 8 cancels) and both match central differences elementwise
+    # — the reference's test_ad compares whole Jacobians per backend
+    # (/root/reference/src/vector/test_utils.jl:639-717). Localizes a
+    # disagreement to the (output element, input element) pair.
+    if check_grad and "jacobian" not in skip and not discrete:
+        y = jnp.asarray(
+            rng.standard_normal(u.linked_vec_length) * 0.3 * inverse_scale
+        )
+        dim = u.linked_vec_length
+
+        def gvec(v):
+            return u.to_vec(u.from_linked_vec(v)[0])
+
+        Jf = np.asarray(jax.jacfwd(gvec)(y))
+        Jr = np.asarray(jax.jacrev(gvec)(y))
+        np.testing.assert_allclose(
+            Jf, Jr, atol=max(1e-12, 10.0 * eps) * (1.0 + np.abs(Jf).max()),
+            rtol=100.0 * eps,
+            err_msg=(
+                f"jacfwd != jacrev of from_linked_vec for {type(d).__name__}"
+                " (wrong custom transpose rule?)"
+            ),
+        )
+        kappa = 64.0
+        f0 = 1.0 + float(np.abs(np.asarray(gvec(y))).max())
+        h = (kappa * eps * f0) ** (1.0 / 3.0)
+        fd_floor = 2.0 * (kappa * eps * f0) ** (2.0 / 3.0)
+        gtol = max(1e-6, 200.0 * eps ** (2.0 / 3.0))
+        E = jnp.eye(dim, dtype=y.dtype) * h
+        Jfd = np.asarray((gvec(y + E) - gvec(y - E)) / (2.0 * h)).T
+        np.testing.assert_allclose(
+            Jf, Jfd, atol=gtol * (1.0 + np.abs(Jfd).max()) + fd_floor,
+            rtol=gtol,
+            err_msg=(
+                f"AD Jacobian of from_linked_vec disagrees with central "
+                f"differences for {type(d).__name__}"
+            ),
+        )
 
     # 7. logpdf_with_trans consistency through the unconstrainer
     if check_logpdf and "logpdf" not in skip and not discrete and isinstance(u, LeafUnconstrainer):
