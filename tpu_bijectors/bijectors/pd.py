@@ -264,9 +264,9 @@ def _pd_logdensity_tangent(y, C, dy, dC, K, mode):
     ed = jnp.exp(jnp.where(diag, y, 0.0))
     Lp = jnp.where(diag, ed, y)  # packed L
     dLp = jnp.where(diag, ed * dy, dy)  # packed dL
-    coeff = jnp.asarray(np.where(diag, K + 1.0 - rows, 0.0), dtype)
-    dlogJ = jnp.sum(coeff * dy, axis=-1)
-    dsumd = jnp.sum(jnp.asarray(diag, dtype) * dy, axis=-1)
+    # the affine dlogJ/dsumd coefficient algebra lives ONCE, in
+    # _pd_affine_tangents (shared with the backward-kernel fast path)
+    dlogJ, dsumd = _pd_affine_tangents(dy, K, -1)
     if mode == "dot":
         dtr = jnp.sum(Lp * _packed_colmix(Lp, dC, K), axis=-1) + 2.0 * jnp.sum(
             _packed_colmix(Lp, C, K) * dLp, axis=-1
@@ -318,21 +318,24 @@ def _pd_tr_grad(y, K, C, mode, pre_t):
 
 @_pd_tr_grad.defjvp
 def _pd_tr_grad_jvp(K, mode, pre_t, primals, tangents):
+    # only reached under SECOND-order differentiation of the logdensity;
+    # the pre_t primal stays on the kernel's native (P, B) layout (no HBM
+    # relayout) — only the jnp tangent reference swaps axes.
     y, C = primals
     dy, dC = tangents
-    if pre_t:
-        y, dy = jnp.swapaxes(y, 0, 1), jnp.swapaxes(dy, 0, 1)
     if jax.default_backend() == "tpu":
         from ..kernels.pd import pd_trace_grad_pallas
 
-        primal = pd_trace_grad_pallas(y, K, C, mode)
+        primal = pd_trace_grad_pallas(y, K, C, mode, pre_t=pre_t)
     else:
-        primal = _tr_grad_jnp(y, C, mode)
+        primal = _tr_grad_jnp(jnp.swapaxes(y, 0, 1) if pre_t else y, C, mode)
+        if pre_t:
+            primal = jnp.swapaxes(primal, 0, 1)
+    yb, dyb = (jnp.swapaxes(y, 0, 1), jnp.swapaxes(dy, 0, 1)) if pre_t else (y, dy)
     tangent = jax.jvp(
-        lambda yy, CC: _tr_grad_jnp(yy, CC, mode), (y, C), (dy, jnp.asarray(dC))
+        lambda yy, CC: _tr_grad_jnp(yy, CC, mode), (yb, C), (dyb, jnp.asarray(dC))
     )[1]
     if pre_t:
-        primal = jnp.swapaxes(primal, 0, 1)
         tangent = jnp.swapaxes(tangent, 0, 1)
     return primal, tangent
 

@@ -209,7 +209,10 @@ def pd_trace_grad_pallas(
     of the Wishart-family log-densities; its per-slot partials are (chain
     rule through L_rr = exp(y_rr) included, lower row-major pack):
 
-      mode="dot":   d tr / d L_rc = 2 (C L)_rc            (C symmetric)
+      mode="dot":   d tr / d L_rc = ((C + C') L)_rc = 2 (C L)_rc for the
+                    symmetric C every current caller passes — C is
+                    symmetrized below so the kernel matches AD of
+                    tr(L' C L) for ANY input
       mode="solve": d tr / d L_rc = -2 (At A')_rc,
                     A = L^-1 C (forward substitution),
                     At = L^-T A (back substitution)
@@ -231,9 +234,13 @@ def pd_trace_grad_pallas(
     Bp = _padded_batch(B)
     W = _block_lanes(Bp)
     yt = _pad_to(y, Bp, 1) if pre_t else _pad_to(y, Bp, 0).T  # (P, Bp)
-    Cb = jnp.broadcast_to(
-        jnp.asarray(C, dtype).reshape(K * K)[:, None], (K * K, W)
-    )
+    C = jnp.asarray(C, dtype)
+    if mode == "dot":
+        # the dot branch below computes 2 (C L); the general gradient of
+        # tr(L' C L) is ((C + C') L) — symmetrize so the kernel matches AD
+        # for ANY C (a no-op for the symmetric S^-1 current callers pass)
+        C = 0.5 * (C + C.T)
+    Cb = jnp.broadcast_to(C.reshape(K * K)[:, None], (K * K, W))
 
     def kernel(y_ref, c_ref, g_ref, l_s, a_s, at_s):
         diag = [None] * K
