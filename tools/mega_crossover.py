@@ -41,10 +41,13 @@ def model():
 
 
 def step_fns():
-    from tpu_bijectors.vectorize.fused_kernel import _mega_diffable
+    from tpu_bijectors.vectorize.fused_kernel import (
+        _mega_diffable,
+        mega_value_and_grad_t,
+    )
 
     def mega(vT, priors):
-        # force the fused kernel regardless of the MIN_BATCH gate
+        # force the fused kernel regardless of the dispatch band
         return _mega_diffable(unconstrain(priors), vT)
 
     def composed(vT, priors):
@@ -57,14 +60,22 @@ def step_fns():
         finally:
             kernels.enable(True)
 
-    return {"mega": mega, "composed": composed, "jnp": jnp_path}
+    def megavg(vT, priors):
+        # the ONE-PASS fused value-and-grad kernel (leapfrog fast path);
+        # only meaningful in grad mode — prog() consumes (lp, g) directly
+        return mega_value_and_grad_t(unconstrain(priors), vT)
+
+    return {"mega": mega, "composed": composed, "jnp": jnp_path, "megavg": megavg}
 
 
-def prog(step, n, B, grad: bool):
+def prog(step, n, B, grad: bool, direct_vg: bool = False):
     @jax.jit
     def many(vT, priors):
         def body(carry, _):
             vv = vT + 1e-3 * jnp.tanh(0.01 * carry[None, :])
+            if direct_vg:
+                lp, g = step(vv, priors)
+                return lp + 1e-6 * g[0, :], None
             if grad:
                 lp, g = jax.value_and_grad(lambda v: jnp.sum(step(v, priors)))(vv)
                 return lp + 1e-6 * g[0, :], None
@@ -83,15 +94,17 @@ def t2f(p, vT, priors):
     return time.perf_counter() - t0
 
 
-def slope(step, vT, priors, B, grad, reps=3):
+def slope(step, vT, priors, B, grad, reps=3, direct_vg=False):
     # size the spread for >= ~60 ms of signal
-    p4, p20 = prog(step, 4, B, grad), prog(step, 20, B, grad)
+    p4 = prog(step, 4, B, grad, direct_vg)
+    p20 = prog(step, 20, B, grad, direct_vg)
     t2f(p4, vT, priors)
     t2f(p20, vT, priors)
     per0 = max((t2f(p20, vT, priors) - t2f(p4, vT, priors)) / 16, 2e-7)
     n1 = 8
     n2 = n1 + min(4096, max(64, int(0.06 / per0)))
-    pa, pb = prog(step, n1, B, grad), prog(step, n2, B, grad)
+    pa = prog(step, n1, B, grad, direct_vg)
+    pb = prog(step, n2, B, grad, direct_vg)
     t2f(pa, vT, priors)
     t2f(pb, vT, priors)
     pers = sorted(
@@ -108,9 +121,12 @@ def main():
     dim = u.linked_vec_length
     fns = step_fns()
 
-    batches = [64, 128, 256, 512, 1024, 4096, 131072]
+    # includes the chain counts real NUTS users run (4-64), per VERDICT r3
+    # item 3, plus the mid band where the composed path was measured to win
+    # (the upper re-entry point sets kernels.MEGA_OFF_BAND)
+    batches = [4, 16, 64, 128, 256, 512, 1024, 4096, 8192, 16384, 32768, 131072]
     if quick:
-        batches = [64, 256, 1024]
+        batches = [4, 64, 1024, 16384]
 
     # handshake on a tiny program
     v0 = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (dim, 64))
@@ -125,15 +141,20 @@ def main():
         for grad in (False, True):
             tag = "vg" if grad else "v"
             for name, fn in fns.items():
-                per = slope(fn, vT, priors, B, grad)
+                if name == "megavg" and not grad:
+                    continue
+                per = slope(fn, vT, priors, B, grad, direct_vg=name == "megavg")
                 row[f"{name}_{tag}_us"] = round(per * 1e6, 2)
             row[f"mega_wins_{tag}"] = row[f"mega_{tag}_us"] <= min(
                 row[f"composed_{tag}_us"], row[f"jnp_{tag}_us"]
             )
+        row["megavg_wins"] = row["megavg_vg_us"] <= min(
+            row["composed_vg_us"], row["jnp_vg_us"], row["mega_vg_us"]
+        )
         rows.append(row)
         print(row, flush=True)
 
-    # crossover = smallest B where mega wins value AND value-and-grad
+    # value-path crossover band: mega wins outside [lo, hi)
     cross = next(
         (r["B"] for r in rows if r["mega_wins_v"] and r["mega_wins_vg"]), None
     )

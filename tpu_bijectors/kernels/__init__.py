@@ -27,9 +27,30 @@ MIN_BATCH = 1024
 # The WHOLE-MODEL fused kernel (vectorize/fused_kernel.py) has different
 # economics than the per-leaf kernels — one HBM pass over the (dim, B)
 # state vs ~4 — so its crossover is measured separately at realistic NUTS
-# chain counts by tools/mega_crossover.py (artifact MEGA_CROSSOVER.json)
-# and gates Model.sample(kernel='auto').
-MIN_BATCH_MEGA = 1024  # set from the measured crossover (MEGA_CROSSOVER.json)
+# chain counts by tools/mega_crossover.py (artifact MEGA_CROSSOVER.json,
+# measured at B in {4..131072} on the v5e). The measured shape is a BAND,
+# not a threshold: mega wins at every B BELOW MIN_BATCH (the per-leaf
+# kernels are gated off there, and mega beats the jnp fallback ~2x even at
+# B=4: 13 vs 25 us) and again at large B; the composed per-leaf path wins
+# in between (5.9 vs 14.3 us at B=1024). try_mega dispatches outside
+# MEGA_OFF_BAND = [lo, hi).
+# Measured 2026-08-20 (MEGA_CROSSOVER.json): value-path mega wins at
+# B <= 512 (13-18 us vs 24-28 us jnp) and at 131072 (300 vs 308 us
+# composed); composed wins 1024..32768 (5.7 vs 18.1 us at 1024, 63 vs
+# 87 us at 32768) — upper re-entry interpolated at 65536.
+MEGA_OFF_BAND = (1024, 65536)
+# The ONE-PASS fused value-and-grad kernel (mega_value_and_grad_t — the
+# NUTS leapfrog fast path) has better economics (state read once, grads
+# written in the same pass): it wins everywhere except 1024..4096
+# (megavg 16.8/18.4/32.0/34.6 us at B=4/1024/4096/8192 vs composed
+# 61.6/10.2/24.3/49.1).
+MEGA_VG_OFF_BAND = (1024, 8192)
+# Model.sample(kernel='auto') gate: with the fused value-and-grad kernel
+# the transposed whole-model NUTS is profitable at every chain count
+# outside the (tiny) off band, where the transposed composed path is
+# still on par with batch-major — so 'auto' only requires plan
+# eligibility + TPU.
+MIN_BATCH_MEGA = 1  # superseded by the bands above; kept for Model.sample
 MAX_K = {
     "simplex": 32,  # kernels/simplex.py: K-1 sublane steps
     "lkj": 16,  # kernels/lkj.py: K(K-1)/2 packed recurrence

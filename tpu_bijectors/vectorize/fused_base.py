@@ -75,6 +75,107 @@ NCF = NK + 1
 
 _ALL_KEYS = frozenset(_COEF_KEYS)
 
+# Term groups for BANDED slab evaluation (round 4): each transcendental
+# pass runs only over the 8-aligned union row range of the slab entries
+# that assign its weight key, instead of the full (dim, W) block — on the
+# bench model the exp pass served 8 LogNormal rows out of 151 (95% waste).
+# Auxiliary columns (m, sa, sb, ea, eb, la) ride with their weight key's
+# group. "cheap" terms (no transcendental) share one band.
+_GROUP_OF = {
+    "c0": "cheap", "c1": "cheap", "cq": "cheap", "c3p": "cheap",
+    "c3n": "cheap", "m": "cheap",
+    "c4": "sp", "sa": "sp", "sb": "sp",
+    "c5": "exp", "ea": "exp", "eb": "exp",
+    "c6": "l1p", "la": "l1p",
+}
+_GROUP_KEYS = {
+    "cheap": frozenset({"m", "c0", "c1", "cq", "c3p", "c3n"}),
+    "sp": frozenset({"m", "c4", "sa", "sb"}),
+    "exp": frozenset({"c5", "ea", "eb"}),
+    "l1p": frozenset({"m", "c6", "la"}),
+}
+
+
+def _zguard(c, term):
+    """Exact 0 for zero-coefficient rows even at V = +/-inf: a band spans
+    rows of MIXED families, so e.g. a Normal-owned `cq` column is 0 on a
+    Laplace/Dirichlet row — 0 * inf would NaN the whole lane there. The
+    where selects per ROW (c is (rows, 1)-broadcast), so finite-coefficient
+    rows keep the exact term (incl. legitimate +/-inf limits)."""
+    return jnp.where(c == 0.0, jnp.zeros_like(term), term)
+
+
+def _slab_group_value(group, V, cf, used):
+    """One term group of the slab closed form, evaluated on a row BAND
+    (V, cf already sliced). Same math as _slab_value restricted to the
+    group's terms — the kernel sums each group's band and adds them."""
+    col = lambda k: cf[:, _CI[k]][:, None]
+    V = _slab_mask_v(V, cf)
+    D = (V - col("m")) if "m" in used else V
+    acc = jnp.zeros((cf.shape[0], 1), V.dtype)
+    if group == "cheap":
+        U = jnp.abs(D)
+        acc = acc + col("c0")
+        out = jnp.broadcast_to(acc, V.shape)
+        if "c1" in used:
+            out = out + _zguard(col("c1"), col("c1") * V)
+        if "cq" in used:
+            out = out + _zguard(col("cq"), col("cq") * (D * D))
+        if "c3p" in used or "c3n" in used:
+            sel3 = jnp.where(D >= 0, col("c3p"), col("c3n"))
+            out = out + _zguard(sel3, sel3 * U)
+        return out
+    if group == "sp":
+        U = jnp.abs(D)
+        sp_arg = col("sa") * U
+        if "sb" in used:
+            sp_arg = sp_arg + col("sb")
+        return _zguard(col("c4"), col("c4") * jax.nn.softplus(sp_arg))
+    if group == "exp":
+        e_arg = col("ea") * V
+        if "eb" in used:
+            e_arg = e_arg + col("eb")
+        return _zguard(col("c5"), col("c5") * jnp.exp(e_arg))
+    t = col("la") * D
+    return _zguard(col("c6"), col("c6") * jnp.log1p(t * t))
+
+
+def _slab_group_partial(group, V, cf, used):
+    """d(group terms)/dV on a row band — matches _slab_partial restricted
+    to the group (same tie conventions)."""
+    col = lambda k: cf[:, _CI[k]][:, None]
+    V = _slab_mask_v(V, cf)
+    D = (V - col("m")) if "m" in used else V
+    if group == "cheap":
+        sgn = jnp.sign(D)
+        g = jnp.zeros((cf.shape[0], 1), V.dtype)
+        if "c1" in used:
+            g = g + col("c1")
+        out = jnp.broadcast_to(g, V.shape)
+        if "cq" in used:
+            out = out + _zguard(col("cq"), 2.0 * col("cq") * D)
+        if "c3p" in used or "c3n" in used:
+            sel3 = jnp.where(D >= 0, col("c3p"), col("c3n"))
+            out = out + sel3 * sgn
+        return out
+    if group == "sp":
+        U = jnp.abs(D)
+        sgn = jnp.sign(D)
+        sp_arg = col("sa") * U
+        if "sb" in used:
+            sp_arg = sp_arg + col("sb")
+        return _zguard(
+            col("c4"), col("c4") * col("sa") * sgn * jax.nn.sigmoid(sp_arg)
+        )
+    if group == "exp":
+        e_arg = col("ea") * V
+        if "eb" in used:
+            e_arg = e_arg + col("eb")
+        return _zguard(col("c5"), col("c5") * col("ea") * jnp.exp(e_arg))
+    la = col("la")
+    t = la * D
+    return _zguard(col("c6"), col("c6") * (2.0 * la * la * D) / (1.0 + t * t))
+
 
 def _slab_mask_v(V, cf):
     """Zero the loop-entry rows of V (ownership column 0) so slab terms on
@@ -82,75 +183,43 @@ def _slab_mask_v(V, cf):
     return jnp.where(cf[:, _MASK_COL][:, None] > 0, V, 0.0)
 
 
+def _used_groups(used):
+    out = ["cheap"]
+    if "c4" in used:
+        out.append("sp")
+    if "c5" in used:
+        out.append("exp")
+    if "c6" in used:
+        out.append("l1p")
+    return out
+
+
 def _slab_value(V, cf, used=_ALL_KEYS):
     """(dim, W) slab log-density: per-row coefficients broadcast over lanes.
 
-    `used` is the trace-time set of coefficient keys any slab entry assigns
-    (see _prep): terms whose weight column is statically all-zero are not
-    emitted at all, so e.g. a Normal/LKJ-only model skips the exp and log1p
-    passes entirely — the transcendentals are the kernel's bound, not HBM."""
-    col = lambda k: cf[:, _CI[k]][:, None]
-    V = _slab_mask_v(V, cf)
-    D = (V - col("m")) if "m" in used else V
-    U = jnp.abs(D)
-    acc = col("c0")
-    if "c1" in used:
-        acc = acc + col("c1") * V
-    if "cq" in used:
-        acc = acc + col("cq") * (D * D)
-    if "c3p" in used or "c3n" in used:
-        sel3 = jnp.where(D >= 0, col("c3p"), col("c3n"))
-        acc = acc + sel3 * U
-    if "c4" in used:
-        sp_arg = col("sa") * U
-        if "sb" in used:
-            sp_arg = sp_arg + col("sb")
-        acc = acc + col("c4") * jax.nn.softplus(sp_arg)
-    if "c5" in used:
-        e_arg = col("ea") * V
-        if "eb" in used:
-            e_arg = e_arg + col("eb")
-        acc = acc + col("c5") * jnp.exp(e_arg)
-    if "c6" in used:
-        t = col("la") * D
-        acc = acc + col("c6") * jnp.log1p(t * t)
+    Full-block form = the sum of every used term group over the whole
+    block (the kernels evaluate groups on their static row BANDS instead —
+    see _slab_group_value / fused_kernel._prep; this wrapper keeps the
+    closed form in ONE place for tests/tools). `used` is the trace-time
+    set of assigned coefficient keys: terms whose weight column is
+    statically all-zero are never emitted — the transcendentals are the
+    kernel's bound, not HBM."""
+    acc = None
+    for g in _used_groups(used):
+        t = _slab_group_value(g, V, cf, used)
+        acc = t if acc is None else acc + t
     return jnp.broadcast_to(acc, V.shape)
 
 
 def _slab_partial(V, cf, used=_ALL_KEYS):
-    """(dim, W) d lp / d V of the slab form. Matches the composed path's
-    tie conventions where they are defined by jnp.abs (sign(0) = 0); the
+    """(dim, W) d lp / d V of the slab form (full-block sum of the group
+    partials — see _slab_group_partial). Matches the composed path's tie
+    conventions where they are defined by jnp.abs (sign(0) = 0); the
     signed-softplus decomposition makes the partial 0 at the measure-zero
     point D == 0 for Beta/Pareto/HalfCauchy (the composed path's smooth
-    sigmoid form is nonzero there) — irrelevant off that exact point.
-
-    Honors the same statically-used key set as _slab_value: unused
-    sigmoid/exp passes are never emitted."""
-    col = lambda k: cf[:, _CI[k]][:, None]
-    V = _slab_mask_v(V, cf)
-    D = (V - col("m")) if "m" in used else V
-    U = jnp.abs(D)
-    sgn = jnp.sign(D)
-    g = jnp.zeros((cf.shape[0], 1), V.dtype)
-    if "c1" in used:
-        g = g + col("c1")
-    if "cq" in used:
-        g = g + 2.0 * col("cq") * D
-    if "c3p" in used or "c3n" in used:
-        sel3 = jnp.where(D >= 0, col("c3p"), col("c3n"))
-        g = g + sel3 * sgn
-    if "c4" in used:
-        sp_arg = col("sa") * U
-        if "sb" in used:
-            sp_arg = sp_arg + col("sb")
-        g = g + col("c4") * col("sa") * sgn * jax.nn.sigmoid(sp_arg)
-    if "c5" in used:
-        e_arg = col("ea") * V
-        if "eb" in used:
-            e_arg = e_arg + col("eb")
-        g = g + col("c5") * col("ea") * jnp.exp(e_arg)
-    if "c6" in used:
-        la = col("la")
-        t = la * D
-        g = g + col("c6") * (2.0 * la * la * D) / (1.0 + t * t)
-    return jnp.broadcast_to(g, V.shape)
+    sigmoid form is nonzero there) — irrelevant off that exact point."""
+    acc = None
+    for g in _used_groups(used):
+        t = _slab_group_partial(g, V, cf, used)
+        acc = t if acc is None else acc + t
+    return jnp.broadcast_to(acc, V.shape)

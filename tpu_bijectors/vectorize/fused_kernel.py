@@ -100,10 +100,17 @@ def _prep(u, vT):
     Pn = pvec.shape[0]
     # slab coefficient matrix (dim, NK); loop rows stay all-zero (their
     # slab terms evaluate to exactly 0 — see _COEF_KEYS). `used` is the
-    # trace-time union of assigned keys: _slab_value/_slab_partial skip
-    # whole transcendental passes whose weight column is statically zero.
+    # trace-time union of assigned keys; `bands` maps each term GROUP to
+    # the 8-aligned union row range of the entries assigning it — every
+    # transcendental pass runs only over its band instead of the full
+    # (dim, W) block (round 4; the bench model's exp pass served 8 of 151
+    # rows). Extra 8-alignment rows inside a band see exactly the old
+    # full-block semantics (zero coefficients / ownership mask).
+    from .fused_base import _GROUP_OF
+
     cf = jnp.zeros((dim, NCF), dtype)
     used = set()
+    raw_bands: dict = {}
     for e in plan:
         if e.slab is None:
             continue
@@ -111,7 +118,19 @@ def _prep(u, vT):
         for k, v in e.slab(dtype).items():
             used.add(k)
             cf = cf.at[e.row0 : e.row0 + e.rows, _CI[k]].set(v)
+            g = _GROUP_OF[k]
+            lo, hi = raw_bands.get(g, (dim, 0))
+            raw_bands[g] = (min(lo, e.row0), max(hi, e.row0 + e.rows))
     used = frozenset(used)
+    # aux columns (m/sa/la/...) must not create a band on their own; only
+    # weight keys (c0..c6) anchor a group
+    weight = {"cheap": {"c0", "c1", "cq", "c3p", "c3n"}, "sp": {"c4"},
+              "exp": {"c5"}, "l1p": {"c6"}}
+    bands = tuple(
+        (g, (lo // 8 * 8, min(dim, -(-hi // 8) * 8)))
+        for g, (lo, hi) in sorted(raw_bands.items())
+        if weight[g] & used
+    )
     Bp = padded_batch(B)
     W = block_lanes(Bp)
     # VMEM guard: v (+dv) block + params + coefficient block + double buffering
@@ -120,7 +139,7 @@ def _prep(u, vT):
     while Bp % W:
         W //= 2
     pb = jnp.broadcast_to(pvec[:, None], (Pn, W))
-    return loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used
+    return loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands
 
 
 def _loop_readers(e, v_ref, p_ref, W):
@@ -141,13 +160,18 @@ def mega_logdensity_t(u, vT, *, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used = _prep(u, vT)
+    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands = _prep(u, vT)
     vp = pad_to(vT.astype(dtype), Bp, 1)
 
     def kernel(v_ref, p_ref, cf_ref, lp_ref):
-        acc = jnp.sum(
-            _slab_value(v_ref[:, :], cf_ref[:, :], used), axis=0
-        ).reshape(1, W)
+        from .fused_base import _slab_group_value
+
+        acc = jnp.zeros((1, W), dtype)
+        for g, (lo, hi) in bands:
+            acc = acc + jnp.sum(
+                _slab_group_value(g, v_ref[lo:hi, :], cf_ref[lo:hi, :], used),
+                axis=0,
+            ).reshape(1, W)
         for e in loop:
             rr, rp = _loop_readers(e, v_ref, p_ref, W)
             acc = acc + e.emit(rr, rp, W, dtype)
@@ -174,13 +198,17 @@ def mega_jvp_t(u, vT, dvT, *, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used = _prep(u, vT)
+    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands = _prep(u, vT)
     vp = pad_to(vT.astype(dtype), Bp, 1)
     dvp = pad_to(dvT.astype(dtype), Bp, 1)
 
     def kernel(v_ref, dv_ref, p_ref, cf_ref, out_ref):
-        g = _slab_partial(v_ref[:, :], cf_ref[:, :], used)
-        acc = jnp.sum(g * dv_ref[:, :], axis=0).reshape(1, W)
+        from .fused_base import _slab_group_partial
+
+        acc = jnp.zeros((1, W), dtype)
+        for gr, (lo, hi) in bands:
+            gp = _slab_group_partial(gr, v_ref[lo:hi, :], cf_ref[lo:hi, :], used)
+            acc = acc + jnp.sum(gp * dv_ref[lo:hi, :], axis=0).reshape(1, W)
         for e in loop:
             rr, rp = _loop_readers(e, v_ref, p_ref, W)
             ps = e.partials(rr, rp, W, dtype)
@@ -212,13 +240,18 @@ def mega_vjp_t(u, vT, gbar, *, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used = _prep(u, vT)
+    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands = _prep(u, vT)
     vp = pad_to(vT.astype(dtype), Bp, 1)
     gb = pad_to(gbar.astype(dtype).reshape(1, B), Bp, 1)
 
     def kernel(v_ref, g_ref, p_ref, cf_ref, out_ref):
+        from .fused_base import _slab_group_partial
+
         g = g_ref[0, :].reshape(1, W)
-        out_ref[:, :] = _slab_partial(v_ref[:, :], cf_ref[:, :], used) * g
+        out_ref[:, :] = jnp.zeros((dim, W), dtype)
+        for gr, (lo, hi) in bands:
+            gp = _slab_group_partial(gr, v_ref[lo:hi, :], cf_ref[lo:hi, :], used)
+            out_ref[lo:hi, :] = out_ref[lo:hi, :] + gp * g
         for e in loop:
             rr, rp = _loop_readers(e, v_ref, p_ref, W)
             ps = e.partials(rr, rp, W, dtype)
@@ -239,6 +272,92 @@ def mega_vjp_t(u, vT, gbar, *, interpret: bool = False):
         interpret=interpret,
     )(vp, gb, pb, cf)
     return out[:, :B]
+
+
+def mega_value_and_grad_t(u, vT, *, interpret: bool = False):
+    """FUSED value + full gradient in ONE Pallas pass: (lp (B,), g (dim, B))
+    with g = d(sum lp)/d vT — exactly what every NUTS/HMC leapfrog needs.
+
+    Via jax.vjp the same quantities cost a primal kernel plus a transpose
+    kernel (the state is read from HBM twice and the partials recomputed);
+    this kernel reads the state once and writes lp and g together — HBM
+    floor 2 passes instead of 3+ (measured ~353 us -> ~2 passes' worth on
+    the bench model, tools/simplex_slab_probe.py). The slab/loop partials
+    maps are shared with the value emitters, so XLA CSE reuses the
+    sigmoid/softplus subexpressions inside the one kernel body.
+
+    Not differentiable (a leapfrog consumes lp/g as values); AD-composed
+    paths keep using `_mega_diffable` (custom_jvp + linear_call)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .fused_base import _slab_group_partial, _slab_group_value
+
+    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands = _prep(u, vT)
+    vp = pad_to(vT.astype(dtype), Bp, 1)
+
+    def kernel(v_ref, p_ref, cf_ref, lp_ref, g_ref):
+        acc = jnp.zeros((1, W), dtype)
+        g_ref[:, :] = jnp.zeros((dim, W), dtype)
+        for gr, (lo, hi) in bands:
+            Vs = v_ref[lo:hi, :]
+            cfs = cf_ref[lo:hi, :]
+            acc = acc + jnp.sum(
+                _slab_group_value(gr, Vs, cfs, used), axis=0
+            ).reshape(1, W)
+            g_ref[lo:hi, :] = g_ref[lo:hi, :] + _slab_group_partial(
+                gr, Vs, cfs, used
+            )
+        for e in loop:
+            rr, rp = _loop_readers(e, v_ref, p_ref, W)
+            acc = acc + e.emit(rr, rp, W, dtype)
+            ps = e.partials(rr, rp, W, dtype)
+            for i, pi in enumerate(ps):
+                g_ref[e.row0 + i, :] = pi[0, :]
+        lp_ref[0, :] = acc[0, :]
+
+    lp, g = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, Bp), dtype),
+            jax.ShapeDtypeStruct((dim, Bp), dtype),
+        ),
+        grid=(Bp // W,),
+        in_specs=[
+            pl.BlockSpec((dim, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Pn, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, NCF), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(vp, pb, cf)
+    return lp[0, :B], g[:, :B]
+
+
+def try_mega_value_and_grad(u, vT):
+    """Leapfrog fast-path dispatch: (lp, g) from the fused one-pass kernel
+    when eligible, else None (caller falls back to jax.vjp). The band is
+    the vg-specific one (kernels.MEGA_VG_OFF_BAND): the one-pass kernel
+    wins over a wider range than the value kernel."""
+    from .. import kernels
+    from ..utils import _eps
+
+    if not kernels.enabled():
+        return None
+    if jax.default_backend() != "tpu":
+        return None
+    lo, hi = kernels.MEGA_VG_OFF_BAND
+    if vT.ndim != 2 or (lo <= vT.shape[-1] < hi):
+        return None
+    dtype = jnp.result_type(vT, float)
+    if dtype != jnp.float32:
+        return None
+    if _plan(u, _eps(dtype)) is None:
+        return None
+    return mega_value_and_grad_t(u, vT)
 
 
 @jax.custom_jvp
@@ -299,6 +418,18 @@ def _mega_diffable_jvp(primals, tangents):
 _mega_diffable.defjvp(_mega_diffable_jvp, symbolic_zeros=True)
 
 
+def _mega_batch_ok(B: int) -> bool:
+    """Measured dispatch band (MEGA_CROSSOVER.json, tools/mega_crossover.py):
+    the whole-model kernel wins at every B BELOW the per-leaf gate (the
+    per-leaf kernels are off there and the jnp path is ~2x slower) and
+    again at large B; the composed per-leaf path wins in a mid band.
+    kernels.MEGA_OFF_BAND = (lo, hi) is that measured exclusion band."""
+    from .. import kernels
+
+    lo, hi = kernels.MEGA_OFF_BAND
+    return not (lo <= B < hi)
+
+
 def try_mega(u, vT):
     """Dispatch hook for TreeUnconstrainer.linked_logdensity_t: the fused
     kernel when eligible (trace-time static decision), else None."""
@@ -309,7 +440,7 @@ def try_mega(u, vT):
         return None
     if jax.default_backend() != "tpu":
         return None
-    if vT.ndim != 2 or vT.shape[-1] < kernels.MIN_BATCH:
+    if vT.ndim != 2 or not _mega_batch_ok(vT.shape[-1]):
         return None
     dtype = jnp.result_type(vT, float)
     if dtype != jnp.float32:

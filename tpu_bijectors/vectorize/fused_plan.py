@@ -34,6 +34,12 @@ from .fused_emit import (
 )
 from .fused_traced import _traced_scalar_entry, _traced_vector_entry
 
+# Dirichlet as a TELESCOPED slab entry (one shared block softplus pass)
+# instead of a per-row loop entry — A/B'd on chip via
+# tools/simplex_slab_probe.py; see the Dirichlet branch in _leaf_entry.
+_SIMPLEX_SLAB = True
+
+
 def _scalar_entry(dist, link, n, row0, prow0):
     """Slab-coefficient wiring for every kernel-supported scalar family
     (the closed form is documented at _COEF_KEYS). The coefficients encode
@@ -423,6 +429,57 @@ def _leaf_entry(leaf, row0, prow0, eps):
         K = int(jnp.shape(d.alpha)[-1])
         if jnp.ndim(d.alpha) != 1 or K > kernels.MAX_K["simplex"]:
             raise _Unsupported
+
+        if _SIMPLEX_SLAB:
+            # TELESCOPED slab form (round 4): in exact algebra the whole
+            # Dirichlet linked density collapses to per-row softplus pairs —
+            # with t_k = y_k - log(K-1-k), z_k = sigmoid(t_k):
+            #   log z_k = -sp(-t_k),  log(1-z_k) = -sp(t_k),
+            #   log x_k  = log z_k + sum_{j<k} log(1-z_j)   (k <= K-2)
+            #   log x_{K-1} = sum_j log(1-z_j)
+            #   ld_inv   = sum_k [log z_k + log(1-z_k)] + sum_{k>=1} log rem_k,
+            #              rem_k = prod_{j<k}(1-z_j)
+            # so lp = sum_k -(1+a_k) sp(-t_k) - (K-1-k + A_k) sp(t_k) + const,
+            # a = alpha-1, A_k = sum_{m>k} a_m. Slab mapping via
+            # sp(+-D) = relu(+-D) + sp(-U): c3p = -w2, c3n = -w1,
+            # c4 = -(w1+w2), sa = -1 (see _COEF_KEYS). One shared block
+            # softplus pass replaces the loop entry's ~5K per-row
+            # transcendentals (15 sigmoid + ~3K log at K=16) — the measured
+            # transcendental bound of the whole-model kernel
+            # (docs/kernels.md:138). Exactly robust at |y| -> inf (softplus
+            # is globally stable; every term linear in |y| there).
+            #
+            # Formulation note: this is the UN-NUDGED density — the loop
+            # entry / composed path apply the reference's eps-nudge
+            # (src/Bijectors.jl:253, x + eps inside the logs), a
+            # deliberate O(eps/x) density perturbation that exists to keep
+            # a MATERIALIZED x interior. No x is materialized here, so the
+            # telescoped form needs no nudge; the two differ by
+            # ~eps*|alpha-1|/x (~1e-5 absolute in f32 at moderate states).
+
+            def slab(dtype, d=d, K=K):
+                from jax.scipy import special as jsp
+
+                al = jnp.asarray(d.alpha, dtype)
+                a = al - 1.0
+                const = jsp.gammaln(jnp.sum(al)) - jnp.sum(jsp.gammaln(al))
+                ks = jnp.arange(K - 1, dtype=dtype)
+                c = jnp.log((K - 1.0) - ks)  # shift log(K-1-k)
+                # A_k = sum_{m>k} a_m over ALL K alphas
+                A = jnp.cumsum(a[::-1])[::-1][1:] if K > 1 else a[:0]
+                w1 = 1.0 + a[: K - 1]
+                w2 = (K - 1.0) - ks + A
+                e0 = jnp.zeros((K - 1,), dtype).at[0].set(1.0)
+                return {
+                    "m": c,
+                    "c3p": -w2,
+                    "c3n": -w1,
+                    "c4": -(w1 + w2),
+                    "sa": jnp.full((K - 1,), -1.0, dtype),
+                    "c0": const * e0,
+                }
+
+            return _Entry(row0, K - 1, prow0, 0, slab=slab)
 
         def params(dtype):
             from jax.scipy import special as jsp
