@@ -103,6 +103,13 @@ class _Layout:
 
 
 def _batched_logp_and_grad(logp_batched):
+    # leapfrog fast path: a density fn may carry `value_and_grad_fn` (e.g.
+    # Model.batched_logdensity_t_fn) — value + FULL gradient in one fused
+    # Pallas pass instead of jax.vjp's primal + transpose kernels
+    vg = getattr(logp_batched, "value_and_grad_fn", None)
+    if vg is not None:
+        return vg
+
     def f(q):  # q: state -> ((C,), state-shaped grad)
         lp, vjp = jax.vjp(logp_batched, q)
         (g,) = vjp(jnp.ones_like(lp))

@@ -95,12 +95,26 @@ class Model:
         u = self.unconstrainer()
         loglik = self.loglik
 
+        def _prior_vg(vT):
+            # leapfrog fast path: ONE fused Pallas pass for value AND full
+            # gradient (state read from HBM once) when the whole-model
+            # kernel is eligible; jax.vjp otherwise (2 kernels / 3+ passes)
+            from ..vectorize.fused_kernel import try_mega_value_and_grad
+
+            out = try_mega_value_and_grad(u, vT)
+            if out is not None:
+                return out
+            lp, vjpf = jax.vjp(u.linked_logdensity_t, vT)
+            (g,) = vjpf(jnp.ones_like(lp))
+            return lp, g
+
         if loglik is None:
 
             def prior_logdensity_t(vT):
                 return u.linked_logdensity_t(vT)
 
             prior_logdensity_t.batch_capable = True
+            prior_logdensity_t.value_and_grad_fn = _prior_vg
             return prior_logdensity_t
 
         def logdensity_t(vT):
@@ -108,7 +122,19 @@ class Model:
             x = u.from_linked_vec(jnp.swapaxes(vT, 0, 1))[0]
             return lp + jax.vmap(loglik)(x)
 
+        def _full_vg(vT):
+            lp_p, g_p = _prior_vg(vT)
+
+            def lik_t(v):
+                x = u.from_linked_vec(jnp.swapaxes(v, 0, 1))[0]
+                return jax.vmap(loglik)(x)
+
+            lp_l, vjpf = jax.vjp(lik_t, vT)
+            (g_l,) = vjpf(jnp.ones_like(lp_l))
+            return lp_p + lp_l, g_p + g_l
+
         logdensity_t.batch_capable = True
+        logdensity_t.value_and_grad_fn = _full_vg
         return logdensity_t
 
     def constrain(self, v):
@@ -135,15 +161,15 @@ class Model:
         right kernel/log-density pairing chosen for you.
 
         kernel='auto' picks the transposed-layout multi-chain kernel
-        (`nuts_batched_t` — whole-model fused Pallas density + one-kernel
-        reverse pass per leapfrog) only when that fused kernel can
-        actually dispatch: prior plan-eligible (vectorize/fused_kernel.py)
-        AND on the TPU backend AND n_chains reaches the measured
-        whole-model crossover (`kernels.MIN_BATCH_MEGA`,
-        tools/mega_crossover.py). Otherwise the batch-major multi-chain
-        kernel (whose per-leaf Pallas kernels have the same batch gate,
-        but whose layout does not pay the transposed path's sublane
-        padding at small chain counts). Any explicit
+        (`nuts_batched_t`) whenever the whole-model fused kernel can
+        dispatch: prior plan-eligible (vectorize/fused_kernel.py) AND on
+        the TPU backend. The leapfrog then runs the ONE-PASS fused
+        value-and-grad kernel (mega_value_and_grad_t), which the measured
+        crossover shows winning at EVERY chain count (MEGA_CROSSOVER.json,
+        megavg columns; tools/mega_crossover.py) — including the 4-64
+        chains real users run. Otherwise the batch-major multi-chain
+        kernel (whose per-leaf Pallas kernels have their own batch gate).
+        Any explicit
         sampler.warmup_and_sample kernel name is accepted too, plus
         'chees' (run_chees: lockstep gradient-adapted trajectories on
         the batched density). Returns
