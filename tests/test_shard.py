@@ -11,6 +11,7 @@ from tpu_bijectors import dists
 from tpu_bijectors.infer import Model, init_sampler, warmup_and_sample
 from tpu_bijectors.shard import (
     chain_parallel_nuts,
+    chain_parallel_resume,
     chain_parallel_smc,
     load_sampler_state,
     make_mesh,
@@ -87,6 +88,31 @@ def test_checkpoint_roundtrip(tmp_path, key):
     loaded = load_sampler_state(path, state)
     for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_chain_parallel_checkpoint_resume_bitwise(mesh, key, tmp_path):
+    """Preemption recovery ON THE MESH: checkpoint the sharded SamplerState
+    after part of the run, reload from disk, chain_parallel_resume — the
+    continuation is BITWISE identical to the tail of an uninterrupted run
+    (valid because the per-step axis-index fold keeps state.key replicated;
+    see infer/sampler._fold_axis)."""
+    dim = 3
+    logp = lambda v: -0.5 * jnp.sum(v * v)
+    q0 = shard_chains(mesh, jax.random.normal(jax.random.PRNGKey(5), (16, dim)))
+    kw = dict(n_warmup=25, n_samples=8, max_depth=4)
+    samples_full, _, _ = chain_parallel_nuts(logp, mesh, key, q0, **kw)
+    kw["n_samples"] = 4
+    _, state_a, _ = chain_parallel_nuts(logp, mesh, key, q0, **kw)
+    path = str(tmp_path / "mesh_ckpt.npz")
+    save_sampler_state(path, state_a)
+    loaded = load_sampler_state(path, state_a)
+    samples_b, state_b, _ = chain_parallel_resume(
+        logp, mesh, loaded, 4, max_depth=4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(samples_full[4:]), np.asarray(samples_b)
+    )
+    assert int(state_b.iteration) == int(25 + 8)
 
 
 def test_resume_reproduces(key):

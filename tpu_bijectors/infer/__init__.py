@@ -48,7 +48,13 @@ from .neutra import (
 from .pathfinder import PathfinderResult, fit_pathfinder, multipath_pathfinder
 from .predictive import posterior_predictive, ppc_pvalue, prior_predictive
 from .sbc import SBCResult, sbc_ranks, sbc_uniformity
-from .sampler import RunStats, SamplerState, init_sampler, warmup_and_sample
+from .sampler import (
+    RunStats,
+    SamplerState,
+    init_sampler,
+    resume_sampling,
+    warmup_and_sample,
+)
 from .smc import SMCResult, run_smc, systematic_resample
 from .tempering import PTResult, default_ladder, run_parallel_tempering
 
@@ -63,6 +69,7 @@ __all__ = [
     "RunStats",
     "init_sampler",
     "warmup_and_sample",
+    "resume_sampling",
     "fit_advi",
     "MeanFieldGaussian",
     "FullRankGaussian",

@@ -99,30 +99,10 @@ def init_sampler(
     )
 
 
-def warmup_and_sample(
-    logdensity_fn,
-    key,
-    q0,
-    n_warmup: int = 500,
-    n_samples: int = 500,
-    kernel: str = "nuts",
-    max_depth: int = 10,
-    n_leapfrog: int = 32,
-    target_accept: float = 0.8,
-    eps0: float = 0.1,
-    axis_name: str | None = None,
-    thin: int = 1,
-    metric: str = "diag",
-    inv_mass0=None,
-):
-    """Run windowed-adaptation warmup then sampling.
-
-    Returns (samples (n_samples//thin, chains, dim), SamplerState, RunStats).
-    Fully jittable; call under jit/shard_map. With `axis_name` set, step-size
-    and mass adaptation share statistics across all devices via collectives
-    inside the step (no host sync). inv_mass0 seeds the pre-adaptation
-    inverse mass (see init_sampler).
-    """
+def _build_vkernel(logdensity_fn, kernel: str, max_depth: int, n_leapfrog: int):
+    """Shared transition-kernel construction for warmup_and_sample and
+    resume_sampling (same settings => bit-identical transitions). Returns
+    (vkernel, init_logdensity)."""
     if kernel == "nuts":
         step_kernel = nuts_kernel(logdensity_fn, max_depth=max_depth)
     elif kernel == "nuts_batched":
@@ -163,6 +143,115 @@ def warmup_and_sample(
         init_logdensity = lambda q: logdensity_fn(q.T)
     else:
         init_logdensity = logdensity_fn
+    return vkernel, init_logdensity
+
+
+def _fold_axis(sub, axis_name):
+    """Per-device randomness under shard_map: fold the mesh position into
+    the per-step subkey. Keeping the fold PER STEP (not once at entry)
+    keeps SamplerState.key REPLICATED across the mesh — so a checkpoint of
+    the state is complete and resume_sampling continues bit-identically on
+    any mesh of the same width (shard/chain_parallel.py)."""
+    if axis_name is None:
+        return sub
+    return jax.random.fold_in(sub, jax.lax.axis_index(axis_name))
+
+
+def _run_sampling(
+    vkernel, state: SamplerState, n_samples: int, thin: int, axis_name=None
+):
+    """The post-warmup sampling scan (shared verbatim by warmup_and_sample
+    and resume_sampling so a resumed run is bit-identical to the tail of an
+    uninterrupted one)."""
+
+    def sample_step(state: SamplerState, _):
+        k, sub = jax.random.split(state.key)
+        keys = jax.random.split(_fold_axis(sub, axis_name), state.q.shape[0])
+        q, logp, grad, info = vkernel(
+            keys, state.q, state.logp, state.grad, state.eps, state.inv_mass
+        )
+        new_state = state._replace(
+            key=k, q=q, logp=logp, grad=grad, iteration=state.iteration + 1
+        )
+        stats = RunStats(info.accept_prob, info.diverging, info.n_steps, info.tree_depth)
+        return new_state, (q, stats)
+
+    if thin <= 1:
+        state, (samples, stats) = jax.lax.scan(
+            sample_step, state, None, length=n_samples
+        )
+    else:
+        def thinned(state, _):
+            def inner(s, _):
+                s, out = sample_step(s, None)
+                return s, out[1]
+            state, st = jax.lax.scan(inner, state, None, length=thin)
+            # aggregate stats over the thin block — subsampling would
+            # silently discard divergences from the skipped transitions
+            block = RunStats(
+                accept_prob=jnp.mean(st.accept_prob, axis=0),
+                diverging=jnp.any(st.diverging, axis=0),
+                n_steps=jnp.sum(st.n_steps, axis=0),
+                tree_depth=jnp.max(st.tree_depth, axis=0),
+            )
+            return state, (state.q, block)
+
+        state, (samples, stats) = jax.lax.scan(
+            thinned, state, None, length=n_samples // thin
+        )
+    return samples, state, stats
+
+
+def resume_sampling(
+    logdensity_fn,
+    state: SamplerState,
+    n_samples: int,
+    kernel: str = "nuts",
+    max_depth: int = 10,
+    n_leapfrog: int = 32,
+    thin: int = 1,
+    axis_name: str | None = None,
+):
+    """Continue post-warmup sampling from a SamplerState — e.g. one restored
+    by shard/checkpoint.load_sampler_state after a preemption. With the same
+    kernel settings, the continuation is BIT-IDENTICAL to the tail of an
+    uninterrupted warmup_and_sample run (tests/test_shard.py; the driver's
+    multichip dryrun exercises it on a device mesh through a save/load
+    round-trip). Returns (samples, state, stats) like warmup_and_sample.
+
+    The reference ships no failure recovery (SURVEY.md §5) — this is the
+    net-new deployment obligation for long pod-slice runs."""
+    vkernel, _ = _build_vkernel(logdensity_fn, kernel, max_depth, n_leapfrog)
+    return _run_sampling(vkernel, state, n_samples, thin, axis_name)
+
+
+def warmup_and_sample(
+    logdensity_fn,
+    key,
+    q0,
+    n_warmup: int = 500,
+    n_samples: int = 500,
+    kernel: str = "nuts",
+    max_depth: int = 10,
+    n_leapfrog: int = 32,
+    target_accept: float = 0.8,
+    eps0: float = 0.1,
+    axis_name: str | None = None,
+    thin: int = 1,
+    metric: str = "diag",
+    inv_mass0=None,
+):
+    """Run windowed-adaptation warmup then sampling.
+
+    Returns (samples (n_samples//thin, chains, dim), SamplerState, RunStats).
+    Fully jittable; call under jit/shard_map. With `axis_name` set, step-size
+    and mass adaptation share statistics across all devices via collectives
+    inside the step (no host sync). inv_mass0 seeds the pre-adaptation
+    inverse mass (see init_sampler).
+    """
+    vkernel, init_logdensity = _build_vkernel(
+        logdensity_fn, kernel, max_depth, n_leapfrog
+    )
     state = init_sampler(
         init_logdensity, key, q0, eps0, metric=metric,
         batched=kernel.startswith("nuts_batched"), inv_mass0=inv_mass0,
@@ -184,7 +273,7 @@ def warmup_and_sample(
     def warmup_step(state: SamplerState, sched):
         wid, wend = sched
         k, sub = jax.random.split(state.key)
-        keys = jax.random.split(sub, state.q.shape[0])
+        keys = jax.random.split(_fold_axis(sub, axis_name), state.q.shape[0])
         q, logp, grad, info = vkernel(
             keys, state.q, state.logp, state.grad, state.eps, state.inv_mass
         )
@@ -223,43 +312,7 @@ def warmup_and_sample(
     )
     # final step size: the dual-averaged value
     state = state._replace(eps=jnp.exp(state.ss.log_eps_bar))
-
-    def sample_step(state: SamplerState, _):
-        k, sub = jax.random.split(state.key)
-        keys = jax.random.split(sub, state.q.shape[0])
-        q, logp, grad, info = vkernel(
-            keys, state.q, state.logp, state.grad, state.eps, state.inv_mass
-        )
-        new_state = state._replace(
-            key=k, q=q, logp=logp, grad=grad, iteration=state.iteration + 1
-        )
-        stats = RunStats(info.accept_prob, info.diverging, info.n_steps, info.tree_depth)
-        return new_state, (q, stats)
-
-    if thin <= 1:
-        state, (samples, stats) = jax.lax.scan(
-            sample_step, state, None, length=n_samples
-        )
-    else:
-        def thinned(state, _):
-            def inner(s, _):
-                s, out = sample_step(s, None)
-                return s, out[1]
-            state, st = jax.lax.scan(inner, state, None, length=thin)
-            # aggregate stats over the thin block — subsampling would
-            # silently discard divergences from the skipped transitions
-            block = RunStats(
-                accept_prob=jnp.mean(st.accept_prob, axis=0),
-                diverging=jnp.any(st.diverging, axis=0),
-                n_steps=jnp.sum(st.n_steps, axis=0),
-                tree_depth=jnp.max(st.tree_depth, axis=0),
-            )
-            return state, (state.q, block)
-
-        state, (samples, stats) = jax.lax.scan(
-            thinned, state, None, length=n_samples // thin
-        )
-    return samples, state, stats
+    return _run_sampling(vkernel, state, n_samples, thin, axis_name)
 
 
 def stepsize_init_like(eps, ss: StepSizeAdaptState) -> StepSizeAdaptState:

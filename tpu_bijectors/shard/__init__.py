@@ -7,6 +7,7 @@ from .chain_parallel import (
     chain_parallel_chees,
     chain_parallel_nuts,
     chain_parallel_pt,
+    chain_parallel_resume,
     chain_parallel_smc,
     make_mesh,
     multihost_init,
@@ -28,6 +29,7 @@ __all__ = [
     "chain_parallel_chees",
     "chain_parallel_nuts",
     "chain_parallel_pt",
+    "chain_parallel_resume",
     "chain_parallel_smc",
     "shard_params",
     "param_parallel_from_linked",

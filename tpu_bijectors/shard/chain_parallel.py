@@ -64,12 +64,13 @@ def build_nuts_sharded(
         raise ValueError(f"n_chains={n_chains} not divisible by mesh size {n_dev}")
 
     def local_run(key, q0_local):
-        # Per-device: q0_local is (n_chains/n_dev, dim); fold in the device
-        # index so each shard uses independent randomness.
-        idx = jax.lax.axis_index(axis_name)
-        key_local = jax.random.fold_in(key, idx)
+        # Per-device: q0_local is (n_chains/n_dev, dim). Device-independent
+        # randomness comes from the PER-STEP axis-index fold inside
+        # warmup_and_sample (_fold_axis) — the master key in SamplerState
+        # stays replicated across the mesh, so checkpoints of the state are
+        # complete and chain_parallel_resume continues bit-identically.
         return warmup_and_sample(
-            logdensity_fn, key_local, q0_local, axis_name=axis_name, **kwargs
+            logdensity_fn, key, q0_local, axis_name=axis_name, **kwargs
         )
 
     sharded = jax.shard_map(
@@ -103,6 +104,49 @@ def chain_parallel_nuts(
     return build_nuts_sharded(
         logdensity_fn, mesh, q0.shape[0], axis_name=axis_name, **kwargs
     )(key, q0)
+
+
+def chain_parallel_resume(
+    logdensity_fn,
+    mesh: Mesh,
+    state,
+    n_samples: int,
+    axis_name: str = "chain",
+    **kwargs,
+):
+    """Continue post-warmup sampling from a (checkpoint-restored)
+    SamplerState with chains sharded over `mesh` — the preemption-recovery
+    path for pod runs: save_sampler_state mid-run, reload on the new slice,
+    resume. With the same kernel settings the continuation is BIT-IDENTICAL
+    to the tail of an uninterrupted chain_parallel_nuts run (exercised on
+    the mesh by the driver's dryrun_multichip). Host arrays from
+    load_sampler_state are accepted: shard_map re-lays them out per
+    _state_specs."""
+    from ..infer.sampler import resume_sampling
+
+    def local_resume(state_local):
+        return resume_sampling(
+            logdensity_fn, state_local, n_samples, axis_name=axis_name, **kwargs
+        )
+
+    specs = _state_specs(axis_name)
+    sharded = jax.shard_map(
+        local_resume,
+        mesh=mesh,
+        in_specs=(specs,),
+        out_specs=(
+            P(None, axis_name, None),  # samples (T, chains, dim)
+            specs,
+            P(None, axis_name),  # stats (T, chains)
+        ),
+        check_vma=False,
+    )
+    state = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(jnp.asarray(x), NamedSharding(mesh, s)),
+        state,
+        specs,
+    )
+    return jax.jit(sharded)(state)
 
 
 def _state_specs(axis_name):
