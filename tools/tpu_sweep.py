@@ -111,12 +111,20 @@ def mega_smoke():
             assert _plan(u, 1e-6) is not None, "plan unexpectedly None"
             dim = u.linked_vec_length
             key = jax.random.PRNGKey(0)
-            vT = 0.6 * jax.random.normal(key, (dim, 2048), jnp.float32)
+            # B=512 sits BELOW kernels.MEGA_OFF_BAND, where try_mega
+            # dispatches (the band [1024, 65536) routes to the composed
+            # per-leaf path by measurement — MEGA_CROSSOVER.json)
+            vT = 0.6 * jax.random.normal(key, (dim, 512), jnp.float32)
             got = try_mega(u, vT)
             assert got is not None, "try_mega declined at dispatch shape"
             ref = u._linked_logdensity_t_children(vT)
+            # 1e-4 allowance: the TELESCOPED Dirichlet slab entry is the
+            # exact (un-nudged) density; the composed reference keeps the
+            # reference's eps-nudge — they differ by ~eps*|alpha-1|/x,
+            # measured 4e-5 rel max at these states (docs/kernels.md,
+            # Round-4 additions)
             np.testing.assert_allclose(
-                np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+                np.asarray(got), np.asarray(ref), rtol=1e-4, atol=5e-4
             )
             g1 = jax.grad(lambda vT: jnp.sum(try_mega(u, vT)))(vT)
             g2 = jax.grad(
@@ -129,10 +137,86 @@ def mega_smoke():
             np.testing.assert_allclose(
                 np.asarray(g1), np.asarray(g2), rtol=2e-4, atol=1e-3
             )
-            print(f"  OK   mega[{name}] (value + grad on chip)")
+            # the ONE-PASS fused value-and-grad kernel (leapfrog fast
+            # path) — new Mosaic code, pinned on chip here
+            from tpu_bijectors.vectorize.fused_kernel import (
+                mega_value_and_grad_t,
+            )
+
+            lp_f, g_f = mega_value_and_grad_t(u, vT)
+            np.testing.assert_allclose(
+                np.asarray(lp_f), np.asarray(ref), rtol=1e-4, atol=5e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(g_f), np.asarray(g2), rtol=2e-4, atol=1e-3
+            )
+            print(f"  OK   mega[{name}] (value + grad + fused-vg on chip)")
         except Exception as ex:
             failures.append((f"mega[{name}]", ex))
             print(f"  FAIL mega[{name}]: {type(ex).__name__}: {str(ex)[:300]}")
+            traceback.print_exc(limit=2)
+    return failures
+
+
+def kernel_grad_smoke():
+    """Pin the COMPILED Mosaic lowering of every per-leaf Pallas kernel —
+    value AND gradient — on chip at a dispatch-eligible batch, against the
+    kernels-disabled jnp path (ADVICE r3 #4: the PD trace-grad backward
+    kernel landed after the last on-chip capture and its grad path was
+    CPU/interpret-validated only; this makes that class of gap impossible
+    to reopen). Batch-major and transposed layouts both run."""
+    import numpy as np
+
+    from tpu_bijectors import kernels
+    from tpu_bijectors.vectorize import unconstrain
+
+    B = 4096
+    leaves = {
+        "Dirichlet(8)": dists.Dirichlet(jnp.arange(1.0, 9.0)),
+        "LKJ(8)": dists.LKJ(8, 2.0),
+        "LKJCholesky(6,L)": dists.LKJCholesky(6, 1.5, "L"),
+        "Wishart(8)": dists.Wishart(10.0, jnp.eye(8)),          # dot mode
+        "InverseWishart(8)": dists.InverseWishart(12.0, jnp.eye(8)),  # solve mode + trace-grad kernel
+    }
+    failures = []
+    key = jax.random.PRNGKey(3)
+    for name, d in leaves.items():
+        try:
+            u = unconstrain(d)
+            dim = u.linked_vec_length
+            v = 0.4 * jax.random.normal(key, (B, dim), jnp.float32)
+
+            def val_grad(f, x):
+                g = jax.grad(lambda xx: jnp.sum(f(xx)))(x)
+                return np.asarray(f(x), np.float64), np.asarray(g, np.float64)
+
+            # batch-major
+            lp_k, g_k = val_grad(u.linked_logdensity, v)
+            kernels.enable(False)
+            try:
+                lp_j, g_j = val_grad(u.linked_logdensity, v)
+            finally:
+                kernels.enable(True)
+            # f32 bars: kernel and jnp sum the same terms in different
+            # association orders; the measured spread is ~1e-4-relative
+            # at K=8 PD slots (f64-arbitrated — docs/kernels.md, mega
+            # smoke note). The smoke pins LOWERING + gross correctness.
+            np.testing.assert_allclose(lp_k, lp_j, rtol=3e-4, atol=3e-3)
+            np.testing.assert_allclose(g_k, g_j, rtol=5e-4, atol=5e-3)
+            # transposed
+            vT = v.T
+            lp_kt, g_kt = val_grad(u.linked_logdensity_t, vT)
+            kernels.enable(False)
+            try:
+                lp_jt, g_jt = val_grad(u.linked_logdensity_t, vT)
+            finally:
+                kernels.enable(True)
+            np.testing.assert_allclose(lp_kt, lp_jt, rtol=3e-4, atol=3e-3)
+            np.testing.assert_allclose(g_kt, g_jt, rtol=5e-4, atol=5e-3)
+            print(f"  OK   kernel-grad[{name}] (both layouts, value + grad)")
+        except Exception as ex:
+            failures.append((f"kernel-grad[{name}]", ex))
+            print(f"  FAIL kernel-grad[{name}]: {type(ex).__name__}: {str(ex)[:300]}")
             traceback.print_exc(limit=2)
     return failures
 
@@ -291,6 +375,7 @@ def main():
     full = len(_sys.argv) > 1 and _sys.argv[1] == "full"
     print(f"devices: {jax.devices()}  (f32 sweep, {'full' if full else 'fast'})")
     failures = mega_smoke()
+    failures += kernel_grad_smoke()
     failures += engines_smoke()
     for d in cases(full):
         name = type(d).__name__
