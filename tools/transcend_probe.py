@@ -41,13 +41,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 B = 131072
 DIM = 151
-W = 128
+W = 2048  # = the real mega kernel's block width at this shape
+# (kernels/layout.BLOCK_LANES; at W=128 the 1024-step grid overhead
+# dominated: measured floor 307 us vs the real kernel's 181 us total)
 
 # degree-7 minimax-ish poly for log1p(z) on z in [0, 1] (Chebyshev fit;
 # timing-representative — exactness is checked before any adoption)
-_P = np.polynomial.chebyshev.Chebyshev.fit(
-    np.linspace(0, 1, 4001), np.log1p(np.linspace(0, 1, 4001)), 7
-).convert().coef[::-1]  # highest-first for Horner
+_zf = np.linspace(0, 1, 4001)
+_P = np.polyfit(_zf, np.log1p(_zf), 7)  # highest-first for Horner
 
 
 def _poly_log1p(z):
@@ -96,6 +97,28 @@ def make_kernel(variant):
             acc = acc + jnp.sum(
                 _poly_log1p(e) + e / (1.0 + e), axis=0
             ).reshape(1, W)
+        elif variant == "spsig_sh2":
+            # shared exp, HARDWARE log1p, sigmoid as e/(1+e)
+            e = jnp.exp(-2.0 * jnp.abs(X))
+            acc = acc + jnp.sum(
+                jnp.log1p(e) + e / (1.0 + e), axis=0
+            ).reshape(1, W)
+        elif variant == "sel4":
+            # 4 where-selects/elem: the zguard / ownership-mask cost unit
+            t = jnp.where(X > 0.0, X, 0.0)
+            t = jnp.where(X > 1.0, t, X * 0.5)
+            t = jnp.where(X < -1.0, t, X * 0.25)
+            t = jnp.where(X != 0.0, t, 0.0)
+            acc = acc + jnp.sum(t, axis=0).reshape(1, W)
+        elif variant == "band16":
+            # full quad math but only on a 16-row band: what per-key
+            # banding buys vs paying it on all DIM rows
+            Xs = X[:16, :]
+            U = jnp.abs(Xs)
+            t = jnp.where(Xs >= 0, U * 1.25, U * 0.75)
+            t = t * t + U
+            t = jnp.where(t > 1.0, t - 1.0, t)
+            acc = acc + jnp.sum(t * 0.5 + U, axis=0).reshape(1, W)
         else:
             raise KeyError(variant)
         o_ref[:, :] = acc
@@ -160,7 +183,7 @@ def main():
     out = {"poly_log1p_max_abs_err": perr}
     names = sys.argv[1:] or [
         "floor", "alu8", "exp1", "log1", "sp", "sp_poly", "sig",
-        "spsig", "spsig_sh",
+        "spsig", "spsig_sh", "spsig_sh2", "sel4", "band16",
     ]
     for v in names:
         us = slope(v, vT) * 1e6

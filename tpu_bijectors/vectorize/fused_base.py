@@ -75,24 +75,27 @@ NCF = NK + 1
 
 _ALL_KEYS = frozenset(_COEF_KEYS)
 
-# Term groups for BANDED slab evaluation (round 4): each transcendental
-# pass runs only over the 8-aligned union row range of the slab entries
-# that assign its weight key, instead of the full (dim, W) block — on the
-# bench model the exp pass served 8 LogNormal rows out of 151 (95% waste).
+# Term groups for BANDED slab evaluation (round 4): each term's pass runs
+# only over the 8-aligned union row range of the slab entries that assign
+# its WEIGHT key, instead of the full (dim, W) block. Round-4 probe
+# (tools/transcend_probe.py, TRANSCEND_PROBE.json) overturned the r3
+# assumption that transcendentals bound the kernel: on the v5e the EUP is
+# nearly free (exp/log +~1.5 us per full-block pass) while each serial VPU
+# ALU op costs ~7 us/pass — so the win is not "fewer softplus calls" but
+# "fewer select/fma passes over rows that don't use the term". Hence ONE
+# GROUP PER WEIGHT KEY (lin/quad/absv/sp/exp/l1p): on the bench model the
+# quadratic's 4 ops run over the 16 Normal/LogNormal rows instead of all
+# 151, and the |D| machinery only over the 135 Dirichlet/LKJ rows.
 # Auxiliary columns (m, sa, sb, ea, eb, la) ride with their weight key's
-# group. "cheap" terms (no transcendental) share one band.
-_GROUP_OF = {
-    "c0": "cheap", "c1": "cheap", "cq": "cheap", "c3p": "cheap",
-    "c3n": "cheap", "m": "cheap",
-    "c4": "sp", "sa": "sp", "sb": "sp",
-    "c5": "exp", "ea": "exp", "eb": "exp",
-    "c6": "l1p", "la": "l1p",
-}
-_GROUP_KEYS = {
-    "cheap": frozenset({"m", "c0", "c1", "cq", "c3p", "c3n"}),
-    "sp": frozenset({"m", "c4", "sa", "sb"}),
-    "exp": frozenset({"c5", "ea", "eb"}),
-    "l1p": frozenset({"m", "c6", "la"}),
+# group(s); `c0` has no V dependence at all and is lifted OUT of the
+# kernel entirely (summed at trace time, added to lp afterwards).
+_WEIGHT_OF = {
+    "lin": frozenset({"c1"}),
+    "quad": frozenset({"cq"}),
+    "absv": frozenset({"c3p", "c3n"}),
+    "sp": frozenset({"c4"}),
+    "exp": frozenset({"c5"}),
+    "l1p": frozenset({"c6"}),
 }
 
 
@@ -105,76 +108,95 @@ def _zguard(c, term):
     return jnp.where(c == 0.0, jnp.zeros_like(term), term)
 
 
-def _slab_group_value(group, V, cf, used):
-    """One term group of the slab closed form, evaluated on a row BAND
-    (V, cf already sliced). Same math as _slab_value restricted to the
-    group's terms — the kernel sums each group's band and adds them."""
+def _slab_group_val_par(group, V, cf, used, *, value=True, partial=False):
+    """One term group of the slab closed form on a row BAND (V, cf already
+    sliced to the band). Returns (val, par) — either may be None when not
+    requested (or, for `par`, when the group's derivative is a pure
+    broadcast the caller folds directly). Requesting both shares the
+    masked V / D / |D| / sign machinery AND the transcendental between the
+    value and its derivative (softplus' = sigmoid via the SAME exp:
+    the one-pass value-and-grad kernel pays one EUP op per row, not two)."""
     col = lambda k: cf[:, _CI[k]][:, None]
     V = _slab_mask_v(V, cf)
     D = (V - col("m")) if "m" in used else V
-    acc = jnp.zeros((cf.shape[0], 1), V.dtype)
-    if group == "cheap":
-        U = jnp.abs(D)
-        acc = acc + col("c0")
-        out = jnp.broadcast_to(acc, V.shape)
-        if "c1" in used:
-            out = out + _zguard(col("c1"), col("c1") * V)
-        if "cq" in used:
-            out = out + _zguard(col("cq"), col("cq") * (D * D))
-        if "c3p" in used or "c3n" in used:
-            sel3 = jnp.where(D >= 0, col("c3p"), col("c3n"))
-            out = out + _zguard(sel3, sel3 * U)
-        return out
+    val = par = None
+    if group == "lin":
+        c1 = col("c1")
+        if value:
+            val = _zguard(c1, c1 * V)
+        if partial:
+            par = jnp.broadcast_to(c1, V.shape)
+        return val, par
+    if group == "quad":
+        cq = col("cq")
+        if value:
+            val = _zguard(cq, cq * (D * D))
+        if partial:
+            par = _zguard(cq, 2.0 * cq * D)
+        return val, par
+    if group == "absv":
+        sel3 = jnp.where(D >= 0, col("c3p"), col("c3n"))
+        if value:
+            val = _zguard(sel3, sel3 * jnp.abs(D))
+        if partial:
+            par = sel3 * jnp.sign(D)
+        return val, par
     if group == "sp":
-        U = jnp.abs(D)
-        sp_arg = col("sa") * U
+        c4 = col("c4")
+        sp_arg = col("sa") * jnp.abs(D)
         if "sb" in used:
             sp_arg = sp_arg + col("sb")
-        return _zguard(col("c4"), col("c4") * jax.nn.softplus(sp_arg))
+        if value and partial:
+            # shared exp: sp_arg <= 0 by construction (sa <= 0, see
+            # _COEF_KEYS), so e = exp(sp_arg) in (0, 1]: softplus is
+            # log1p(e), sigmoid is e/(1+e) — one EUP exp serves both
+            e = jnp.exp(sp_arg)
+            val = _zguard(c4, c4 * jnp.log1p(e))
+            par = _zguard(
+                c4, c4 * col("sa") * jnp.sign(D) * (e / (1.0 + e))
+            )
+        elif value:
+            val = _zguard(c4, c4 * jax.nn.softplus(sp_arg))
+        else:
+            par = _zguard(
+                c4, c4 * col("sa") * jnp.sign(D) * jax.nn.sigmoid(sp_arg)
+            )
+        return val, par
     if group == "exp":
+        c5 = col("c5")
         e_arg = col("ea") * V
         if "eb" in used:
             e_arg = e_arg + col("eb")
-        return _zguard(col("c5"), col("c5") * jnp.exp(e_arg))
-    t = col("la") * D
-    return _zguard(col("c6"), col("c6") * jnp.log1p(t * t))
+        e = jnp.exp(e_arg)
+        if value:
+            val = _zguard(c5, c5 * e)
+        if partial:
+            par = _zguard(c5, c5 * col("ea") * e)
+        return val, par
+    if group == "l1p":
+        c6 = col("c6")
+        la = col("la")
+        t = la * D
+        t2 = t * t
+        if value:
+            val = _zguard(c6, c6 * jnp.log1p(t2))
+        if partial:
+            par = _zguard(c6, c6 * (2.0 * la * la * D) / (1.0 + t2))
+        return val, par
+    raise KeyError(group)
+
+
+def _slab_group_value(group, V, cf, used):
+    """Value of one term group on a row band (see _slab_group_val_par)."""
+    return _slab_group_val_par(group, V, cf, used, value=True)[0]
 
 
 def _slab_group_partial(group, V, cf, used):
     """d(group terms)/dV on a row band — matches _slab_partial restricted
-    to the group (same tie conventions)."""
-    col = lambda k: cf[:, _CI[k]][:, None]
-    V = _slab_mask_v(V, cf)
-    D = (V - col("m")) if "m" in used else V
-    if group == "cheap":
-        sgn = jnp.sign(D)
-        g = jnp.zeros((cf.shape[0], 1), V.dtype)
-        if "c1" in used:
-            g = g + col("c1")
-        out = jnp.broadcast_to(g, V.shape)
-        if "cq" in used:
-            out = out + _zguard(col("cq"), 2.0 * col("cq") * D)
-        if "c3p" in used or "c3n" in used:
-            sel3 = jnp.where(D >= 0, col("c3p"), col("c3n"))
-            out = out + sel3 * sgn
-        return out
-    if group == "sp":
-        U = jnp.abs(D)
-        sgn = jnp.sign(D)
-        sp_arg = col("sa") * U
-        if "sb" in used:
-            sp_arg = sp_arg + col("sb")
-        return _zguard(
-            col("c4"), col("c4") * col("sa") * sgn * jax.nn.sigmoid(sp_arg)
-        )
-    if group == "exp":
-        e_arg = col("ea") * V
-        if "eb" in used:
-            e_arg = e_arg + col("eb")
-        return _zguard(col("c5"), col("c5") * col("ea") * jnp.exp(e_arg))
-    la = col("la")
-    t = la * D
-    return _zguard(col("c6"), col("c6") * (2.0 * la * la * D) / (1.0 + t * t))
+    to the group (same tie conventions: sign(0) = 0 via jnp.sign)."""
+    return _slab_group_val_par(
+        group, V, cf, used, value=False, partial=True
+    )[1]
 
 
 def _slab_mask_v(V, cf):
@@ -184,36 +206,28 @@ def _slab_mask_v(V, cf):
 
 
 def _used_groups(used):
-    out = ["cheap"]
-    if "c4" in used:
-        out.append("sp")
-    if "c5" in used:
-        out.append("exp")
-    if "c6" in used:
-        out.append("l1p")
-    return out
+    return [g for g, w in _WEIGHT_OF.items() if w & used]
 
 
 def _slab_value(V, cf, used=_ALL_KEYS):
     """(dim, W) slab log-density: per-row coefficients broadcast over lanes.
 
-    Full-block form = the sum of every used term group over the whole
-    block (the kernels evaluate groups on their static row BANDS instead —
-    see _slab_group_value / fused_kernel._prep; this wrapper keeps the
-    closed form in ONE place for tests/tools). `used` is the trace-time
-    set of assigned coefficient keys: terms whose weight column is
-    statically all-zero are never emitted — the transcendentals are the
-    kernel's bound, not HBM."""
-    acc = None
+    Full-block form = c0 plus the sum of every used term group over the
+    whole block (the kernels evaluate groups on their static row BANDS and
+    lift the c0 sum out of the kernel entirely — see _slab_group_val_par /
+    fused_kernel._prep; this wrapper keeps the closed form in ONE place
+    for tests/tools). `used` is the trace-time set of assigned coefficient
+    keys: terms whose weight column is statically all-zero are never
+    emitted."""
+    acc = jnp.broadcast_to(cf[:, _CI["c0"]][:, None], V.shape)
     for g in _used_groups(used):
-        t = _slab_group_value(g, V, cf, used)
-        acc = t if acc is None else acc + t
-    return jnp.broadcast_to(acc, V.shape)
+        acc = acc + _slab_group_value(g, V, cf, used)
+    return acc
 
 
 def _slab_partial(V, cf, used=_ALL_KEYS):
     """(dim, W) d lp / d V of the slab form (full-block sum of the group
-    partials — see _slab_group_partial). Matches the composed path's tie
+    partials — see _slab_group_val_par). Matches the composed path's tie
     conventions where they are defined by jnp.abs (sign(0) = 0); the
     signed-softplus decomposition makes the partial 0 at the measure-zero
     point D == 0 for Beta/Pareto/HalfCauchy (the composed path's smooth
@@ -222,4 +236,6 @@ def _slab_partial(V, cf, used=_ALL_KEYS):
     for g in _used_groups(used):
         t = _slab_group_partial(g, V, cf, used)
         acc = t if acc is None else acc + t
+    if acc is None:
+        acc = jnp.zeros((cf.shape[0], 1), V.dtype)
     return jnp.broadcast_to(acc, V.shape)

@@ -100,14 +100,21 @@ def _prep(u, vT):
     Pn = pvec.shape[0]
     # slab coefficient matrix (dim, NK); loop rows stay all-zero (their
     # slab terms evaluate to exactly 0 — see _COEF_KEYS). `used` is the
-    # trace-time union of assigned keys; `bands` maps each term GROUP to
-    # the 8-aligned union row range of the entries assigning it — every
-    # transcendental pass runs only over its band instead of the full
-    # (dim, W) block (round 4; the bench model's exp pass served 8 of 151
-    # rows). Extra 8-alignment rows inside a band see exactly the old
-    # full-block semantics (zero coefficients / ownership mask).
-    from .fused_base import _GROUP_OF
+    # trace-time union of assigned keys; `bands` maps each WEIGHT-KEY term
+    # group (fused_base._WEIGHT_OF: lin/quad/absv/sp/exp/l1p) to the
+    # 8-aligned union row range of the entries assigning it — every term's
+    # select/fma/EUP pass runs only over its band instead of the full
+    # (dim, W) block (round 4; measured on chip the per-op VPU pass cost
+    # dominates, TRANSCEND_PROBE.json — on the bench model the quadratic
+    # serves 16 of 151 rows and the |D| machinery 135). Extra 8-alignment
+    # rows inside a band see exactly the old full-block semantics (zero
+    # coefficients / ownership mask). Aux columns (m/sa/la/...) never
+    # anchor a band — their owning entries also assign a weight key on the
+    # same rows. `c0` has no V dependence: its row sum is lifted out of
+    # the kernel entirely (c0sum, added to lp post-kernel).
+    from .fused_base import _WEIGHT_OF
 
+    _key_group = {k: g for g, ks in _WEIGHT_OF.items() for k in ks}
     cf = jnp.zeros((dim, NCF), dtype)
     used = set()
     raw_bands: dict = {}
@@ -118,19 +125,16 @@ def _prep(u, vT):
         for k, v in e.slab(dtype).items():
             used.add(k)
             cf = cf.at[e.row0 : e.row0 + e.rows, _CI[k]].set(v)
-            g = _GROUP_OF[k]
-            lo, hi = raw_bands.get(g, (dim, 0))
-            raw_bands[g] = (min(lo, e.row0), max(hi, e.row0 + e.rows))
+            g = _key_group.get(k)
+            if g is not None:
+                lo, hi = raw_bands.get(g, (dim, 0))
+                raw_bands[g] = (min(lo, e.row0), max(hi, e.row0 + e.rows))
     used = frozenset(used)
-    # aux columns (m/sa/la/...) must not create a band on their own; only
-    # weight keys (c0..c6) anchor a group
-    weight = {"cheap": {"c0", "c1", "cq", "c3p", "c3n"}, "sp": {"c4"},
-              "exp": {"c5"}, "l1p": {"c6"}}
     bands = tuple(
         (g, (lo // 8 * 8, min(dim, -(-hi // 8) * 8)))
         for g, (lo, hi) in sorted(raw_bands.items())
-        if weight[g] & used
     )
+    c0sum = jnp.sum(cf[:, _CI["c0"]])
     Bp = padded_batch(B)
     W = block_lanes(Bp)
     # VMEM guard: v (+dv) block + params + coefficient block + double buffering
@@ -139,7 +143,7 @@ def _prep(u, vT):
     while Bp % W:
         W //= 2
     pb = jnp.broadcast_to(pvec[:, None], (Pn, W))
-    return loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands
+    return loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands, c0sum
 
 
 def _loop_readers(e, v_ref, p_ref, W):
@@ -160,7 +164,7 @@ def mega_logdensity_t(u, vT, *, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands = _prep(u, vT)
+    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands, c0sum = _prep(u, vT)
     vp = pad_to(vT.astype(dtype), Bp, 1)
 
     def kernel(v_ref, p_ref, cf_ref, lp_ref):
@@ -189,7 +193,9 @@ def mega_logdensity_t(u, vT, *, interpret: bool = False):
         out_specs=pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(vp, pb, cf)
-    return out[0, :B]
+    # c0 (no V dependence) is lifted out of the kernel: one (B,) add here
+    # replaces a (band, W) broadcast-add pass inside it
+    return out[0, :B] + c0sum
 
 
 def mega_jvp_t(u, vT, dvT, *, interpret: bool = False):
@@ -198,7 +204,7 @@ def mega_jvp_t(u, vT, dvT, *, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands = _prep(u, vT)
+    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands, _ = _prep(u, vT)
     vp = pad_to(vT.astype(dtype), Bp, 1)
     dvp = pad_to(dvT.astype(dtype), Bp, 1)
 
@@ -240,7 +246,7 @@ def mega_vjp_t(u, vT, gbar, *, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands = _prep(u, vT)
+    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands, _ = _prep(u, vT)
     vp = pad_to(vT.astype(dtype), Bp, 1)
     gb = pad_to(gbar.astype(dtype).reshape(1, B), Bp, 1)
 
@@ -291,9 +297,9 @@ def mega_value_and_grad_t(u, vT, *, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from .fused_base import _slab_group_partial, _slab_group_value
+    from .fused_base import _slab_group_val_par
 
-    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands = _prep(u, vT)
+    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands, c0sum = _prep(u, vT)
     vp = pad_to(vT.astype(dtype), Bp, 1)
 
     def kernel(v_ref, p_ref, cf_ref, lp_ref, g_ref):
@@ -302,12 +308,15 @@ def mega_value_and_grad_t(u, vT, *, interpret: bool = False):
         for gr, (lo, hi) in bands:
             Vs = v_ref[lo:hi, :]
             cfs = cf_ref[lo:hi, :]
-            acc = acc + jnp.sum(
-                _slab_group_value(gr, Vs, cfs, used), axis=0
-            ).reshape(1, W)
-            g_ref[lo:hi, :] = g_ref[lo:hi, :] + _slab_group_partial(
-                gr, Vs, cfs, used
+            # combined form: value and derivative share the masked V / D /
+            # |D| machinery AND the softplus/sigmoid exp (one EUP op per
+            # row serves both — measured win, TRANSCEND_PROBE.json
+            # spsig_sh2 vs spsig)
+            val, par = _slab_group_val_par(
+                gr, Vs, cfs, used, value=True, partial=True
             )
+            acc = acc + jnp.sum(val, axis=0).reshape(1, W)
+            g_ref[lo:hi, :] = g_ref[lo:hi, :] + par
         for e in loop:
             rr, rp = _loop_readers(e, v_ref, p_ref, W)
             acc = acc + e.emit(rr, rp, W, dtype)
@@ -334,7 +343,7 @@ def mega_value_and_grad_t(u, vT, *, interpret: bool = False):
         ),
         interpret=interpret,
     )(vp, pb, cf)
-    return lp[0, :B], g[:, :B]
+    return lp[0, :B] + c0sum, g[:, :B]
 
 
 def try_mega_value_and_grad(u, vT):
