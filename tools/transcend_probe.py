@@ -59,6 +59,36 @@ def _poly_log1p(z):
 
 
 def make_kernel(variant):
+    if variant == "floor_g":
+        # vg-kernel floor: read the block, write the (1, W) lp AND a full
+        # (DIM, W) grad block — the one-pass value-and-grad kernel's HBM
+        # shape (read 151xB + write 151xB + write 1xB)
+        def gkernel(v_ref, c_ref, o_ref, g_ref):
+            X = v_ref[:, :] * c_ref[0, :].reshape(1, W)
+            o_ref[:, :] = jnp.sum(X * X, axis=0).reshape(1, W)
+            g_ref[:, :] = X + 1.0
+
+        def grun(vT, c):
+            out, _ = pl.pallas_call(
+                gkernel,
+                out_shape=(
+                    jax.ShapeDtypeStruct((1, B), jnp.float32),
+                    jax.ShapeDtypeStruct((DIM, B), jnp.float32),
+                ),
+                grid=(B // W,),
+                in_specs=[
+                    pl.BlockSpec((DIM, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((1, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((DIM, W), lambda i: (0, i), memory_space=pltpu.VMEM),
+                ),
+            )(vT, c)
+            return out
+
+        return grun
+
     def kernel(v_ref, c_ref, o_ref):
         V = v_ref[:, :]
         c = c_ref[0, :].reshape(1, W)

@@ -34,16 +34,18 @@ MIN_BATCH = 1024
 # B=4: 13 vs 25 us) and again at large B; the composed per-leaf path wins
 # in between (5.9 vs 14.3 us at B=1024). try_mega dispatches outside
 # MEGA_OFF_BAND = [lo, hi).
-# Measured 2026-08-20 (MEGA_CROSSOVER.json): value-path mega wins at
-# B <= 512 (13-18 us vs 24-28 us jnp) and at 131072 (300 vs 308 us
-# composed); composed wins 1024..32768 (5.7 vs 18.1 us at 1024, 63 vs
-# 87 us at 32768) — upper re-entry interpolated at 65536.
+# Measured 2026-08-20, re-measured after the per-key banding landed
+# (MEGA_CROSSOVER.json): value-path mega wins at B <= 512 (14-18 us vs
+# 21-31 us) and at 131072 (277 vs 326 us composed); composed wins
+# 1024..32768 (5.4 vs 18.8 us at 1024, 64 vs 82 us at 32768) — upper
+# re-entry interpolated at 65536. The banding did not move the band
+# edges.
 MEGA_OFF_BAND = (1024, 65536)
 # The ONE-PASS fused value-and-grad kernel (mega_value_and_grad_t — the
 # NUTS leapfrog fast path) has better economics (state read once, grads
 # written in the same pass): it wins everywhere except 1024..4096
-# (megavg 16.8/18.4/32.0/34.6 us at B=4/1024/4096/8192 vs composed
-# 61.6/10.2/24.3/49.1).
+# (megavg 17.0/18.4/32.1/41.8 us at B=16/1024/4096/8192 vs composed
+# 63.3/10.1/24.4/50.7).
 MEGA_VG_OFF_BAND = (1024, 8192)
 # Model.sample(kernel='auto') gate: with the fused value-and-grad kernel
 # the transposed whole-model NUTS is profitable at every chain count

@@ -146,6 +146,21 @@ def _prep(u, vT):
     return loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands, c0sum
 
 
+def _disjoint_segments(bands, dim):
+    """Partition [0, dim) into disjoint row segments, each labeled with the
+    band groups covering it. Lets the gradient-writing kernels accumulate
+    every segment's partials in REGISTERS and write each out-block row
+    range exactly once — instead of a zeros-init of the whole (dim, W)
+    block followed by one VMEM read-modify-write per overlapping band
+    (absv and sp share their rows on every mixed model)."""
+    edges = sorted({0, dim} | {e for _, (lo, hi) in bands for e in (lo, hi)})
+    segs = []
+    for a, b in zip(edges, edges[1:]):
+        gs = tuple(g for g, (lo, hi) in bands if lo <= a and b <= hi)
+        segs.append((a, b, gs))
+    return segs
+
+
 def _loop_readers(e, v_ref, p_ref, W):
     rr = _partial(lambda e, i: v_ref[e.row0 + i, :].reshape(1, W), e)
     rp = _partial(lambda e, j: p_ref[e.prow0 + j, :].reshape(1, W), e)
@@ -167,15 +182,20 @@ def mega_logdensity_t(u, vT, *, interpret: bool = False):
     loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands, c0sum = _prep(u, vT)
     vp = pad_to(vT.astype(dtype), Bp, 1)
 
+    segs = _disjoint_segments(bands, dim)
+
     def kernel(v_ref, p_ref, cf_ref, lp_ref):
         from .fused_base import _slab_group_value
 
         acc = jnp.zeros((1, W), dtype)
-        for g, (lo, hi) in bands:
-            acc = acc + jnp.sum(
-                _slab_group_value(g, v_ref[lo:hi, :], cf_ref[lo:hi, :], used),
-                axis=0,
-            ).reshape(1, W)
+        for a, b, gs in segs:
+            if not gs:
+                continue
+            val_acc = None
+            for gr in gs:
+                val = _slab_group_value(gr, v_ref[a:b, :], cf_ref[a:b, :], used)
+                val_acc = val if val_acc is None else val_acc + val
+            acc = acc + jnp.sum(val_acc, axis=0).reshape(1, W)
         for e in loop:
             rr, rp = _loop_readers(e, v_ref, p_ref, W)
             acc = acc + e.emit(rr, rp, W, dtype)
@@ -208,13 +228,22 @@ def mega_jvp_t(u, vT, dvT, *, interpret: bool = False):
     vp = pad_to(vT.astype(dtype), Bp, 1)
     dvp = pad_to(dvT.astype(dtype), Bp, 1)
 
+    segs = _disjoint_segments(bands, dim)
+
     def kernel(v_ref, dv_ref, p_ref, cf_ref, out_ref):
         from .fused_base import _slab_group_partial
 
         acc = jnp.zeros((1, W), dtype)
-        for gr, (lo, hi) in bands:
-            gp = _slab_group_partial(gr, v_ref[lo:hi, :], cf_ref[lo:hi, :], used)
-            acc = acc + jnp.sum(gp * dv_ref[lo:hi, :], axis=0).reshape(1, W)
+        for a, b, gs in segs:
+            if not gs:
+                continue
+            par_acc = None
+            for gr in gs:
+                gp = _slab_group_partial(gr, v_ref[a:b, :], cf_ref[a:b, :], used)
+                par_acc = gp if par_acc is None else par_acc + gp
+            acc = acc + jnp.sum(
+                par_acc * dv_ref[a:b, :], axis=0
+            ).reshape(1, W)
         for e in loop:
             rr, rp = _loop_readers(e, v_ref, p_ref, W)
             ps = e.partials(rr, rp, W, dtype)
@@ -250,14 +279,21 @@ def mega_vjp_t(u, vT, gbar, *, interpret: bool = False):
     vp = pad_to(vT.astype(dtype), Bp, 1)
     gb = pad_to(gbar.astype(dtype).reshape(1, B), Bp, 1)
 
+    segs = _disjoint_segments(bands, dim)
+
     def kernel(v_ref, g_ref, p_ref, cf_ref, out_ref):
         from .fused_base import _slab_group_partial
 
         g = g_ref[0, :].reshape(1, W)
-        out_ref[:, :] = jnp.zeros((dim, W), dtype)
-        for gr, (lo, hi) in bands:
-            gp = _slab_group_partial(gr, v_ref[lo:hi, :], cf_ref[lo:hi, :], used)
-            out_ref[lo:hi, :] = out_ref[lo:hi, :] + gp * g
+        for a, b, gs in segs:
+            if not gs:
+                out_ref[a:b, :] = jnp.zeros((b - a, W), dtype)
+                continue
+            par = None
+            for gr in gs:
+                gp = _slab_group_partial(gr, v_ref[a:b, :], cf_ref[a:b, :], used)
+                par = gp if par is None else par + gp
+            out_ref[a:b, :] = par * g
         for e in loop:
             rr, rp = _loop_readers(e, v_ref, p_ref, W)
             ps = e.partials(rr, rp, W, dtype)
@@ -302,21 +338,29 @@ def mega_value_and_grad_t(u, vT, *, interpret: bool = False):
     loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands, c0sum = _prep(u, vT)
     vp = pad_to(vT.astype(dtype), Bp, 1)
 
+    segs = _disjoint_segments(bands, dim)
+
     def kernel(v_ref, p_ref, cf_ref, lp_ref, g_ref):
         acc = jnp.zeros((1, W), dtype)
-        g_ref[:, :] = jnp.zeros((dim, W), dtype)
-        for gr, (lo, hi) in bands:
-            Vs = v_ref[lo:hi, :]
-            cfs = cf_ref[lo:hi, :]
-            # combined form: value and derivative share the masked V / D /
-            # |D| machinery AND the softplus/sigmoid exp (one EUP op per
-            # row serves both — measured win, TRANSCEND_PROBE.json
-            # spsig_sh2 vs spsig)
-            val, par = _slab_group_val_par(
-                gr, Vs, cfs, used, value=True, partial=True
-            )
-            acc = acc + jnp.sum(val, axis=0).reshape(1, W)
-            g_ref[lo:hi, :] = g_ref[lo:hi, :] + par
+        for a, b, gs in segs:
+            if not gs:
+                g_ref[a:b, :] = jnp.zeros((b - a, W), dtype)
+                continue
+            Vs = v_ref[a:b, :]
+            cfs = cf_ref[a:b, :]
+            val_acc = par_acc = None
+            for gr in gs:
+                # combined form: value and derivative share the masked V /
+                # D / |D| machinery AND the softplus/sigmoid exp (one EUP
+                # op per row serves both — measured win,
+                # TRANSCEND_PROBE.json spsig_sh2 vs spsig)
+                val, par = _slab_group_val_par(
+                    gr, Vs, cfs, used, value=True, partial=True
+                )
+                val_acc = val if val_acc is None else val_acc + val
+                par_acc = par if par_acc is None else par_acc + par
+            acc = acc + jnp.sum(val_acc, axis=0).reshape(1, W)
+            g_ref[a:b, :] = par_acc
         for e in loop:
             rr, rp = _loop_readers(e, v_ref, p_ref, W)
             acc = acc + e.emit(rr, rp, W, dtype)
