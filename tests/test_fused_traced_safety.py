@@ -101,6 +101,79 @@ def test_decomposition_matches_original(name, ref, dec, grid, rtol, gref):
     assert np.array_equal(np.isfinite(g_dec), mask), f"{name} grad finiteness"
 
 
+def test_custom_rule_registry_is_exhaustive():
+    """eval_decomposed inlines custom_jvp/vjp calls, discarding their
+    rules (AD then runs through the decomposed primal). The soundness
+    argument — every in-repo rule's primal carries while/scan or a
+    pallas_call the admission scan rejects — must be STRUCTURAL, not
+    incidental (round-4 review): every jax.custom_jvp/custom_vjp object
+    defined in this package must be classified in
+    fused_decomp._CUSTOM_RULE_CLASSES. Adding a new rule without deciding
+    whether inlining its primal is safe fails here."""
+    import importlib
+    import pkgutil
+
+    from jax import custom_jvp
+    from jax.custom_derivatives import custom_vjp
+
+    import tpu_bijectors
+
+    found = {}
+    for m in pkgutil.walk_packages(tpu_bijectors.__path__, "tpu_bijectors."):
+        try:
+            mod = importlib.import_module(m.name)
+        except Exception:
+            continue
+        for attr, obj in vars(mod).items():
+            if isinstance(obj, (custom_jvp, custom_vjp)):
+                fn = getattr(obj, "fun", None)
+                if fn is not None and getattr(fn, "__module__", "").startswith(
+                    "tpu_bijectors"
+                ):
+                    found[attr] = m.name
+    unclassified = sorted(set(found) - set(fd._CUSTOM_RULE_CLASSES))
+    assert not unclassified, (
+        f"custom rules without an inlining-safety class in "
+        f"fused_decomp._CUSTOM_RULE_CLASSES: "
+        f"{[(n, found[n]) for n in unclassified]} — decide: 'pallas-primal'"
+        f" / 'loop-primal' (admission scan rejects the inlined primal) or"
+        f" 'inline-safe' (verified AD-through-primal == rule)"
+    )
+    # and the registry must not drift stale (names that no longer exist)
+    stale = sorted(set(fd._CUSTOM_RULE_CLASSES) - set(found))
+    assert not stale, f"stale _CUSTOM_RULE_CLASSES entries: {stale}"
+
+
+def test_asinh_acosh_f32_overflow_region():
+    """Round-4 review regression: the log1p forms compute a*a, which
+    overflows f32 past sqrt(floatmax) (~1.8e19) to inf/inf -> NaN while
+    lax.asinh/acosh stay finite via their log(2x) branch. The decomps
+    must switch to log(x) + log 2 there — value AND tangent (the tangent
+    is arbitrated analytically: lax.asinh's own 1/sqrt(x^2+1) rule
+    underflows to 0 in this region, ours returns the exact 1/x)."""
+    xs = jnp.asarray([1.8e19, 2e19, -2e19, 3.4e38, -3.4e38], jnp.float32)
+    va = np.asarray(fd._d_asinh(xs))
+    ref = np.asarray(jax.vmap(lax.asinh)(xs))
+    np.testing.assert_allclose(va, ref, rtol=1e-6)
+    ga = np.asarray(jax.vmap(jax.grad(fd._d_asinh))(xs))
+    gref = 1.0 / np.sqrt(np.asarray(xs, np.float64) ** 2 + 1.0)
+    # atol floor: at x = 3.4e38 the true 1/x (~2.9e-39) is SUBNORMAL in
+    # f32 and flushes to 0 — immaterial; the NaN this test guards against
+    # would fail equal_nan-free allclose regardless
+    np.testing.assert_allclose(ga, gref, rtol=1e-4, atol=1.2e-38)
+    xc = jnp.asarray([2e19, 3.4e38], jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(fd._d_acosh(xc)), np.asarray(jax.vmap(lax.acosh)(xc)),
+        rtol=1e-6,
+    )
+    gc = np.asarray(jax.vmap(jax.grad(fd._d_acosh))(xc))
+    np.testing.assert_allclose(
+        gc, 1.0 / np.asarray(xc, np.float64), rtol=1e-4, atol=1.2e-38
+    )
+    # tangent at 0 stays exact (the unselected log branch must not leak)
+    assert float(jax.grad(fd._d_asinh)(jnp.float32(0.0))) == 1.0
+
+
 def test_decomposition_grad_at_exact_zero():
     """Reflection-based decomps must keep the exact tangent at x == 0 (MAP
     and pathfinder inits are exact zeros; a where/sign formulation that

@@ -9,8 +9,9 @@ model's transposed density at B in {64..131072}, three ways:
 
 The mega kernel's economics differ from the per-leaf kernels' (ONE HBM pass
 vs ~4), so its crossover was never implied by the per-leaf table
-(docs/kernels.md). The measured crossover sets `kernels.MIN_BATCH_MEGA`,
-which gates Model.sample(kernel='auto').
+(docs/kernels.md). The measured crossover sets the dispatch bands
+`kernels.MEGA_OFF_BAND` / `kernels.MEGA_VG_OFF_BAND` used by
+try_mega / try_mega_value_and_grad.
 
 Run in background mode (first transfer 150-500 s):
   python tools/mega_crossover.py [--quick]

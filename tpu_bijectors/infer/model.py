@@ -98,7 +98,14 @@ class Model:
         def _prior_vg(vT):
             # leapfrog fast path: ONE fused Pallas pass for value AND full
             # gradient (state read from HBM once) when the whole-model
-            # kernel is eligible; jax.vjp otherwise (2 kernels / 3+ passes)
+            # kernel is eligible; jax.vjp otherwise (2 kernels / 3+ passes).
+            # NOTE: in the batch band where the vg kernel dispatches but
+            # the value kernel declines (kernels.MEGA_VG_OFF_BAND vs
+            # MEGA_OFF_BAND), value_and_grad_fn's lp and a direct f(vT)
+            # call can differ at the f32-association / Dirichlet-nudge
+            # level (~4e-5 rel, docs/kernels.md). Samplers are immune:
+            # init_sampler and every leapfrog consume THIS function, so
+            # all MH energies in a run share one density definition.
             from ..vectorize.fused_kernel import try_mega_value_and_grad
 
             out = try_mega_value_and_grad(u, vT)
@@ -196,7 +203,6 @@ class Model:
                 kernels.enabled()
                 and jax.default_backend() == "tpu"
                 and jnp.result_type(float) == jnp.float32
-                and n_chains >= kernels.MIN_BATCH_MEGA
                 and isinstance(u, TreeUnconstrainer)
                 and _plan(u, _eps(jnp.result_type(float))) is not None
             )

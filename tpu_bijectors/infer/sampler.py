@@ -65,8 +65,18 @@ def init_sampler(
     still re-adapts it in the mass windows."""
     dtype = q0.dtype
     if batched:
-        logp, vjp = jax.vjp(logdensity_fn, q0)
-        (grad,) = vjp(jnp.ones_like(logp))
+        # use the SAME value-and-grad path the leapfrog runs
+        # (hmc_batched._batched_logp_and_grad): with the fused one-pass
+        # kernel engaged, the initial state's logp comes from the identical
+        # density definition as every transition's, so the first MH
+        # acceptance never compares energies across two formulations that
+        # differ at the f32-association / eps-nudge level
+        vg = getattr(logdensity_fn, "value_and_grad_fn", None)
+        if vg is not None:
+            logp, grad = vg(q0)
+        else:
+            logp, vjp = jax.vjp(logdensity_fn, q0)
+            (grad,) = vjp(jnp.ones_like(logp))
     else:
         logp, grad = jax.vmap(jax.value_and_grad(logdensity_fn))(q0)
     dim = q0.shape[-1]
@@ -141,6 +151,16 @@ def _build_vkernel(logdensity_fn, kernel: str, max_depth: int, n_leapfrog: int):
 
     if kernel == "nuts_batched_t":
         init_logdensity = lambda q: logdensity_fn(q.T)
+        vg = getattr(logdensity_fn, "value_and_grad_fn", None)
+        if vg is not None:
+            # propagate the leapfrog's fused value-and-grad path (layout-
+            # adapted) so init_sampler's state.logp/grad come from the
+            # same density definition as every transition's
+            def _init_vg(q, vg=vg):
+                lp, g = vg(q.T)
+                return lp, g.T
+
+            init_logdensity.value_and_grad_fn = _init_vg
     else:
         init_logdensity = logdensity_fn
     return vkernel, init_logdensity

@@ -47,12 +47,11 @@ MEGA_OFF_BAND = (1024, 65536)
 # (megavg 17.0/18.4/32.1/41.8 us at B=16/1024/4096/8192 vs composed
 # 63.3/10.1/24.4/50.7).
 MEGA_VG_OFF_BAND = (1024, 8192)
-# Model.sample(kernel='auto') gate: with the fused value-and-grad kernel
-# the transposed whole-model NUTS is profitable at every chain count
-# outside the (tiny) off band, where the transposed composed path is
-# still on par with batch-major — so 'auto' only requires plan
-# eligibility + TPU.
-MIN_BATCH_MEGA = 1  # superseded by the bands above; kept for Model.sample
+# Model.sample(kernel='auto') needs no chain-count gate: with the fused
+# value-and-grad kernel the transposed whole-model NUTS is profitable at
+# every chain count outside the off bands above (where try_mega* decline
+# per call and the composed transposed path is on par with batch-major) —
+# 'auto' only requires plan eligibility + TPU + f32.
 MAX_K = {
     "simplex": 32,  # kernels/simplex.py: K-1 sublane steps
     "lkj": 16,  # kernels/lkj.py: K(K-1)/2 packed recurrence

@@ -124,6 +124,16 @@ def chain_parallel_resume(
     _state_specs."""
     from ..infer.sampler import resume_sampling
 
+    n_chains = int(jnp.shape(state.q)[0])
+    n_dev = mesh.devices.size
+    if n_chains % n_dev:
+        # same contract as build_nuts_sharded — a checkpoint from a
+        # 16-chain run cannot resume on a 3-device mesh; fail with the
+        # clear error, not shard_map's opaque reshape failure
+        raise ValueError(
+            f"checkpointed n_chains={n_chains} not divisible by mesh size {n_dev}"
+        )
+
     def local_resume(state_local):
         return resume_sampling(
             logdensity_fn, state_local, n_samples, axis_name=axis_name, **kwargs

@@ -42,7 +42,7 @@ class _Entry:
     slab: object = None  # slab entries: (dtype) -> {coef key: (rows,) array}
     # Slab entries are evaluated by the SLAB ENGINE: one full-block
     # (dim, W) pass with per-row coefficient columns (see _COEF_KEYS /
-    # _slab_value) — every transcendental runs on all 8 sublanes per VREG
+    # _slab_group_val_par) — every transcendental runs on all 8 sublanes per VREG
     # instead of one (1, W) row at a time. Loop entries (cross-row
     # recurrences: simplex, PD) keep per-row ref reads.
 
@@ -200,8 +200,8 @@ def _slab_group_value(group, V, cf, used):
 
 
 def _slab_group_partial(group, V, cf, used):
-    """d(group terms)/dV on a row band — matches _slab_partial restricted
-    to the group (same tie conventions: sign(0) = 0 via jnp.sign)."""
+    """d(group terms)/dV on a row band (tie conventions: sign(0) = 0
+    via jnp.sign — see the NOTE below)."""
     return _slab_group_val_par(
         group, V, cf, used, value=False, partial=True
     )[1]
@@ -213,37 +213,13 @@ def _slab_mask_v(V, cf):
     return jnp.where(cf[:, _MASK_COL][:, None] > 0, V, 0.0)
 
 
-def _used_groups(used):
-    return [g for g, w in _WEIGHT_OF.items() if w & used]
-
-
-def _slab_value(V, cf, used=_ALL_KEYS):
-    """(dim, W) slab log-density: per-row coefficients broadcast over lanes.
-
-    Full-block form = c0 plus the sum of every used term group over the
-    whole block (the kernels evaluate groups on their static row BANDS and
-    lift the c0 sum out of the kernel entirely — see _slab_group_val_par /
-    fused_kernel._prep; this wrapper keeps the closed form in ONE place
-    for tests/tools). `used` is the trace-time set of assigned coefficient
-    keys: terms whose weight column is statically all-zero are never
-    emitted."""
-    acc = jnp.broadcast_to(cf[:, _CI["c0"]][:, None], V.shape)
-    for g in _used_groups(used):
-        acc = acc + _slab_group_value(g, V, cf, used)
-    return acc
-
-
-def _slab_partial(V, cf, used=_ALL_KEYS):
-    """(dim, W) d lp / d V of the slab form (full-block sum of the group
-    partials — see _slab_group_val_par). Matches the composed path's tie
-    conventions where they are defined by jnp.abs (sign(0) = 0); the
-    signed-softplus decomposition makes the partial 0 at the measure-zero
-    point D == 0 for Beta/Pareto/HalfCauchy (the composed path's smooth
-    sigmoid form is nonzero there) — irrelevant off that exact point."""
-    acc = None
-    for g in _used_groups(used):
-        t = _slab_group_partial(g, V, cf, used)
-        acc = t if acc is None else acc + t
-    if acc is None:
-        acc = jnp.zeros((cf.shape[0], 1), V.dtype)
-    return jnp.broadcast_to(acc, V.shape)
+# NOTE on tie conventions of the partials (_slab_group_val_par): they
+# match the composed path's where defined by jnp.abs (sign(0) = 0); the
+# signed-softplus decomposition makes the sp partial 0 at the measure-zero
+# point D == 0 for Beta/Pareto/HalfCauchy (the composed path's smooth
+# sigmoid form is nonzero there) — irrelevant off that exact point.
+# There is deliberately NO full-block wrapper: the kernels are the only
+# consumers of the slab closed form, and they evaluate each weight-key
+# group on its own row band (fused_kernel._prep / _disjoint_segments);
+# equivalence is pinned against the composed per-leaf path by
+# tests/test_transposed_layout.py, not against a second in-repo copy.

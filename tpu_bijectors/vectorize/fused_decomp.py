@@ -69,6 +69,41 @@ _STRUCTURAL_PRIMS = frozenset({
     "core_call", "remat", "remat2", "checkpoint",
 })
 
+# Inlining a custom_jvp/custom_vjp call DISCARDS its rule: AD then runs
+# through the decomposed primal. That is only sound when either (a) the
+# rule equals AD-of-primal (jax-library rules like softplus/logsumexp are
+# consistent by design), or (b) the primal carries ops the admission scan
+# rejects anyway (while/scan/cond or a pallas_call), so the leaf DECLINES
+# to the composed path and the discarded rule never matters. Every
+# in-repo custom rule must be classified here; tests/
+# test_fused_traced_safety.py::test_custom_rule_registry_is_exhaustive
+# walks the package and fails on any unclassified rule — adding a
+# scan-free in-repo rule (e.g. an eps-guard with a straight-through
+# tangent) without deciding its class is a test failure, not a silent
+# wrong gradient in the fused kernel.
+#   "pallas-primal": primal dispatches a Pallas kernel -> scan-rejected (b)
+#   "loop-primal":   primal carries while/scan (root finds) -> scan-rejected (b)
+#   "inline-safe":   author-verified AD-through-primal == rule (a); none yet
+_CUSTOM_RULE_CLASSES = {
+    "_vec_corr_logdet_pallas": "pallas-primal",
+    "_chol_logdet_pallas": "pallas-primal",
+    "_lkj_logdet_pallas_t": "pallas-primal",
+    "_vec_corr_inverse_all_pallas": "pallas-primal",
+    "_pd_inverse_all_pallas": "pallas-primal",
+    "_pd_logdensity_pallas_diffable": "pallas-primal",
+    "_pd_tr_grad": "pallas-primal",
+    "_pd_logdensity_pallas_t": "pallas-primal",
+    "_simplex_inverse_pallas_diffable": "pallas-primal",
+    "simplex_inverse_logdet_wlog": "pallas-primal",
+    "simplex_logdet_wlog_nox": "pallas-primal",
+    "simplex_logdet_wlog_nox_t": "pallas-primal",
+    "_simplex_forward_logdet_pallas_diffable": "pallas-primal",
+    "_simplex_inverse_logdet_pallas_diffable": "pallas-primal",
+    "_generic_quantile": "loop-primal",
+    "find_alpha": "loop-primal",
+    "_mega_diffable": "pallas-primal",
+}
+
 
 def _eqn_lowerable(eqn) -> bool:
     name = eqn.primitive.name
@@ -99,16 +134,39 @@ def _d_asinh(x, **_):
     # log1p reflection form: a + a^2/(1+sqrt(a^2+1)) == a + (sqrt(a^2+1)-1)
     # exactly, so small-|x| accuracy matches log1p; reflection keeps the
     # large-negative branch cancellation-free. The where-based reflection
-    # (not sign()*...) keeps the tangent exact at x == 0.
+    # (not sign()*...) keeps the tangent exact at x == 0. For a past
+    # sqrt(floatmax) (~1.8e19 f32) a*a overflows to inf (inf/inf -> NaN
+    # where lax.asinh stays finite), so the large branch switches to the
+    # exact-at-that-magnitude log(2a) = log(a) + log 2 (rel err < 3e-39);
+    # the small-branch operand is clamped under the where so the overflow
+    # never contaminates the selected value or its tangent.
     neg = x < 0
     a = jnp.where(neg, -x, x)
-    t = jnp.log1p(a + a * a / (1.0 + jnp.sqrt(a * a + 1.0)))
+    big_at = jnp.sqrt(jnp.finfo(jnp.result_type(x, float)).max) * 0.5
+    big = a > big_at
+    ac = jnp.where(big, 1.0, a)   # clamp per branch: the unselected side
+    al = jnp.where(big, a, 1.0)   # must stay NaN/inf-free incl. tangents
+    t = jnp.where(
+        big,
+        jnp.log(al) + 0.6931471805599453,
+        jnp.log1p(ac + ac * ac / (1.0 + jnp.sqrt(ac * ac + 1.0))),
+    )
     return jnp.where(neg, -t, t)
 
 
 def _d_acosh(x, **_):
-    t = x - 1.0
-    return jnp.log1p(t + jnp.sqrt(t * (x + 1.0)))
+    # t*(x+1) overflows f32 past ~1.3e19 (lax.acosh stays finite via its
+    # log(2x) branch) — same guarded split as _d_asinh
+    big_at = jnp.sqrt(jnp.finfo(jnp.result_type(x, float)).max) * 0.5
+    big = x > big_at
+    xc = jnp.where(big, 1.0, x)
+    xl = jnp.where(big, x, 1.0)
+    t = xc - 1.0
+    return jnp.where(
+        big,
+        jnp.log(xl) + 0.6931471805599453,
+        jnp.log1p(t + jnp.sqrt(t * (xc + 1.0))),
+    )
 
 
 def _d_atanh(x, **_):

@@ -59,8 +59,6 @@ from .fused_base import (  # noqa: F401 — re-exported for tests/tools
     _MASK_COL,
     _Unsupported,
     _slab_mask_v,
-    _slab_partial,
-    _slab_value,
 )
 from .fused_plan import _plan, _plan_uncached  # noqa: F401
 from .fused_traced import (  # noqa: F401 — re-exported for tests
