@@ -147,6 +147,8 @@ def fit_advi(
     transposed: bool = False,
     estimator: str = "elbo",
     n_iw: int = 8,
+    axis_name: str = None,
+    n_dev: int = 1,
 ) -> ADVIResult:
     """Maximize the ELBO with Adam; whole loop is one lax.scan under jit.
 
@@ -171,7 +173,14 @@ def fit_advi(
     weights inside the log, giving a bound that is tighter than the ELBO
     and monotone in n_iw — the fitted q approximates a POSTERIOR-coverage
     proposal rather than a mode-seeking one. Works for Gaussian AND flow
-    families (n_mc*n_iw draws per step, one batched density call)."""
+    families (n_mc*n_iw draws per step, one batched density call).
+
+    axis_name/n_dev (internal; set by shard.chain_parallel_advi): run the
+    step INSIDE a shard_map over a mesh axis of n_dev devices — each device
+    draws the identical full MC batch from the replicated per-step key,
+    evaluates the target density only on its n_mc/n_dev slice, and the
+    ELBO value and gradient are pmean'd over the axis inside the jitted
+    step (the same in-step-collective design as chain_parallel_nuts)."""
     if q is None:
         q = MeanFieldGaussian.init(dim, dtype)
     opt = optimizer or optax.adam(learning_rate)
@@ -194,6 +203,18 @@ def fit_advi(
             )
     blogp = as_batched(logdensity_fn)
 
+    if axis_name is not None and n_mc % n_dev:
+        raise ValueError(f"n_mc={n_mc} not divisible by mesh size {n_dev}")
+
+    def _local(a, axis=0):
+        # every device draws the identical full MC batch (the per-step key
+        # is replicated); the density only ever sees this device's slice
+        if axis_name is None:
+            return a
+        n_loc = a.shape[axis] // n_dev
+        idx = jax.lax.axis_index(axis_name)
+        return jax.lax.dynamic_slice_in_dim(a, idx * n_loc, n_loc, axis)
+
     def neg_elbo(q, key):
         if estimator == "iwelbo":
             if isinstance(q, FlowPosterior):
@@ -201,14 +222,18 @@ def fit_advi(
             else:
                 v = q.sample(key, n_mc * n_iw)
                 logq = q.logdensity(v)
-            logw = (blogp(v) - logq).reshape(n_mc, n_iw)
+            # contiguous row slices keep whole n_iw groups on one device
+            logw = (blogp(_local(v)) - _local(logq)).reshape(-1, n_iw)
             from jax.scipy.special import logsumexp
 
             return -jnp.mean(logsumexp(logw, axis=1) - jnp.log(float(n_iw)))
         if isinstance(q, FlowPosterior):
             v, logq = q.sample_with_logq(key, n_mc, dim)
-            return -jnp.mean(blogp(v) - logq)
-        v = q.sample_t(key, n_mc) if transposed else q.sample(key, n_mc)
+            return -jnp.mean(blogp(_local(v)) - _local(logq))
+        if transposed:
+            v = _local(q.sample_t(key, n_mc), axis=1)
+        else:
+            v = _local(q.sample(key, n_mc))
         if estimator == "stl":
             q_stop = jax.lax.stop_gradient(q)
             vb = jnp.swapaxes(v, 0, 1) if transposed else v
@@ -220,6 +245,10 @@ def fit_advi(
     def step(carry, key):
         q, opt_state = carry
         loss, g = jax.value_and_grad(neg_elbo)(q, key)
+        if axis_name is not None:
+            # mean-of-device-means == global mean (equal slice sizes); one
+            # tiny pmean of (loss, grad pytree) per step, inside the jit
+            loss, g = jax.lax.pmean((loss, g), axis_name)
         updates, opt_state = opt.update(g, opt_state, q)
         q = optax.apply_updates(q, updates)
         return (q, opt_state), loss

@@ -4,6 +4,7 @@
 from .chain_parallel import (
     build_nuts_sharded,
     build_smc_sharded,
+    chain_parallel_advi,
     chain_parallel_chees,
     chain_parallel_nuts,
     chain_parallel_pt,
@@ -26,6 +27,7 @@ __all__ = [
     "shard_chains",
     "build_nuts_sharded",
     "build_smc_sharded",
+    "chain_parallel_advi",
     "chain_parallel_chees",
     "chain_parallel_nuts",
     "chain_parallel_pt",

@@ -245,6 +245,57 @@ def chain_parallel_chees(
     return jax.jit(sharded)(key, q0)
 
 
+def chain_parallel_advi(
+    logdensity_fn,
+    mesh: Mesh,
+    key,
+    dim: int,
+    q=None,
+    axis_name: str = "chain",
+    **kwargs,
+):
+    """fit_advi with the MC-sample batch sharded over `mesh` (the ADVI leg
+    of the DP axis — BASELINE.md north star "chain-parallel NUTS/ADVI/SMC";
+    SURVEY.md §2.2 DP row).
+
+    Each device draws the identical full (n_mc, dim) reparameterized batch
+    from the replicated per-step key, evaluates the target density only on
+    its n_mc/n_dev slice, and the ELBO value and gradient are pmean'd over
+    the axis INSIDE the jitted scan step — the same zero-host-sync,
+    in-step-collective design as chain_parallel_nuts. The optimizer state
+    and q stay replicated, so the whole trajectory equals the unsharded
+    fit_advi's up to summation order (asserted in tests/test_shard.py).
+
+    Works with all fit_advi families/estimators (mean-field / full-rank /
+    flow q; elbo / stl / iwelbo; transposed=True for the whole-model
+    fused-kernel density path). n_mc must be divisible by the mesh size.
+    kwargs are forwarded to fit_advi. Returns ADVIResult (replicated)."""
+    from ..infer.advi import ADVIResult, MeanFieldGaussian, fit_advi
+
+    n_dev = mesh.devices.size
+    n_mc = kwargs.get("n_mc", 32)
+    if n_mc % n_dev:
+        raise ValueError(f"n_mc={n_mc} not divisible by mesh size {n_dev}")
+    if q is None:
+        q = MeanFieldGaussian.init(dim, kwargs.get("dtype", jnp.float32))
+
+    def local_run(key, q):
+        return fit_advi(
+            logdensity_fn, key, dim, q=q,
+            axis_name=axis_name, n_dev=n_dev, **kwargs,
+        )
+
+    q_specs = jax.tree_util.tree_map(lambda _: P(), q)
+    sharded = jax.shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(P(), q_specs),
+        out_specs=ADVIResult(q=q_specs, losses=P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)(key, q)
+
+
 # ---------------------------------------------------------------------------
 # Particle-parallel SMC
 # ---------------------------------------------------------------------------
