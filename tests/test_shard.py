@@ -271,6 +271,76 @@ def test_param_parallel_simplex_blocks(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10)
 
 
+def test_param_parallel_heterogeneous_tree(rng):
+    """Heterogeneous param-axis sharding (SURVEY.md §2.2 SP row: 'shard the
+    unconstrained vector + Stacked block ranges'): a mixed model — scalars
+    + IID positives + a Dirichlet + an LKJ — sharded on a 'param' mesh
+    matches the unsharded linked_logdensity to f64 tolerance, with whole
+    entangled blocks device-local and grads flowing through the switch."""
+    from tpu_bijectors.shard import (
+        make_mesh,
+        param_parallel_logdensity,
+        shard_params,
+    )
+    from tpu_bijectors.vectorize import unconstrain
+
+    d = dists.NamedProduct.of(
+        mu=dists.Normal(0.0, 2.0),
+        scales=dists.IIDProduct(dists.LogNormal(0.0, 0.5), 7),
+        w=dists.Dirichlet(jnp.ones(5)),
+        corr=dists.LKJ(4, 2.0),
+        b=dists.Beta(2.0, 3.0),
+    )
+    u = unconstrain(d)
+    mesh = make_mesh("param")
+    fn = param_parallel_logdensity(u, mesh)
+    layout = fn.layout
+    # every child assigned exactly once, order preserved
+    flat = [c for owned in layout.assign for c in owned]
+    assert flat == list(range(len(u.children)))
+    assert layout.packed_dim == 8 * layout.seg_len
+
+    v = jnp.asarray(rng.standard_normal((3, u.linked_vec_length)))
+    vp = shard_params(mesh, layout.pack(v))
+    got = jax.jit(fn)(vp)
+    ref = u.linked_logdensity(v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10)
+
+    # 1-D (single state) and gradient flow (the HMC requirement)
+    v1 = v[0]
+    got1 = jax.jit(fn)(shard_params(mesh, layout.pack(v1)))
+    np.testing.assert_allclose(float(got1), float(ref[0]), rtol=1e-10)
+    g = jax.jit(jax.grad(lambda vv: jnp.sum(fn(vv))))(shard_params(mesh, layout.pack(v)))
+    assert bool(jnp.all(jnp.isfinite(g)))
+    # padding slots receive zero gradient (they feed nothing)
+    gp = np.asarray(g).reshape(3, 8, layout.seg_len)
+    for i, owned in enumerate(layout.assign):
+        used = sum(layout.child_ranges[c][1] for c in owned)
+        assert np.all(gp[:, i, used:] == 0.0)
+
+
+def test_param_parallel_hetero_fewer_children_than_devices(rng):
+    """More devices than blocks: trailing devices own nothing and contribute
+    zero; the density still matches."""
+    from tpu_bijectors.shard import (
+        make_mesh,
+        param_parallel_logdensity,
+        shard_params,
+    )
+    from tpu_bijectors.vectorize import unconstrain
+
+    d = dists.NamedProduct.of(
+        w=dists.Dirichlet(jnp.ones(4)), s=dists.LogNormal()
+    )
+    u = unconstrain(d)
+    mesh = make_mesh("param")
+    fn = param_parallel_logdensity(d, mesh)
+    v = jnp.asarray(rng.standard_normal((2, u.linked_vec_length)))
+    got = jax.jit(fn)(shard_params(mesh, fn.layout.pack(v)))
+    ref = u.linked_logdensity(v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-10)
+
+
 def test_chain_parallel_with_batched_kernel(rng):
     """chain_parallel_nuts composes with kernel='nuts_batched': each device's
     chain block evaluates its log-density as one batch inside shard_map."""

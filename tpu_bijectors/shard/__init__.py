@@ -2,7 +2,9 @@
 (net-new vs the reference; SURVEY.md §2.2 "TPU-native plan" column)."""
 
 from .chain_parallel import (
+    build_advi_sharded,
     build_nuts_sharded,
+    build_resume_sharded,
     build_smc_sharded,
     chain_parallel_advi,
     chain_parallel_chees,
@@ -16,6 +18,8 @@ from .chain_parallel import (
 )
 from .checkpoint import load_sampler_state, save_sampler_state
 from .param_parallel import (
+    ParamLayout,
+    build_param_layout,
     param_parallel_from_linked,
     param_parallel_logdensity,
     shard_params,
@@ -25,7 +29,9 @@ __all__ = [
     "make_mesh",
     "multihost_init",
     "shard_chains",
+    "build_advi_sharded",
     "build_nuts_sharded",
+    "build_resume_sharded",
     "build_smc_sharded",
     "chain_parallel_advi",
     "chain_parallel_chees",
@@ -34,6 +40,8 @@ __all__ = [
     "chain_parallel_resume",
     "chain_parallel_smc",
     "shard_params",
+    "ParamLayout",
+    "build_param_layout",
     "param_parallel_from_linked",
     "param_parallel_logdensity",
     "save_sampler_state",
