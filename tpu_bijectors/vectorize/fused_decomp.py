@@ -84,6 +84,24 @@ _STRUCTURAL_PRIMS = frozenset({
 #   "pallas-primal": primal dispatches a Pallas kernel -> scan-rejected (b)
 #   "loop-primal":   primal carries while/scan (root finds) -> scan-rejected (b)
 #   "inline-safe":   author-verified AD-through-primal == rule (a); none yet
+# Custom-rule calls whose primal lives OUTSIDE tpu_bijectors (jax-library
+# functions) are a separate hazard: the exhaustiveness test above only
+# classifies in-repo rules, yet inlining discards library rules identically
+# — and a library rule that exists to FIX an edge-point tangent
+# (xlogy-style 0*log(0)) would silently become AD-through-primal NaN inside
+# the kernel while the composed path stays finite. `eval_decomposed`
+# therefore declines (raises _Unsupported) on any out-of-repo custom call
+# not in this author-verified list of rules that are interior-smooth and
+# AD-through-primal-consistent (their custom rules exist for trace economy
+# / stability, not to change any tangent value on the admitted domain):
+_INLINE_SAFE_LIBRARY_RULES = frozenset({
+    "softplus",    # jax.nn: rule == d/dx log1p(exp x) = sigmoid everywhere
+    "logsumexp",   # jax.scipy.special: rule == softmax-weighted sum
+    "expit",       # jax.scipy.special: rule == sigmoid', smooth everywhere
+    "sigmoid",     # jax.nn alias of expit
+    "logistic",    # lax name of the same function
+})
+
 _CUSTOM_RULE_CLASSES = {
     "_vec_corr_logdet_pallas": "pallas-primal",
     "_chol_logdet_pallas": "pallas-primal",
@@ -267,6 +285,26 @@ def _call_jaxpr_of(eqn):
     raise _Unsupported
 
 
+def _check_inline_safe(eqn):
+    """Custom-rule calls are inlined with their rule DISCARDED; that is only
+    sound for (a) in-repo rules — classified in `_CUSTOM_RULE_CLASSES` and
+    policed by the exhaustiveness test — and (b) the author-verified
+    library rules in `_INLINE_SAFE_LIBRARY_RULES`. Anything else (an
+    unclassified jax-library rule that may exist to fix an edge tangent)
+    declines the leaf to the composed path instead of silently dropping the
+    rule."""
+    sub = _call_jaxpr_of(eqn)
+    jx = sub.jaxpr if isinstance(sub, ClosedJaxpr) else sub
+    src = getattr(getattr(jx, "debug_info", None), "func_src_info", None) or ""
+    # func_src_info looks like "softplus at /path/to/file.py:123"
+    fn_name, _, path = src.partition(" at ")
+    if "tpu_bijectors" in path:
+        return
+    if fn_name.strip() in _INLINE_SAFE_LIBRARY_RULES:
+        return
+    raise _Unsupported
+
+
 def eval_decomposed(closed: ClosedJaxpr, *args):
     """Evaluate a ClosedJaxpr with `_DECOMP` rewrites applied in place and
     structural calls inlined (custom_jvp/vjp rules are discarded: AD then
@@ -297,6 +335,8 @@ def eval_decomposed(closed: ClosedJaxpr, *args):
         if name in _DECOMP:
             outs = [_DECOMP[name](*invals, **eqn.params)]
         elif name in _STRUCTURAL_PRIMS:
+            if name.startswith("custom_"):
+                _check_inline_safe(eqn)
             outs = eval_decomposed(_call_jaxpr_of(eqn), *invals)
         else:
             ans = eqn.primitive.bind(*invals, **eqn.params)

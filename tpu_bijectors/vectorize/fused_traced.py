@@ -40,12 +40,20 @@ from .fused_decomp import (  # noqa: E402
 _SAFE_PRIMS = _LOWERABLE | frozenset(_DECOMP)  # admission set (pre-decomp)
 
 
-def _scan_safe(closed_jaxpr, budget=256):
+def _scan_safe(closed_jaxpr, budget=256, max_rank=1):
     """Raise _Unsupported unless every primitive in the jaxpr (recursing
     through structural wrappers) is measured-lowerable on the real Mosaic
     backend and the total op count is within budget (keeps kernel compile
     time and VMEM pressure bounded). Call this on DECOMPOSED jaxprs only
-    (built by tracing through `eval_decomposed`)."""
+    (built by tracing through `eval_decomposed`).
+
+    `max_rank` bounds the rank of every intermediate aval: the lowering
+    probe (PRIM_LOWERING.json) ran shape-sensitive prims (broadcast_in_dim,
+    reshape, concatenate, ...) on rank-2 instances only, and the kernel
+    vmaps these bodies over the lane axis — so a rank-2 intermediate in an
+    unbatched body becomes rank-3 in the kernel and can still hit Mosaic's
+    'unsupported shape cast' compile crash (the r3-1 class). Bodies with
+    higher-rank intermediates decline to the composed path instead."""
     seen = 0
 
     def subjaxprs(eqn):
@@ -68,6 +76,11 @@ def _scan_safe(closed_jaxpr, budget=256):
                 continue
             if not _eqn_lowerable(eqn):
                 raise _Unsupported
+            for v in (*eqn.invars, *eqn.outvars):
+                aval = getattr(v, "aval", None)
+                shape = getattr(aval, "shape", None)
+                if shape is not None and len(shape) > max_rank:
+                    raise _Unsupported
             seen += 1
             if seen > budget:
                 raise _Unsupported
