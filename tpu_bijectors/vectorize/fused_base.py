@@ -108,94 +108,133 @@ def _zguard(c, term):
     return jnp.where(c == 0.0, jnp.zeros_like(term), term)
 
 
-def _slab_group_val_par(group, V, cf, used, *, value=True, partial=False):
-    """One term group of the slab closed form on a row BAND (V, cf already
-    sliced to the band). Returns (val, par) — either may be None when not
-    requested (or, for `par`, when the group's derivative is a pure
-    broadcast the caller folds directly). Requesting both shares the
-    masked V / D / |D| / sign machinery AND the transcendental between the
-    value and its derivative (softplus' = sigmoid via the SAME exp:
-    the one-pass value-and-grad kernel pays one EUP op per row, not two)."""
+# A/B switch for tools/segment_share_probe.py: False reproduces the round-4
+# per-group evaluation exactly (each group recomputes its own masked-V / D /
+# |D| / sign), so the sharing win is measurable in one process.
+_SEGMENT_SHARE = True
+
+
+def _slab_segment_val_par(groups, V, cf, used, *, value=True, partial=False):
+    """ALL term groups covering one disjoint row segment (V, cf already
+    sliced to the segment), with the masked-V / D / |D| / sign machinery
+    computed ONCE and shared across the groups (round 5: on every mixed
+    model the absv and sp groups cover the same Dirichlet/LKJ rows, and
+    each serial VPU pass over a 135-row band costs ~6 us on the v5e —
+    TRANSCEND_PROBE.json — so the duplicated mask/subtract/abs passes were
+    pure waste; the per-group arithmetic and op order are unchanged, so
+    kernel==composed pinning is unaffected). Returns (val_acc, par_acc) —
+    summed over the groups; either is None when not requested. Requesting
+    both additionally shares each group's transcendental between the value
+    and its derivative (softplus' = sigmoid via the SAME exp: the one-pass
+    value-and-grad kernel pays one EUP op per row, not two)."""
+    if not _SEGMENT_SHARE and len(groups) > 1:
+        val_acc = par_acc = None
+        for g in groups:
+            v_, p_ = _slab_segment_val_par(
+                (g,), V, cf, used, value=value, partial=partial
+            )
+            if v_ is not None:
+                val_acc = v_ if val_acc is None else val_acc + v_
+            if p_ is not None:
+                par_acc = p_ if par_acc is None else par_acc + p_
+        return val_acc, par_acc
     col = lambda k: cf[:, _CI[k]][:, None]
-    V = _slab_mask_v(V, cf)
-    D = (V - col("m")) if "m" in used else V
-    val = par = None
-    if group == "lin":
-        c1 = col("c1")
-        if value:
-            val = _zguard(c1, c1 * V)
-        if partial:
-            par = jnp.broadcast_to(c1, V.shape)
-        return val, par
-    if group == "quad":
-        cq = col("cq")
-        t = cq * D  # shared between value (t*D) and derivative (2t)
-        if value:
-            val = _zguard(cq, t * D)
-        if partial:
-            par = _zguard(cq, 2.0 * t)
-        return val, par
-    if group == "absv":
-        sel3 = jnp.where(D >= 0, col("c3p"), col("c3n"))
-        if value and partial:
-            # shared form: s is the derivative and s*D == sel3*|D| exactly
-            s = sel3 * jnp.sign(D)
-            val = _zguard(sel3, s * D)
-            par = s
-        elif value:
-            # value-only keeps the cheaper abs form (sign+mul+mul measured
-            # ~20us slower than abs+mul over the 135-row band on chip)
-            val = _zguard(sel3, sel3 * jnp.abs(D))
+    Vm = _slab_mask_v(V, cf)
+    D = (Vm - col("m")) if "m" in used else Vm
+    # shared |D|: sp always needs it; absv's value-only form uses it too
+    # (the abs form measured cheaper than sign+mul+mul on chip — r4)
+    need_u = ("sp" in groups) or ("absv" in groups and not partial)
+    U = jnp.abs(D) if need_u else None
+    # shared sign(D): any partial of absv/sp (tie convention sign(0) = 0)
+    need_s = partial and (("absv" in groups) or ("sp" in groups))
+    S = jnp.sign(D) if need_s else None
+    val_acc = par_acc = None
+
+    def acc(val, par):
+        nonlocal val_acc, par_acc
+        if val is not None:
+            val_acc = val if val_acc is None else val_acc + val
+        if par is not None:
+            par_acc = par if par_acc is None else par_acc + par
+
+    for group in groups:
+        val = par = None
+        if group == "lin":
+            c1 = col("c1")
+            if value:
+                val = _zguard(c1, c1 * Vm)
+            if partial:
+                par = jnp.broadcast_to(c1, Vm.shape)
+        elif group == "quad":
+            cq = col("cq")
+            t = cq * D  # shared between value (t*D) and derivative (2t)
+            if value:
+                val = _zguard(cq, t * D)
+            if partial:
+                par = _zguard(cq, 2.0 * t)
+        elif group == "absv":
+            sel3 = jnp.where(D >= 0, col("c3p"), col("c3n"))
+            if value and partial:
+                # shared form: s is the derivative and s*D == sel3*|D|
+                s = sel3 * S
+                val = _zguard(sel3, s * D)
+                par = s
+            elif value:
+                val = _zguard(sel3, sel3 * U)
+            else:
+                par = sel3 * S
+        elif group == "sp":
+            c4 = col("c4")
+            sp_arg = col("sa") * U
+            if "sb" in used:
+                sp_arg = sp_arg + col("sb")
+            if value and partial:
+                # shared exp: sp_arg <= 0 by construction (sa <= 0, see
+                # _COEF_KEYS), so e = exp(sp_arg) in (0, 1]: softplus is
+                # log1p(e), sigmoid is e/(1+e) — one EUP exp serves both
+                e = jnp.exp(sp_arg)
+                val = _zguard(c4, c4 * jnp.log1p(e))
+                par = _zguard(c4, c4 * col("sa") * S * (e / (1.0 + e)))
+            elif value:
+                val = _zguard(c4, c4 * jax.nn.softplus(sp_arg))
+            else:
+                par = _zguard(
+                    c4, c4 * col("sa") * S * jax.nn.sigmoid(sp_arg)
+                )
+        elif group == "exp":
+            c5 = col("c5")
+            e_arg = col("ea") * Vm
+            if "eb" in used:
+                e_arg = e_arg + col("eb")
+            e = jnp.exp(e_arg)
+            if value:
+                val = _zguard(c5, c5 * e)
+            if partial:
+                par = _zguard(c5, c5 * col("ea") * e)
+        elif group == "l1p":
+            c6 = col("c6")
+            la = col("la")
+            t = la * D
+            t2 = t * t
+            if value:
+                val = _zguard(c6, c6 * jnp.log1p(t2))
+            if partial:
+                par = _zguard(c6, c6 * (2.0 * la * la * D) / (1.0 + t2))
         else:
-            par = sel3 * jnp.sign(D)
-        return val, par
-    if group == "sp":
-        c4 = col("c4")
-        sp_arg = col("sa") * jnp.abs(D)
-        if "sb" in used:
-            sp_arg = sp_arg + col("sb")
-        if value and partial:
-            # shared exp: sp_arg <= 0 by construction (sa <= 0, see
-            # _COEF_KEYS), so e = exp(sp_arg) in (0, 1]: softplus is
-            # log1p(e), sigmoid is e/(1+e) — one EUP exp serves both
-            e = jnp.exp(sp_arg)
-            val = _zguard(c4, c4 * jnp.log1p(e))
-            par = _zguard(
-                c4, c4 * col("sa") * jnp.sign(D) * (e / (1.0 + e))
-            )
-        elif value:
-            val = _zguard(c4, c4 * jax.nn.softplus(sp_arg))
-        else:
-            par = _zguard(
-                c4, c4 * col("sa") * jnp.sign(D) * jax.nn.sigmoid(sp_arg)
-            )
-        return val, par
-    if group == "exp":
-        c5 = col("c5")
-        e_arg = col("ea") * V
-        if "eb" in used:
-            e_arg = e_arg + col("eb")
-        e = jnp.exp(e_arg)
-        if value:
-            val = _zguard(c5, c5 * e)
-        if partial:
-            par = _zguard(c5, c5 * col("ea") * e)
-        return val, par
-    if group == "l1p":
-        c6 = col("c6")
-        la = col("la")
-        t = la * D
-        t2 = t * t
-        if value:
-            val = _zguard(c6, c6 * jnp.log1p(t2))
-        if partial:
-            par = _zguard(c6, c6 * (2.0 * la * la * D) / (1.0 + t2))
-        return val, par
-    raise KeyError(group)
+            raise KeyError(group)
+        acc(val, par)
+    return val_acc, par_acc
+
+
+def _slab_group_val_par(group, V, cf, used, *, value=True, partial=False):
+    """One term group on a row band (single-group view of
+    `_slab_segment_val_par`; the kernels call the segment form so shared
+    machinery is computed once per segment, not once per group)."""
+    return _slab_segment_val_par((group,), V, cf, used, value=value, partial=partial)
 
 
 def _slab_group_value(group, V, cf, used):
-    """Value of one term group on a row band (see _slab_group_val_par)."""
+    """Value of one term group on a row band (see _slab_segment_val_par)."""
     return _slab_group_val_par(group, V, cf, used, value=True)[0]
 
 

@@ -183,16 +183,17 @@ def mega_logdensity_t(u, vT, *, interpret: bool = False):
     segs = _disjoint_segments(bands, dim)
 
     def kernel(v_ref, p_ref, cf_ref, lp_ref):
-        from .fused_base import _slab_group_value
+        from .fused_base import _slab_segment_val_par
 
         acc = jnp.zeros((1, W), dtype)
         for a, b, gs in segs:
             if not gs:
                 continue
-            val_acc = None
-            for gr in gs:
-                val = _slab_group_value(gr, v_ref[a:b, :], cf_ref[a:b, :], used)
-                val_acc = val if val_acc is None else val_acc + val
+            # one shared masked-V/D/|D| computation serves every group
+            # covering this segment (fused_base._slab_segment_val_par)
+            val_acc, _ = _slab_segment_val_par(
+                gs, v_ref[a:b, :], cf_ref[a:b, :], used, value=True
+            )
             acc = acc + jnp.sum(val_acc, axis=0).reshape(1, W)
         for e in loop:
             rr, rp = _loop_readers(e, v_ref, p_ref, W)
@@ -229,16 +230,16 @@ def mega_jvp_t(u, vT, dvT, *, interpret: bool = False):
     segs = _disjoint_segments(bands, dim)
 
     def kernel(v_ref, dv_ref, p_ref, cf_ref, out_ref):
-        from .fused_base import _slab_group_partial
+        from .fused_base import _slab_segment_val_par
 
         acc = jnp.zeros((1, W), dtype)
         for a, b, gs in segs:
             if not gs:
                 continue
-            par_acc = None
-            for gr in gs:
-                gp = _slab_group_partial(gr, v_ref[a:b, :], cf_ref[a:b, :], used)
-                par_acc = gp if par_acc is None else par_acc + gp
+            _, par_acc = _slab_segment_val_par(
+                gs, v_ref[a:b, :], cf_ref[a:b, :], used,
+                value=False, partial=True,
+            )
             acc = acc + jnp.sum(
                 par_acc * dv_ref[a:b, :], axis=0
             ).reshape(1, W)
@@ -280,17 +281,17 @@ def mega_vjp_t(u, vT, gbar, *, interpret: bool = False):
     segs = _disjoint_segments(bands, dim)
 
     def kernel(v_ref, g_ref, p_ref, cf_ref, out_ref):
-        from .fused_base import _slab_group_partial
+        from .fused_base import _slab_segment_val_par
 
         g = g_ref[0, :].reshape(1, W)
         for a, b, gs in segs:
             if not gs:
                 out_ref[a:b, :] = jnp.zeros((b - a, W), dtype)
                 continue
-            par = None
-            for gr in gs:
-                gp = _slab_group_partial(gr, v_ref[a:b, :], cf_ref[a:b, :], used)
-                par = gp if par is None else par + gp
+            _, par = _slab_segment_val_par(
+                gs, v_ref[a:b, :], cf_ref[a:b, :], used,
+                value=False, partial=True,
+            )
             out_ref[a:b, :] = par * g
         for e in loop:
             rr, rp = _loop_readers(e, v_ref, p_ref, W)
@@ -331,7 +332,7 @@ def mega_value_and_grad_t(u, vT, *, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from .fused_base import _slab_group_val_par
+    from .fused_base import _slab_segment_val_par
 
     loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands, c0sum = _prep(u, vT)
     vp = pad_to(vT.astype(dtype), Bp, 1)
@@ -344,19 +345,14 @@ def mega_value_and_grad_t(u, vT, *, interpret: bool = False):
             if not gs:
                 g_ref[a:b, :] = jnp.zeros((b - a, W), dtype)
                 continue
-            Vs = v_ref[a:b, :]
-            cfs = cf_ref[a:b, :]
-            val_acc = par_acc = None
-            for gr in gs:
-                # combined form: value and derivative share the masked V /
-                # D / |D| machinery AND the softplus/sigmoid exp (one EUP
-                # op per row serves both — measured win,
-                # TRANSCEND_PROBE.json spsig_sh2 vs spsig)
-                val, par = _slab_group_val_par(
-                    gr, Vs, cfs, used, value=True, partial=True
-                )
-                val_acc = val if val_acc is None else val_acc + val
-                par_acc = par if par_acc is None else par_acc + par
+            # combined form: value and derivative share the masked V / D /
+            # |D| / sign machinery ACROSS the segment's groups AND each
+            # group's softplus/sigmoid exp (one EUP op per row serves both
+            # — measured win, TRANSCEND_PROBE.json spsig_sh2 vs spsig)
+            val_acc, par_acc = _slab_segment_val_par(
+                gs, v_ref[a:b, :], cf_ref[a:b, :], used,
+                value=True, partial=True,
+            )
             acc = acc + jnp.sum(val_acc, axis=0).reshape(1, W)
             g_ref[a:b, :] = par_acc
         for e in loop:
