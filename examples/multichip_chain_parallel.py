@@ -48,6 +48,17 @@ def main():
     print("accept:", float(jnp.mean(stats.accept_prob)),
           "divergent:", int(jnp.sum(stats.diverging)))
 
+    # the ADVI leg of the same DP axis: MC samples sharded over the mesh,
+    # one in-step pmean of (loss, grad) — trajectory identical to the
+    # unsharded fit_advi on the same key (up to summation order)
+    from tpu_bijectors.shard import chain_parallel_advi
+
+    res = chain_parallel_advi(
+        model.batched_logdensity_fn(), mesh, jax.random.PRNGKey(2),
+        model.dim(), n_steps=500, n_mc=8 * n_dev,
+    )
+    print("ADVI final ELBO:", -float(res.losses[-1]))
+
 
 if __name__ == "__main__":
     main()
