@@ -125,7 +125,10 @@ def main():
     # includes the chain counts real NUTS users run (4-64), per VERDICT r3
     # item 3, plus the mid band where the composed path was measured to win
     # (the upper re-entry point sets kernels.MEGA_OFF_BAND)
-    batches = [4, 16, 64, 128, 256, 512, 1024, 4096, 8192, 16384, 32768, 131072]
+    # 65536 included since r5: MEGA_OFF_BAND's upper re-entry edge was
+    # previously interpolated between 32768 and 131072 (ADVICE r4 #4) —
+    # the edge is now pinned by measurement
+    batches = [4, 16, 64, 128, 256, 512, 1024, 4096, 8192, 16384, 32768, 65536, 131072]
     if quick:
         batches = [4, 64, 1024, 16384]
 

@@ -6,7 +6,7 @@ total work (fixed total chains/particles) is partitioned over 1/2/4/8
 virtual CPU devices that all share ONE physical core. Ideal strong scaling
 on shared hardware is flat wall time; efficiency_N = t_1 / t_N measures the
 overhead the mesh partitioning + collectives add (>= 0.85 is the SURVEY §2.2
-multi-host proxy target). Writes SCALING_r02.json and prints a markdown
+multi-host proxy target). Writes SCALING_r05.json and prints a markdown
 table for docs/sharding.md.
 
 Usage: python tools/scaling_bench.py [--quick]
@@ -171,6 +171,71 @@ def compiled_cost_smc(n_dev, total_particles, dim):
     return counts, keep
 
 
+def _cost_of(compiled):
+    txt = compiled.as_text()
+    counts = {
+        op: txt.count(f" {op}(") + txt.count(f" {op}-start(")
+        for op in _COLLECTIVES
+    }
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    keep = {
+        k.replace(" ", "_"): float(ca[k])
+        for k in ("flops", "bytes accessed", "transcendentals")
+        if k in ca
+    }
+    return counts, keep
+
+
+def compiled_cost_resume(n_dev, total_chains, dim, n_samples):
+    """Compiled cost of the checkpoint-resume program (r5: the `_fold_axis`
+    key-replication redesign changed this graph at e75a9b8 — VERDICT r4
+    weak-2 asked for a recapture that covers it)."""
+    from tpu_bijectors.infer import init_sampler
+    from tpu_bijectors.shard import build_resume_sharded, shard_chains
+
+    scales = jnp.asarray(np.geomspace(0.5, 3.0, dim))
+
+    def logp(v):
+        return -0.5 * jnp.sum((v / scales) ** 2)
+
+    mesh = _mesh(n_dev)
+    q0 = jax.random.normal(jax.random.PRNGKey(5), (total_chains, dim))
+    state = init_sampler(logp, jax.random.PRNGKey(6), q0)
+    from tpu_bijectors.shard.chain_parallel import _state_specs
+    from jax.sharding import NamedSharding
+
+    state = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(jnp.asarray(x), NamedSharding(mesh, s)),
+        state,
+        _state_specs("chain"),
+    )
+    prog = build_resume_sharded(logp, mesh, n_samples)
+    return _cost_of(prog.lower(state).compile())
+
+
+def compiled_cost_advi(n_dev, n_mc, dim, n_steps):
+    """Compiled cost of the MC-sharded ADVI program (the r5 ADVI leg of the
+    DP axis): per-device density flops should drop ~1/N (each device
+    evaluates n_mc/n_dev samples) with one (loss, grad) pmean per step."""
+    from tpu_bijectors.infer.advi import MeanFieldGaussian
+    from tpu_bijectors.shard import build_advi_sharded
+
+    scales = jnp.asarray(np.geomspace(0.5, 3.0, dim))
+
+    def logp(v):
+        return -0.5 * jnp.sum((v / scales) ** 2, axis=-1)
+
+    logp.batch_capable = True
+    mesh = _mesh(n_dev)
+    q = MeanFieldGaussian.init(dim, jnp.float64)
+    prog = build_advi_sharded(
+        logp, mesh, dim, q, n_mc=n_mc, n_steps=n_steps, dtype=jnp.float64
+    )
+    return _cost_of(prog.lower(jax.random.PRNGKey(7), q).compile())
+
+
 def main():
     quick = "--quick" in sys.argv
     total_chains = 32 if quick else 256
@@ -178,11 +243,17 @@ def main():
     n_warmup = 60 if quick else 100
     n_samples = 60 if quick else 100
     total_particles = 256 if quick else 4096
+    n_mc = 64 if quick else 256
+    n_advi_steps = 20 if quick else 50
 
     rows = []
     for n_dev in (1, 2, 4, 8):
         coll, cost = compiled_cost(n_dev, total_chains, dim, n_warmup, n_samples)
         coll_smc, cost_smc = compiled_cost_smc(n_dev, total_particles, dim)
+        coll_res, cost_res = compiled_cost_resume(
+            n_dev, total_chains, dim, n_samples
+        )
+        coll_advi, cost_advi = compiled_cost_advi(n_dev, n_mc, dim, n_advi_steps)
         t_nuts = time_nuts(n_dev, total_chains, dim, n_warmup, n_samples)
         t_smc = time_smc(n_dev, total_particles, dim, n_mutations=4)
         rows.append({
@@ -191,22 +262,30 @@ def main():
             "cost_analysis_per_device": cost,
             "smc_collectives": coll_smc,
             "smc_cost_analysis_per_device": cost_smc,
+            "resume_collectives": coll_res,
+            "resume_cost_analysis_per_device": cost_res,
+            "advi_collectives": coll_advi,
+            "advi_cost_analysis_per_device": cost_advi,
             "t_nuts_s": round(t_nuts, 3),
             "t_smc_s": round(t_smc, 3),
         })
         print(
             f"n_dev={n_dev}: collectives={coll} cost={cost} "
-            f"nuts {t_nuts:.3f}s smc {t_smc:.3f}s",
+            f"advi={cost_advi} nuts {t_nuts:.3f}s smc {t_smc:.3f}s",
             file=sys.stderr,
         )
 
     # per-device flops should drop ~1/N at fixed total work; collectives
     # should stay a small constant count (they carry scalars/(dim,) vecs)
     f1 = rows[0]["cost_analysis_per_device"].get("flops")
+    a1 = rows[0]["advi_cost_analysis_per_device"].get("flops")
     for r in rows:
         fN = r["cost_analysis_per_device"].get("flops")
         if f1 and fN:
             r["flops_fraction_of_1dev"] = round(fN / f1, 4)
+        aN = r["advi_cost_analysis_per_device"].get("flops")
+        if a1 and aN:
+            r["advi_flops_fraction_of_1dev"] = round(aN / a1, 4)
 
     out = {
         "setup": {
@@ -226,7 +305,7 @@ def main():
         },
         "rows": rows,
     }
-    with open(_os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "SCALING_r03.json"), "w") as f:
+    with open(_os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "SCALING_r05.json"), "w") as f:
         json.dump(out, f, indent=1)
 
     print("| devices | per-device flops (frac of 1-dev) | all-reduce | all-gather | NUTS wall (s) | SMC wall (s) |")

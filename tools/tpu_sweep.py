@@ -371,12 +371,138 @@ def engines_smoke():
     return failures
 
 
+def kernel_perf_sentinel(update: bool = False):
+    """Per-family kernel PERF regression net (VERDICT r4 item 7): slope-time
+    every per-leaf Pallas kernel against its jnp reference (kernels
+    trace-time disabled) at one profitable shape (transposed layout,
+    B=131072) and FAIL when the speedup ratio drops below the stored
+    per-family floor — a per-kernel vs_jnp sentinel instead of the single
+    bench-model mix (bench.py's vs_jnp_batched guards only that mix).
+
+    Floors live in KERNEL_PERF.json at the repo root: floor = 0.6 x the
+    ratio measured at capture time (40% head-room for run-to-run tunnel
+    variance). `update=True` (or a missing file) re-captures and rewrites
+    the floors; plain runs only compare. Protocol = bench.py's (scan
+    serialized through a model parameter, slope of two lengths)."""
+    import json
+    import time
+
+    import numpy as np
+    from jax import lax
+
+    from tpu_bijectors import kernels
+    from tpu_bijectors.vectorize import unconstrain
+
+    B = 131072
+    families = {
+        "Dirichlet(16)": lambda t: dists.Dirichlet(jnp.ones(16) * (1.3 + t)),
+        "LKJ(16)": lambda t: dists.LKJ(16, 2.0 + t),
+        "LKJCholesky(12,L)": lambda t: dists.LKJCholesky(12, 1.5 + t, "L"),
+        "Wishart(8)": lambda t: dists.Wishart(10.0 + t, jnp.eye(8)),
+        "InverseWishart(8)": lambda t: dists.InverseWishart(
+            12.0 + t, jnp.eye(8)
+        ),
+    }
+    path = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "KERNEL_PERF.json",
+    )
+    stored = {}
+    if _os.path.exists(path) and not update:
+        with open(path) as f:
+            stored = json.load(f)
+
+    def prog(build, n, use_kernels):
+        @jax.jit
+        def many(vT):
+            def body(carry, _):
+                t = 1e-3 * jnp.tanh(0.01 * jnp.mean(carry))
+                u = unconstrain(build(t))
+                if not use_kernels:
+                    kernels.enable(False)
+                try:
+                    lp = u.linked_logdensity_t(vT)
+                finally:
+                    if not use_kernels:
+                        kernels.enable(True)
+                return lp, None
+
+            lp, _ = lax.scan(
+                body, jnp.zeros((B,), vT.dtype), None, length=n
+            )
+            return jnp.sum(lp)
+
+        return many
+
+    def t2f(p, vT):
+        t0 = time.perf_counter()
+        s = float(p(vT))
+        assert s == s
+        return time.perf_counter() - t0
+
+    def slope(build, vT, use_kernels, n1, n2, reps=3):
+        pa, pb = prog(build, n1, use_kernels), prog(build, n2, use_kernels)
+        t2f(pa, vT)
+        t2f(pb, vT)
+        pers = sorted(
+            (t2f(pb, vT) - t2f(pa, vT)) / (n2 - n1) for _ in range(reps)
+        )
+        return pers[reps // 2]
+
+    failures = []
+    measured = {}
+    key = jax.random.PRNGKey(9)
+    for name, build in families.items():
+        try:
+            u = unconstrain(build(0.0))
+            dim = u.linked_vec_length
+            vT = 0.4 * jax.random.normal(key, (dim, B), jnp.float32)
+            t_k = slope(build, vT, True, 8, 64)
+            t_j = slope(build, vT, False, 2, 10)
+            ratio = t_j / t_k
+            measured[name] = {
+                "kernel_us": round(t_k * 1e6, 1),
+                "jnp_us": round(t_j * 1e6, 1),
+                "ratio": round(ratio, 2),
+            }
+            floor = stored.get(name, {}).get("floor")
+            if floor is not None:
+                measured[name]["floor"] = floor
+                if ratio < floor:
+                    raise AssertionError(
+                        f"perf sentinel: ratio {ratio:.2f} < floor {floor}"
+                    )
+            else:
+                measured[name]["floor"] = round(0.6 * ratio, 2)
+            print(f"  OK   kernel-perf[{name}] {measured[name]}")
+        except Exception as ex:
+            failures.append((f"kernel-perf[{name}]", ex))
+            print(
+                f"  FAIL kernel-perf[{name}]: {type(ex).__name__}: "
+                f"{str(ex)[:300]}"
+            )
+            traceback.print_exc(limit=2)
+    if measured and (update or not stored):
+        with open(path, "w") as f:
+            json.dump(measured, f, indent=1)
+        print(f"  wrote {path}")
+    return failures
+
+
 def main():
-    full = len(_sys.argv) > 1 and _sys.argv[1] == "full"
-    print(f"devices: {jax.devices()}  (f32 sweep, {'full' if full else 'fast'})")
+    mode = _sys.argv[1] if len(_sys.argv) > 1 else "fast"
+    full = mode == "full"
+    print(f"devices: {jax.devices()}  (f32 sweep, {mode})")
+    if mode == "perf":
+        # perf-sentinel-only run: python tools/tpu_sweep.py perf [update]
+        failures = kernel_perf_sentinel(update="update" in _sys.argv[2:])
+        print(f"\n{len(failures)} failures" if failures else "\nALL OK")
+        _sys.exit(1 if failures else 0)
     failures = mega_smoke()
     failures += kernel_grad_smoke()
     failures += engines_smoke()
+    if full:
+        failures += kernel_perf_sentinel()
     for d in cases(full):
         name = type(d).__name__
         try:

@@ -106,33 +106,17 @@ def chain_parallel_nuts(
     )(key, q0)
 
 
-def chain_parallel_resume(
+def build_resume_sharded(
     logdensity_fn,
     mesh: Mesh,
-    state,
     n_samples: int,
     axis_name: str = "chain",
     **kwargs,
 ):
-    """Continue post-warmup sampling from a (checkpoint-restored)
-    SamplerState with chains sharded over `mesh` — the preemption-recovery
-    path for pod runs: save_sampler_state mid-run, reload on the new slice,
-    resume. With the same kernel settings the continuation is BIT-IDENTICAL
-    to the tail of an uninterrupted chain_parallel_nuts run (exercised on
-    the mesh by the driver's dryrun_multichip). Host arrays from
-    load_sampler_state are accepted: shard_map re-lays them out per
-    _state_specs."""
+    """The jitted resume program (state) -> (samples, state, stats),
+    exposed so tools can `.lower(...).compile()` it for per-device HLO
+    cost / collective-count analysis (tools/scaling_bench.py)."""
     from ..infer.sampler import resume_sampling
-
-    n_chains = int(jnp.shape(state.q)[0])
-    n_dev = mesh.devices.size
-    if n_chains % n_dev:
-        # same contract as build_nuts_sharded — a checkpoint from a
-        # 16-chain run cannot resume on a 3-device mesh; fail with the
-        # clear error, not shard_map's opaque reshape failure
-        raise ValueError(
-            f"checkpointed n_chains={n_chains} not divisible by mesh size {n_dev}"
-        )
 
     def local_resume(state_local):
         return resume_sampling(
@@ -151,12 +135,43 @@ def chain_parallel_resume(
         ),
         check_vma=False,
     )
+    return jax.jit(sharded)
+
+
+def chain_parallel_resume(
+    logdensity_fn,
+    mesh: Mesh,
+    state,
+    n_samples: int,
+    axis_name: str = "chain",
+    **kwargs,
+):
+    """Continue post-warmup sampling from a (checkpoint-restored)
+    SamplerState with chains sharded over `mesh` — the preemption-recovery
+    path for pod runs: save_sampler_state mid-run, reload on the new slice,
+    resume. With the same kernel settings the continuation is BIT-IDENTICAL
+    to the tail of an uninterrupted chain_parallel_nuts run (exercised on
+    the mesh by the driver's dryrun_multichip). Host arrays from
+    load_sampler_state are accepted: shard_map re-lays them out per
+    _state_specs."""
+    n_chains = int(jnp.shape(state.q)[0])
+    n_dev = mesh.devices.size
+    if n_chains % n_dev:
+        # same contract as build_nuts_sharded — a checkpoint from a
+        # 16-chain run cannot resume on a 3-device mesh; fail with the
+        # clear error, not shard_map's opaque reshape failure
+        raise ValueError(
+            f"checkpointed n_chains={n_chains} not divisible by mesh size {n_dev}"
+        )
+    specs = _state_specs(axis_name)
     state = jax.tree_util.tree_map(
         lambda x, s: jax.device_put(jnp.asarray(x), NamedSharding(mesh, s)),
         state,
         specs,
     )
-    return jax.jit(sharded)(state)
+    return build_resume_sharded(
+        logdensity_fn, mesh, n_samples, axis_name=axis_name, **kwargs
+    )(state)
 
 
 def _state_specs(axis_name):
@@ -245,6 +260,41 @@ def chain_parallel_chees(
     return jax.jit(sharded)(key, q0)
 
 
+def build_advi_sharded(
+    logdensity_fn,
+    mesh: Mesh,
+    dim: int,
+    q,
+    axis_name: str = "chain",
+    **kwargs,
+):
+    """The jitted MC-sharded ADVI program (key, q0) -> ADVIResult, exposed
+    so tools can `.lower(...).compile()` it for per-device HLO cost /
+    collective-count analysis (tools/scaling_bench.py)."""
+    from ..infer.advi import ADVIResult, fit_advi
+
+    n_dev = mesh.devices.size
+    n_mc = kwargs.get("n_mc", 32)
+    if n_mc % n_dev:
+        raise ValueError(f"n_mc={n_mc} not divisible by mesh size {n_dev}")
+
+    def local_run(key, q):
+        return fit_advi(
+            logdensity_fn, key, dim, q=q,
+            axis_name=axis_name, n_dev=n_dev, **kwargs,
+        )
+
+    q_specs = jax.tree_util.tree_map(lambda _: P(), q)
+    sharded = jax.shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(P(), q_specs),
+        out_specs=ADVIResult(q=q_specs, losses=P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def chain_parallel_advi(
     logdensity_fn,
     mesh: Mesh,
@@ -270,30 +320,13 @@ def chain_parallel_advi(
     flow q; elbo / stl / iwelbo; transposed=True for the whole-model
     fused-kernel density path). n_mc must be divisible by the mesh size.
     kwargs are forwarded to fit_advi. Returns ADVIResult (replicated)."""
-    from ..infer.advi import ADVIResult, MeanFieldGaussian, fit_advi
+    from ..infer.advi import MeanFieldGaussian
 
-    n_dev = mesh.devices.size
-    n_mc = kwargs.get("n_mc", 32)
-    if n_mc % n_dev:
-        raise ValueError(f"n_mc={n_mc} not divisible by mesh size {n_dev}")
     if q is None:
         q = MeanFieldGaussian.init(dim, kwargs.get("dtype", jnp.float32))
-
-    def local_run(key, q):
-        return fit_advi(
-            logdensity_fn, key, dim, q=q,
-            axis_name=axis_name, n_dev=n_dev, **kwargs,
-        )
-
-    q_specs = jax.tree_util.tree_map(lambda _: P(), q)
-    sharded = jax.shard_map(
-        local_run,
-        mesh=mesh,
-        in_specs=(P(), q_specs),
-        out_specs=ADVIResult(q=q_specs, losses=P()),
-        check_vma=False,
-    )
-    return jax.jit(sharded)(key, q)
+    return build_advi_sharded(
+        logdensity_fn, mesh, dim, q, axis_name=axis_name, **kwargs
+    )(key, q)
 
 
 # ---------------------------------------------------------------------------
