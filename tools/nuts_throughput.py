@@ -1,17 +1,19 @@
 """NUTS samples/s/chip — the north-star metric BASELINE.md names that no
-prior round measured (VERDICT r4 item 3): slope-timed END-TO-END
-`Model.sample` throughput on the bench model (dim=151 hierarchical
-mixed-support, bench.py's _model), warmup excluded by the slope, at
-B in {8, 64, 1024} chains, with the fused one-pass value-and-grad kernel
-ON vs OFF (kernels.enable toggles the trace; 'off' is the composed
-transposed jnp path — the same sampler, no Pallas).
+prior round measured (VERDICT r4 item 3): slope-timed END-TO-END NUTS
+throughput on the bench model (dim=151 hierarchical mixed-support,
+bench.py's _model), warmup excluded by the slope, at B in {8, 64, 1024}
+chains, with the fused one-pass value-and-grad kernel ON vs OFF
+(kernels.enable toggles the trace; 'off' is the composed transposed jnp
+path — the same sampler, no Pallas).
 
-Protocol: per configuration, run the IDENTICAL key at two sampling
-lengths (N1, N2); per-draw wall time = (t2 - t1)/(N2 - N1) — compile,
-handshake, warmup, and constrain costs cancel in the slope. Reported:
-draws/s/chip (B * draws/s) and min-ESS/s (bulk ESS minimum over
-dimensions on the N2 run / its sampling wall time) — the honest "how much
-posterior per second" number.
+Protocol (learned the hard way on this tunnel): each (B, kernels, n)
+program is jitted ONCE and called once to compile + once to warm, then
+timed over `reps` repeat calls (median) — Model.sample would re-trace per
+call and the jnp path's compile-time variance exceeds the signal
+(negative slopes observed). per-draw = (t(N2) - t(N1))/(N2 - N1): the
+warmup phase and all per-call constants cancel in the slope. Reported:
+draws/s/chip and min-ESS/s (bulk ESS minimum over dimensions on the N2
+run / its sampling wall time).
 
 Run in background mode:  python tools/nuts_throughput.py
 Writes NUTS_THROUGHPUT.json at the repo root (bench.py regresses the B=64
@@ -31,10 +33,12 @@ import numpy as np
 from tpu_bijectors import dists, kernels
 from tpu_bijectors.diagnostics import ess_bulk
 from tpu_bijectors.infer import Model
+from tpu_bijectors.infer.sampler import warmup_and_sample
 
 K = 16
 N_WARMUP = 300
 N1, N2 = 64, 256
+MAX_DEPTH = 8
 
 
 def model():
@@ -49,71 +53,94 @@ def model():
     )
 
 
-def timed_run(m, B, n, key):
-    t0 = time.perf_counter()
-    samples, state, stats = m.sample(
-        key,
-        n_chains=B,
-        n_warmup=N_WARMUP,
-        n_samples=n,
-        kernel="nuts_batched_t",
-        constrained=False,
-        max_depth=8,
-    )
-    s = float(jnp.sum(samples))  # force completion through the transfer
-    assert s == s, "NaN in samples"
-    return time.perf_counter() - t0, samples, stats
+def build(m, B, n, kernels_on):
+    """One jitted (key, q0) -> samples program; kernels toggled at TRACE
+    time (the body runs while tracing), so each program is self-contained."""
+    logp = m.batched_logdensity_t_fn()
+
+    def run(key, q0):
+        if not kernels_on:
+            kernels.enable(False)
+        try:
+            samples, state, stats = warmup_and_sample(
+                logp, key, q0,
+                n_warmup=N_WARMUP, n_samples=n,
+                kernel="nuts_batched_t", max_depth=MAX_DEPTH,
+            )
+        finally:
+            if not kernels_on:
+                kernels.enable(True)
+        return samples, stats
+
+    return jax.jit(run)
 
 
-def bench_config(B, kernels_on):
-    kernels.enable(kernels_on)
-    m = model()
-    key = jax.random.PRNGKey(7)
-    t1a, _, _ = timed_run(m, B, N1, key)
-    t2a, samples, stats = timed_run(m, B, N2, key)
-    # one repeat pair for a median-of-2 slope (each pair already averages
-    # N2-N1 = 192 draws of signal)
-    t1b, _, _ = timed_run(m, B, N1, key)
-    t2b, _, _ = timed_run(m, B, N2, key)
-    per_draw = min((t2a - t1a), (t2b - t1b)) / (N2 - N1)
-    draws_per_s = B / per_draw
+def timed(prog, key, q0, reps=3):
+    """Median wall time of `reps` cached executions (first two calls —
+    compile + warm — excluded); sync via a forced scalar transfer."""
+    out = None
+
+    def once():
+        nonlocal out
+        t0 = time.perf_counter()
+        out = prog(key, q0)
+        s = float(jnp.sum(out[0]))
+        assert s == s, "NaN in samples"
+        return time.perf_counter() - t0
+
+    once()  # compile
+    once()  # warm
+    ts = sorted(once() for _ in range(reps))
+    return ts[reps // 2], out
+
+
+def bench_config(m, B, kernels_on, key):
+    q0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (B, m.dim()))
+    p1 = build(m, B, N1, kernels_on)
+    p2 = build(m, B, N2, kernels_on)
+    t1, _ = timed(p1, key, q0)
+    t2, out2 = timed(p2, key, q0)
+    per_draw = (t2 - t1) / (N2 - N1)
+    samples, stats = out2
     ess = np.asarray(ess_bulk(np.asarray(samples)))
-    min_ess_per_s = float(ess.min() / (N2 * per_draw))
     div = float(np.asarray(stats.diverging, float).mean())
-    out = {
+    return {
         "per_draw_ms": round(per_draw * 1e3, 3),
-        "draws_per_s_chip": round(draws_per_s, 1),
-        "min_ess_per_s": round(min_ess_per_s, 1),
+        "draws_per_s_chip": round(B / per_draw, 1),
+        "min_ess_per_s": round(float(ess.min() / (N2 * per_draw)), 1),
         "divergence_rate": round(div, 4),
+        "t_n1_s": round(t1, 3),
+        "t_n2_s": round(t2, 3),
     }
-    kernels.enable(True)
-    return out
 
 
 def main():
-    dim = model().dim()
-    print(f"dim={dim}", flush=True)
+    m = model()
+    print(f"dim={m.dim()}", flush=True)
     t0 = time.perf_counter()
-    # handshake on a tiny run
-    timed_run(model(), 8, 2, jax.random.PRNGKey(0))
+    # handshake on a tiny program
+    timed(build(m, 8, 2, True), jax.random.PRNGKey(0),
+          0.3 * jax.random.normal(jax.random.PRNGKey(1), (8, m.dim())), reps=1)
     print(f"handshake {time.perf_counter() - t0:.1f}s", flush=True)
 
     out = {
-        "model": f"bench hierarchical (dim={dim}, LKJ K={K})",
+        "model": f"bench hierarchical (dim={m.dim()}, LKJ K={K})",
         "n_warmup": N_WARMUP,
         "slope_lengths": [N1, N2],
-        "kernel": "nuts_batched_t (max_depth=8)",
+        "kernel": f"nuts_batched_t (max_depth={MAX_DEPTH})",
         "configs": {},
     }
+    key = jax.random.PRNGKey(7)
     for B in (8, 64, 1024):
         for kernels_on in (True, False):
             tag = f"B{B}_" + ("fusedvg" if kernels_on else "jnp")
-            out["configs"][tag] = bench_config(B, kernels_on)
+            out["configs"][tag] = bench_config(m, B, kernels_on, key)
             print(tag, out["configs"][tag], flush=True)
     for B in (8, 64, 1024):
         a = out["configs"][f"B{B}_fusedvg"]["draws_per_s_chip"]
         b = out["configs"][f"B{B}_jnp"]["draws_per_s_chip"]
-        out["configs"][f"B{B}_fusedvg"]["vs_jnp"] = round(a / b, 2)
+        if b > 0:
+            out["configs"][f"B{B}_fusedvg"]["vs_jnp"] = round(a / b, 2)
     path = _os.path.join(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
         "NUTS_THROUGHPUT.json",

@@ -23,6 +23,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
 import numpy as np
@@ -217,15 +218,23 @@ def compiled_cost_resume(n_dev, total_chains, dim, n_samples):
 
 def compiled_cost_advi(n_dev, n_mc, dim, n_steps):
     """Compiled cost of the MC-sharded ADVI program (the r5 ADVI leg of the
-    DP axis): per-device density flops should drop ~1/N (each device
-    evaluates n_mc/n_dev samples) with one (loss, grad) pmean per step."""
+    DP axis): per-device DENSITY flops drop ~1/N (each device evaluates
+    n_mc/n_dev samples) with one (loss, grad) pmean per step. The probe
+    density is a 64-component mixture so the density dominates the
+    (replicated, deliberately so) q-sampling — the regime MC-sharding is
+    for; with a density as cheap as the sampler the fraction saturates at
+    the sampling cost, which is the honest physics, not an artifact."""
     from tpu_bijectors.infer.advi import MeanFieldGaussian
     from tpu_bijectors.shard import build_advi_sharded
 
     scales = jnp.asarray(np.geomspace(0.5, 3.0, dim))
+    centers = jnp.linspace(-2.0, 2.0, 64)[:, None] * jnp.ones((dim,))
 
     def logp(v):
-        return -0.5 * jnp.sum((v / scales) ** 2, axis=-1)
+        d2 = jnp.sum(
+            ((v[..., None, :] - centers) / scales) ** 2, axis=-1
+        )  # (..., 64)
+        return jax.scipy.special.logsumexp(-0.5 * d2, axis=-1)
 
     logp.batch_capable = True
     mesh = _mesh(n_dev)

@@ -9,6 +9,7 @@ from .chain_parallel import (
     chain_parallel_advi,
     chain_parallel_chees,
     chain_parallel_nuts,
+    chain_parallel_pathfinder,
     chain_parallel_pt,
     chain_parallel_resume,
     chain_parallel_smc,
@@ -36,6 +37,7 @@ __all__ = [
     "chain_parallel_advi",
     "chain_parallel_chees",
     "chain_parallel_nuts",
+    "chain_parallel_pathfinder",
     "chain_parallel_pt",
     "chain_parallel_resume",
     "chain_parallel_smc",

@@ -260,6 +260,77 @@ def chain_parallel_chees(
     return jax.jit(sharded)(key, q0)
 
 
+def chain_parallel_pathfinder(
+    logdensity_fn,
+    mesh: Mesh,
+    key,
+    v0s,
+    n_draws: int = 1000,
+    per_path_draws: int = 200,
+    axis_name: str = "chain",
+    **kwargs,
+):
+    """Multi-path Pathfinder with the PATH axis sharded over `mesh`: each
+    device runs its block of independent L-BFGS paths (the embarrassingly
+    parallel axis), then the per-draw log importance weights and pooled
+    draws all_gather once for the GLOBAL truncated-importance resampling
+    (the truncation threshold uses the global mean weight, so the sharded
+    result is identical to `infer.multipath_pathfinder` on the same key —
+    the per-path key block is the same slice of the same split).
+
+    v0s: (n_paths, dim), n_paths divisible by the mesh size. Returns
+    (draws (n_draws, dim) replicated, per-path PathfinderResult stack
+    sharded on its leading axis). kwargs forward to fit_pathfinder."""
+    from ..infer.pathfinder import fit_pathfinder
+
+    p, dim = v0s.shape
+    n_dev = mesh.devices.size
+    if p % n_dev:
+        raise ValueError(f"n_paths={p} not divisible by mesh size {n_dev}")
+    kp, kr = jax.random.split(key)
+    keys = jax.random.split(kp, p)
+
+    def local_run(keys_local, v0s_local):
+        res = jax.vmap(
+            lambda k, v: fit_pathfinder(
+                logdensity_fn, k, v, n_draws=per_path_draws, **kwargs
+            )
+        )(keys_local, v0s_local)
+        pool_l = res.draws.reshape(-1, dim)
+        logw_l = (res.logp - res.logq).reshape(-1)
+        # gather the (small) weight vector + pooled draws; the resampling
+        # then runs identically on every device (kr is replicated)
+        pool = jax.lax.all_gather(pool_l, axis_name).reshape(-1, dim)
+        logw = jax.lax.all_gather(logw_l, axis_name).reshape(-1)
+        logw = jnp.where(jnp.isfinite(logw), logw, -jnp.inf)
+        n = logw.shape[0]
+        log_mean_w = jax.scipy.special.logsumexp(logw) - jnp.log(n)
+        logw_t = jnp.minimum(logw, log_mean_w + 0.5 * jnp.log(n))
+        take = jax.random.categorical(kr, logw_t, shape=(n_draws,))
+        return pool[take], res
+
+    # spec tree for the per-path result stack (eval_shape outside the mesh
+    # context: local_run itself contains collectives)
+    res_shape = jax.eval_shape(
+        lambda k, v: jax.vmap(
+            lambda kk, vv: fit_pathfinder(
+                logdensity_fn, kk, vv, n_draws=per_path_draws, **kwargs
+            )
+        )(k, v),
+        keys,
+        v0s,
+    )
+    res_specs = jax.tree_util.tree_map(lambda _: P(axis_name), res_shape)
+    sharded = jax.shard_map(
+        local_run,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name, None)),
+        out_specs=(P(), res_specs),
+        check_vma=False,
+    )
+    return jax.jit(sharded)(keys, v0s)
+
+
 def build_advi_sharded(
     logdensity_fn,
     mesh: Mesh,

@@ -156,7 +156,7 @@ def param_parallel_from_linked(u: Unconstrainer, mesh: Mesh, axis_name: str = "p
 
 
 def param_parallel_logdensity(
-    d_or_u, mesh: Mesh, axis_name: str = "param"
+    d_or_u, mesh: Mesh, axis_name: str = "param", batch_axis_name: str = None
 ):
     """Sharded fused log-density: fn(v) -> logpdf(d, x) + logdet, with the
     flat vector's parameter axis sharded and ONE psum crossing the mesh.
@@ -165,11 +165,18 @@ def param_parallel_logdensity(
     Heterogeneous products (TreeUnconstrainer) take v in the PADDED
     per-device layout: the returned fn carries `fn.layout` (a ParamLayout);
     call `fn.layout.pack(v)` once (or build states directly in the packed
-    layout) and `shard_params` the result. Gradients flow through both."""
+    layout) and `shard_params` the result. Gradients flow through both.
+
+    `batch_axis_name` composes with the chain axis on a 2-D
+    ('chain', 'param') mesh: the LEADING batch axis of v shards over it
+    while the psum still reduces over `axis_name` only — chain rows stay
+    independent (docs/sharding.md)."""
     u = d_or_u if isinstance(d_or_u, Unconstrainer) else unconstrain(d_or_u)
-    n_dev = mesh.devices.size
+    n_dev = mesh.shape[axis_name] if axis_name in mesh.shape else mesh.devices.size
     if isinstance(u, TreeUnconstrainer):
-        return _tree_param_parallel_logdensity(u, mesh, axis_name)
+        return _tree_param_parallel_logdensity(
+            u, mesh, axis_name, batch_axis_name, n_dev
+        )
     u = _check_iid(u, n_dev)
     local = IIDUnconstrainer(u.inner, u.n // n_dev)
 
@@ -178,20 +185,33 @@ def param_parallel_logdensity(
         return jax.lax.psum(lpld, axis_name)
 
     def fn(v):
-        nb = v.ndim - 1
+        bspec = _batch_spec(v.ndim - 1, batch_axis_name)
         return jax.shard_map(
             local_fn,
             mesh=mesh,
-            in_specs=P(*([None] * nb), axis_name),
-            out_specs=P(*([None] * nb)),
+            in_specs=P(*bspec, axis_name),
+            out_specs=P(*bspec),
             check_vma=False,
         )(v)
 
     return fn
 
 
+def _batch_spec(nb: int, batch_axis_name):
+    """Leading-batch PartitionSpec entries: the first batch axis rides
+    `batch_axis_name` (2-D chain x param meshes), the rest replicate."""
+    return [
+        batch_axis_name if (i == 0 and batch_axis_name) else None
+        for i in range(nb)
+    ]
+
+
 def _tree_param_parallel_logdensity(
-    u: TreeUnconstrainer, mesh: Mesh, axis_name: str = "param"
+    u: TreeUnconstrainer,
+    mesh: Mesh,
+    axis_name: str = "param",
+    batch_axis_name: str = None,
+    n_dev: int = None,
 ):
     """Heterogeneous (Stacked-block-range) param sharding, SURVEY.md §2.2 SP
     row: each device owns whole child blocks (ParamLayout), runs ONLY its
@@ -200,7 +220,12 @@ def _tree_param_parallel_logdensity(
     program is a lax.switch over the device index — traced once (SPMD),
     each branch slices its children out of the local (..., seg_len) block
     at the local offsets the contiguous packing induces."""
-    n_dev = mesh.devices.size
+    if n_dev is None:
+        n_dev = (
+            mesh.shape[axis_name]
+            if axis_name in mesh.shape
+            else mesh.devices.size
+        )
     layout = build_param_layout(u, n_dev)
 
     def _branch(owned):
@@ -225,12 +250,12 @@ def _tree_param_parallel_logdensity(
         return jax.lax.psum(lp, axis_name)
 
     def fn(v):
-        nb = v.ndim - 1
+        bspec = _batch_spec(v.ndim - 1, batch_axis_name)
         return jax.shard_map(
             local_fn,
             mesh=mesh,
-            in_specs=P(*([None] * nb), axis_name),
-            out_specs=P(*([None] * nb)),
+            in_specs=P(*bspec, axis_name),
+            out_specs=P(*bspec),
             check_vma=False,
         )(v)
 
