@@ -250,9 +250,50 @@ def main():
         "vs_baseline": round(vs_baseline, 3),
         "vs_jnp_batched": round(vs_jnp, 3),
     }
+    try:
+        out["nuts_draws_per_s_chip_b64"] = _nuts_secondary()
+    except Exception as ex:  # secondary metric must never sink the bench
+        print("nuts secondary skipped: %r" % (ex,), file=sys.stderr)
     print(json.dumps(out))
     if sentinel_tripped:
         sys.exit(1)
+
+
+def _nuts_secondary(B=64, n_warmup=300, n1=64, n2=256):
+    """End-to-end NUTS draws/s/chip at B=64 chains on the same model — the
+    BASELINE.md north-star metric, regressed every round (full sweep over
+    B and kernels-on/off: tools/nuts_throughput.py -> NUTS_THROUGHPUT.json).
+    Same protocol: programs jitted once, slope of two cached sampling
+    lengths cancels warmup and constants."""
+    from tpu_bijectors.infer import Model
+    from tpu_bijectors.infer.sampler import warmup_and_sample
+
+    m = Model(priors=_model(), loglik=None)
+    logp = m.batched_logdensity_t_fn()
+    q0 = 0.3 * jax.random.normal(jax.random.PRNGKey(1), (B, m.dim()))
+    key = jax.random.PRNGKey(7)
+
+    def build(n):
+        return jax.jit(
+            lambda k, q: warmup_and_sample(
+                logp, k, q, n_warmup=n_warmup, n_samples=n,
+                kernel="nuts_batched_t", max_depth=8,
+            )[0]
+        )
+
+    def timed(prog, reps=3):
+        def once():
+            t0 = time.perf_counter()
+            s = float(jnp.sum(prog(key, q0)))
+            assert s == s
+            return time.perf_counter() - t0
+
+        once()
+        once()
+        return sorted(once() for _ in range(reps))[reps // 2]
+
+    per_draw = (timed(build(n2)) - timed(build(n1))) / (n2 - n1)
+    return round(B / per_draw, 1)
 
 
 if __name__ == "__main__":

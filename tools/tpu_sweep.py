@@ -413,17 +413,31 @@ def kernel_perf_sentinel(update: bool = False):
             stored = json.load(f)
 
     def prog(build, n, use_kernels):
+        # serialization: the KERNEL arm rides a model parameter (the
+        # pallas_call's operand changes per iteration, so the opaque kernel
+        # cannot hoist — pure kernel time). The JNP arm must perturb the
+        # STATE instead: its link work (Cholesky algebra etc.) depends
+        # only on v, and with a loop-invariant v XLA's LICM hoists it out
+        # of the scan entirely (observed: InverseWishart(8) "jnp" at
+        # 11 us — below the HBM floor for even reading the state; the
+        # same lesson as bench.py's naive arm). The state perturbation
+        # costs the jnp arm one materialized copy (~20-70 us here),
+        # small against its true 100s-of-us-to-ms cost; noted, not
+        # corrected.
         @jax.jit
         def many(vT):
             def body(carry, _):
-                t = 1e-3 * jnp.tanh(0.01 * jnp.mean(carry))
-                u = unconstrain(build(t))
-                if not use_kernels:
+                if use_kernels:
+                    t = 1e-3 * jnp.tanh(0.01 * jnp.mean(carry))
+                    lp = unconstrain(build(t)).linked_logdensity_t(vT)
+                else:
+                    pert = 1e-3 * jnp.tanh(0.01 * carry)[None, :]
                     kernels.enable(False)
-                try:
-                    lp = u.linked_logdensity_t(vT)
-                finally:
-                    if not use_kernels:
+                    try:
+                        lp = unconstrain(build(0.0)).linked_logdensity_t(
+                            vT + pert
+                        )
+                    finally:
                         kernels.enable(True)
                 return lp, None
 
@@ -457,8 +471,20 @@ def kernel_perf_sentinel(update: bool = False):
             u = unconstrain(build(0.0))
             dim = u.linked_vec_length
             vT = 0.4 * jax.random.normal(key, (dim, B), jnp.float32)
-            t_k = slope(build, vT, True, 8, 64)
+            # fast kernels (LKJ's logcosh reduction ~ tens of us) need a
+            # long spread: 496 iterations of signal; retry 4x longer if
+            # tunnel noise still swamps it (non-positive slope)
+            t_k = slope(build, vT, True, 16, 512)
+            if t_k <= 0:
+                t_k = slope(build, vT, True, 64, 2048)
             t_j = slope(build, vT, False, 2, 10)
+            if t_j <= 0:
+                t_j = slope(build, vT, False, 2, 34)
+            if t_k <= 0 or t_j <= 0:
+                raise AssertionError(
+                    f"non-positive slope (t_k={t_k:.2e}, t_j={t_j:.2e}) — "
+                    "tunnel noise swamped the signal; re-run"
+                )
             ratio = t_j / t_k
             measured[name] = {
                 "kernel_us": round(t_k * 1e6, 1),

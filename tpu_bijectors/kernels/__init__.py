@@ -34,18 +34,20 @@ MIN_BATCH = 1024
 # B=4: 13 vs 25 us) and again at large B; the composed per-leaf path wins
 # in between (5.9 vs 14.3 us at B=1024). try_mega dispatches outside
 # MEGA_OFF_BAND = [lo, hi).
-# Measured 2026-08-20, re-measured after the per-key banding landed
-# (MEGA_CROSSOVER.json): value-path mega wins at B <= 512 (14-18 us vs
-# 21-31 us) and at 131072 (277 vs 326 us composed); composed wins
-# 1024..32768 (5.4 vs 18.8 us at 1024, 64 vs 82 us at 32768) — upper
-# re-entry interpolated at 65536. The banding did not move the band
-# edges.
-MEGA_OFF_BAND = (1024, 65536)
+# Re-measured 2026-08-21 after the r5 per-segment static flags
+# (MEGA_CROSSOVER.json, now incl. B=65536 — ADVICE r4 #4 asked for the
+# edge to be measured, not interpolated): value-path mega wins at
+# B <= 512 (16-18 us vs 24-27) and at 131072 (253 vs 327 us composed);
+# composed wins 1024..65536 inclusive (5.8 vs 18.0 at 1024, 121 vs 137
+# at 65536) — the measured upper re-entry is 131072, one step later than
+# the old interpolation.
+MEGA_OFF_BAND = (1024, 131072)
 # The ONE-PASS fused value-and-grad kernel (mega_value_and_grad_t — the
 # NUTS leapfrog fast path) has better economics (state read once, grads
-# written in the same pass): it wins everywhere except 1024..4096
-# (megavg 17.0/18.4/32.1/41.8 us at B=16/1024/4096/8192 vs composed
-# 63.3/10.1/24.4/50.7).
+# written in the same pass): it wins everywhere except 1024..4096.
+# r5 re-measurement confirms the SAME band: megavg 17.6/29.5 us at
+# B=1024/4096 vs composed 9.8/25.0 (composed wins), then 41.1 vs 49.4 at
+# 8192 and 339 vs 1014 at 131072 (megavg wins).
 MEGA_VG_OFF_BAND = (1024, 8192)
 # Model.sample(kernel='auto') needs no chain-count gate: with the fused
 # value-and-grad kernel the transposed whole-model NUTS is profitable at

@@ -108,13 +108,23 @@ def _zguard(c, term):
     return jnp.where(c == 0.0, jnp.zeros_like(term), term)
 
 
-# A/B switch for tools/segment_share_probe.py: False reproduces the round-4
-# per-group evaluation exactly (each group recomputes its own masked-V / D /
-# |D| / sign), so the sharing win is measurable in one process.
-_SEGMENT_SHARE = True
+# A/B switch for tools/segment_share_probe.py: True computes the masked-V /
+# D / |D| / sign machinery once per segment and shares it across the
+# segment's groups; False evaluates each group independently (recomputing
+# those pieces). MEASURED on the v5e (artifacts/SEGMENT_SHARE_AB.json,
+# paired in-process): with the round-5 per-segment static flags (skip_mask
+# + per-segment key sets) the INDEPENDENT form wins — value 142.2 vs
+# 150.0 us, value-and-grad 212.0 vs 223.4 us at B=131072 — plausibly
+# register-pressure relief (the shared form keeps D/U/S live across both
+# groups; the recomputation is cheap and pipelines better). Outputs are
+# bitwise identical either way (probe diffs 0.0), so this is purely a
+# measured default.
+_SEGMENT_SHARE = False
 
 
-def _slab_segment_val_par(groups, V, cf, used, *, value=True, partial=False):
+def _slab_segment_val_par(
+    groups, V, cf, used, *, value=True, partial=False, skip_mask=False
+):
     """ALL term groups covering one disjoint row segment (V, cf already
     sliced to the segment), with the masked-V / D / |D| / sign machinery
     computed ONCE and shared across the groups (round 5: on every mixed
@@ -131,7 +141,8 @@ def _slab_segment_val_par(groups, V, cf, used, *, value=True, partial=False):
         val_acc = par_acc = None
         for g in groups:
             v_, p_ = _slab_segment_val_par(
-                (g,), V, cf, used, value=value, partial=partial
+                (g,), V, cf, used,
+                value=value, partial=partial, skip_mask=skip_mask,
             )
             if v_ is not None:
                 val_acc = v_ if val_acc is None else val_acc + v_
@@ -139,7 +150,13 @@ def _slab_segment_val_par(groups, V, cf, used, *, value=True, partial=False):
                 par_acc = p_ if par_acc is None else par_acc + p_
         return val_acc, par_acc
     col = lambda k: cf[:, _CI[k]][:, None]
-    Vm = _slab_mask_v(V, cf)
+    # skip_mask: the caller proved (statically, from the plan) that every
+    # row of this segment is slab-owned — the ownership mask is the
+    # identity there, so the select pass is skipped. `used` is likewise
+    # the segment's OWN assigned-key set: on segments whose entries never
+    # assign m/sb/eb, those columns are structurally zero and the
+    # subtract/add passes are skipped exactly.
+    Vm = V if skip_mask else _slab_mask_v(V, cf)
     D = (Vm - col("m")) if "m" in used else Vm
     # shared |D|: sp always needs it; absv's value-only form uses it too
     # (the abs form measured cheaper than sign+mul+mul on chip — r4)

@@ -116,11 +116,14 @@ def _prep(u, vT):
     cf = jnp.zeros((dim, NCF), dtype)
     used = set()
     raw_bands: dict = {}
+    entry_keys = []  # (row0, rows, keys) per slab entry — static flags below
     for e in plan:
         if e.slab is None:
             continue
         cf = cf.at[e.row0 : e.row0 + e.rows, _MASK_COL].set(1.0)
-        for k, v in e.slab(dtype).items():
+        ks = e.slab(dtype)
+        entry_keys.append((e.row0, e.rows, frozenset(ks)))
+        for k, v in ks.items():
             used.add(k)
             cf = cf.at[e.row0 : e.row0 + e.rows, _CI[k]].set(v)
             g = _key_group.get(k)
@@ -132,6 +135,26 @@ def _prep(u, vT):
         (g, (lo // 8 * 8, min(dim, -(-hi // 8) * 8)))
         for g, (lo, hi) in sorted(raw_bands.items())
     )
+    # per-SEGMENT static flags (round 5): each disjoint segment carries the
+    # union of keys its overlapping slab entries assign (so e.g. the
+    # m-subtraction / sb-add run only on segments whose entries use them —
+    # the coefficient columns are structurally zero elsewhere, so skipping
+    # is exact) and skip_mask=True when NO loop-entry rows fall inside (the
+    # ownership mask only zeroes loop rows' V; on all-slab segments it is
+    # the identity). Alignment rows between entries always belong to SOME
+    # entry (the plan tiles [0, dim)), so the flags are sound.
+    loop_ranges = [(e.row0, e.row0 + e.rows) for e in plan if e.slab is None]
+    segs = []
+    for a, b, gs in _disjoint_segments(bands, dim):
+        seg_used = frozenset(
+            k
+            for r0, rn, ks in entry_keys
+            if r0 < b and r0 + rn > a
+            for k in ks
+        )
+        skip_mask = not any(lo < b and hi > a for lo, hi in loop_ranges)
+        segs.append((a, b, gs, seg_used, skip_mask))
+    segs = tuple(segs)
     c0sum = jnp.sum(cf[:, _CI["c0"]])
     Bp = padded_batch(B)
     W = block_lanes(Bp)
@@ -141,7 +164,7 @@ def _prep(u, vT):
     while Bp % W:
         W //= 2
     pb = jnp.broadcast_to(pvec[:, None], (Pn, W))
-    return loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands, c0sum
+    return loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, segs, c0sum
 
 
 def _disjoint_segments(bands, dim):
@@ -177,22 +200,22 @@ def mega_logdensity_t(u, vT, *, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands, c0sum = _prep(u, vT)
+    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, segs, c0sum = _prep(u, vT)
     vp = pad_to(vT.astype(dtype), Bp, 1)
-
-    segs = _disjoint_segments(bands, dim)
 
     def kernel(v_ref, p_ref, cf_ref, lp_ref):
         from .fused_base import _slab_segment_val_par
 
         acc = jnp.zeros((1, W), dtype)
-        for a, b, gs in segs:
+        for a, b, gs, su, sm in segs:
             if not gs:
                 continue
             # one shared masked-V/D/|D| computation serves every group
-            # covering this segment (fused_base._slab_segment_val_par)
+            # covering this segment (fused_base._slab_segment_val_par);
+            # su/sm: per-segment static key set + mask skip (see _prep)
             val_acc, _ = _slab_segment_val_par(
-                gs, v_ref[a:b, :], cf_ref[a:b, :], used, value=True
+                gs, v_ref[a:b, :], cf_ref[a:b, :], su, value=True,
+                skip_mask=sm,
             )
             acc = acc + jnp.sum(val_acc, axis=0).reshape(1, W)
         for e in loop:
@@ -223,22 +246,20 @@ def mega_jvp_t(u, vT, dvT, *, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands, _ = _prep(u, vT)
+    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, segs, _ = _prep(u, vT)
     vp = pad_to(vT.astype(dtype), Bp, 1)
     dvp = pad_to(dvT.astype(dtype), Bp, 1)
-
-    segs = _disjoint_segments(bands, dim)
 
     def kernel(v_ref, dv_ref, p_ref, cf_ref, out_ref):
         from .fused_base import _slab_segment_val_par
 
         acc = jnp.zeros((1, W), dtype)
-        for a, b, gs in segs:
+        for a, b, gs, su, sm in segs:
             if not gs:
                 continue
             _, par_acc = _slab_segment_val_par(
-                gs, v_ref[a:b, :], cf_ref[a:b, :], used,
-                value=False, partial=True,
+                gs, v_ref[a:b, :], cf_ref[a:b, :], su,
+                value=False, partial=True, skip_mask=sm,
             )
             acc = acc + jnp.sum(
                 par_acc * dv_ref[a:b, :], axis=0
@@ -274,23 +295,21 @@ def mega_vjp_t(u, vT, gbar, *, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands, _ = _prep(u, vT)
+    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, segs, _ = _prep(u, vT)
     vp = pad_to(vT.astype(dtype), Bp, 1)
     gb = pad_to(gbar.astype(dtype).reshape(1, B), Bp, 1)
-
-    segs = _disjoint_segments(bands, dim)
 
     def kernel(v_ref, g_ref, p_ref, cf_ref, out_ref):
         from .fused_base import _slab_segment_val_par
 
         g = g_ref[0, :].reshape(1, W)
-        for a, b, gs in segs:
+        for a, b, gs, su, sm in segs:
             if not gs:
                 out_ref[a:b, :] = jnp.zeros((b - a, W), dtype)
                 continue
             _, par = _slab_segment_val_par(
-                gs, v_ref[a:b, :], cf_ref[a:b, :], used,
-                value=False, partial=True,
+                gs, v_ref[a:b, :], cf_ref[a:b, :], su,
+                value=False, partial=True, skip_mask=sm,
             )
             out_ref[a:b, :] = par * g
         for e in loop:
@@ -334,14 +353,12 @@ def mega_value_and_grad_t(u, vT, *, interpret: bool = False):
 
     from .fused_base import _slab_segment_val_par
 
-    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, bands, c0sum = _prep(u, vT)
+    loop, dim, B, Bp, W, Pn, dtype, pb, cf, pad_to, used, segs, c0sum = _prep(u, vT)
     vp = pad_to(vT.astype(dtype), Bp, 1)
-
-    segs = _disjoint_segments(bands, dim)
 
     def kernel(v_ref, p_ref, cf_ref, lp_ref, g_ref):
         acc = jnp.zeros((1, W), dtype)
-        for a, b, gs in segs:
+        for a, b, gs, su, sm in segs:
             if not gs:
                 g_ref[a:b, :] = jnp.zeros((b - a, W), dtype)
                 continue
@@ -350,8 +367,8 @@ def mega_value_and_grad_t(u, vT, *, interpret: bool = False):
             # group's softplus/sigmoid exp (one EUP op per row serves both
             # — measured win, TRANSCEND_PROBE.json spsig_sh2 vs spsig)
             val_acc, par_acc = _slab_segment_val_par(
-                gs, v_ref[a:b, :], cf_ref[a:b, :], used,
-                value=True, partial=True,
+                gs, v_ref[a:b, :], cf_ref[a:b, :], su,
+                value=True, partial=True, skip_mask=sm,
             )
             acc = acc + jnp.sum(val_acc, axis=0).reshape(1, W)
             g_ref[a:b, :] = par_acc
