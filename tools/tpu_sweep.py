@@ -413,31 +413,29 @@ def kernel_perf_sentinel(update: bool = False):
             stored = json.load(f)
 
     def prog(build, n, use_kernels):
-        # serialization: the KERNEL arm rides a model parameter (the
-        # pallas_call's operand changes per iteration, so the opaque kernel
-        # cannot hoist — pure kernel time). The JNP arm must perturb the
-        # STATE instead: its link work (Cholesky algebra etc.) depends
-        # only on v, and with a loop-invariant v XLA's LICM hoists it out
-        # of the scan entirely (observed: InverseWishart(8) "jnp" at
-        # 11 us — below the HBM floor for even reading the state; the
-        # same lesson as bench.py's naive arm). The state perturbation
-        # costs the jnp arm one materialized copy (~20-70 us here),
-        # small against its true 100s-of-us-to-ms cost; noted, not
-        # corrected.
+        # BOTH arms serialize through the STATE (v + f(carry)): per-leaf
+        # densities are v-only given fixed params, and under param-only
+        # serialization XLA's LICM hoists the v-only work out of the scan
+        # — including the pallas_call itself when the family's parameter
+        # enters OUTSIDE the kernel (observed: LKJ(16) kernel arm "2.6 us"
+        # and InverseWishart jnp arm "11 us", both below the HBM floor for
+        # even reading the state). The perturbation costs each arm one
+        # materialized state copy (~1 HBM pass, identical for both), so
+        # kernel_us/jnp_us include it and the stored ratios are slightly
+        # CONSERVATIVE — fine for a regression sentinel, which needs
+        # stability, not purity.
         @jax.jit
         def many(vT):
+            u0 = unconstrain(build(0.0))
+
             def body(carry, _):
-                if use_kernels:
-                    t = 1e-3 * jnp.tanh(0.01 * jnp.mean(carry))
-                    lp = unconstrain(build(t)).linked_logdensity_t(vT)
-                else:
-                    pert = 1e-3 * jnp.tanh(0.01 * carry)[None, :]
+                pert = 1e-3 * jnp.tanh(0.01 * carry)[None, :]
+                if not use_kernels:
                     kernels.enable(False)
-                    try:
-                        lp = unconstrain(build(0.0)).linked_logdensity_t(
-                            vT + pert
-                        )
-                    finally:
+                try:
+                    lp = u0.linked_logdensity_t(vT + pert)
+                finally:
+                    if not use_kernels:
                         kernels.enable(True)
                 return lp, None
 

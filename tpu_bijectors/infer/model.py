@@ -101,9 +101,10 @@ class Model:
             # kernel is eligible; jax.vjp otherwise (2 kernels / 3+ passes).
             # NOTE: in the batch band where the vg kernel dispatches but
             # the value kernel declines (kernels.MEGA_VG_OFF_BAND vs
-            # MEGA_OFF_BAND), value_and_grad_fn's lp and a direct f(vT)
-            # call can differ at the f32-association / Dirichlet-nudge
-            # level (~4e-5 rel, docs/kernels.md). Samplers are immune:
+            # MEGA_OFF_BAND — [8192, 131072) as of the r5 measurement),
+            # value_and_grad_fn's lp and a direct f(vT) call can differ
+            # at the f32-association / Dirichlet-nudge level (~4e-5 rel;
+            # user-facing caveat in docs/kernels.md). Samplers are immune:
             # init_sampler and every leapfrog consume THIS function, so
             # all MH energies in a run share one density definition.
             from ..vectorize.fused_kernel import try_mega_value_and_grad
